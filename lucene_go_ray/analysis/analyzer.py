@@ -1,0 +1,224 @@
+"""Lucene-compatible StandardAnalyzer pipeline, vectorized for Arrow batches.
+
+Re-implements (from behavior, not code) the analysis chain of the reference
+lucene-go engine:
+
+- ``standard.Tokenizer`` (/root/reference/core/analysis/standard/tokenizer.go:144-175)
+  is — despite its UAX#29 doc comment — a *single-whitespace-character*
+  splitter: a token is the (possibly empty) run of non-space runes between
+  two whitespace runes.  Consequences we replicate faithfully:
+
+  * consecutive whitespace emits empty-string tokens ("a  b" -> ["a","","b"])
+  * leading whitespace emits a leading empty token (" a" -> ["","a"])
+  * trailing whitespace emits a trailing empty token ("a " -> ["a",""])
+  * empty text emits exactly one empty token ("" -> [""])
+
+  i.e. exactly the semantics of ``re.split('[<ws-class>]', text)`` where the
+  class is Go's ``unicode.IsSpace`` set.
+
+- byte offsets use the reference's slow/fast counters including the
+  off-by-one ``fast += n; fast++`` quirk on each delimiter
+  (tokenizer.go:168-170): the reported start offset of token *i* is
+  ``sum(len_bytes(tok_j) + len_bytes(delim_j) + 1 for j < i)``.
+
+- ``LowerCaseFilter`` (/root/reference/core/analysis/lowercasefilter.go:24-39):
+  full-string lowercase before the stop filter.
+
+- ``StopFilter`` / ``FilteringTokenFilter``
+  (/root/reference/core/analysis/filteringtokenfilter.go:37-66): dropped
+  tokens accumulate their position increments onto the next kept token.
+  Since every raw token carries posIncr=1, the position of a kept token is
+  simply its index in the *full* token stream.
+
+- norm (per-doc field length) = Length - NumOverlap = number of kept tokens
+  (no posIncr-0 tokens can occur in this chain), matching
+  ``BM25Similarity.ComputeNorm`` (/root/reference/core/search/similaritybm25.go:111-121).
+
+The reference ships no default stopword set (the analyzer takes a caller
+``CharArraySet``); we default to the classic public Lucene English stop set
+but the set is fully configurable (empty set => pure tokenize+lowercase).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Go's unicode.IsSpace set: '\t','\n','\v','\f','\r',' ',U+0085,U+00A0 plus
+# the Unicode White_Space property (Zs/Zl/Zp): U+1680, U+2000-200A, U+2028,
+# U+2029, U+202F, U+205F, U+3000.  Spelled out explicitly (not `\s`) so the
+# Python, RE2/pyarrow and DuckDB views of "whitespace" are identical.
+GO_WHITESPACE_CHARS = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+# char class of the above; all chars are literals, no escaping needed inside [].
+GO_WHITESPACE_CLASS = "[" + GO_WHITESPACE_CHARS + "]"
+
+_SPLIT_RE = re.compile(GO_WHITESPACE_CLASS)
+
+# Classic public Lucene English stop set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET).
+DEFAULT_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+@dataclass
+class AnalyzedDoc:
+    """Token-level output for one document (row-at-a-time API, used in tests
+    and the in-memory single-doc engine; the hot path is `analyze_column`)."""
+
+    terms: list[str]
+    positions: np.ndarray  # int32, position = index in the full token stream
+    starts: np.ndarray  # int32 byte offsets (reference slow/fast semantics)
+    ends: np.ndarray  # int32
+    length: int  # number of kept tokens (sum of termFreq)
+    norm: int  # length - num_overlap (== length here)
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """tokenize -> lowercase -> stopword-drop with position accumulation."""
+
+    stop_words: frozenset = DEFAULT_STOP_WORDS
+    lowercase: bool = True
+
+    # ---------------- row-at-a-time (reference-exact, incl. offsets) -------
+
+    def tokenize_raw(self, text: str) -> list[str]:
+        """Raw token stream: split on every single whitespace char (empties kept)."""
+        return _SPLIT_RE.split(text)
+
+    def analyze(self, text: str) -> AnalyzedDoc:
+        raw = self.tokenize_raw(text)
+        # Reconstruct the delimiter byte lengths for the offset quirk.
+        delims = _SPLIT_RE.findall(text)
+        starts, ends, keep_terms, keep_pos = [], [], [], []
+        slow = 0
+        for i, tok in enumerate(raw):
+            nbytes = len(tok.encode("utf-8"))
+            term = tok.lower() if self.lowercase else tok
+            if term not in self.stop_words:
+                keep_terms.append(term)
+                keep_pos.append(i)
+                starts.append(slow)
+                ends.append(slow + nbytes)
+            if i < len(delims):
+                # fast += token bytes + delimiter bytes, then fast++ (quirk)
+                slow += nbytes + len(delims[i].encode("utf-8")) + 1
+        n = len(keep_terms)
+        return AnalyzedDoc(
+            terms=keep_terms,
+            positions=np.asarray(keep_pos, dtype=np.int32),
+            starts=np.asarray(starts, dtype=np.int32),
+            ends=np.asarray(ends, dtype=np.int32),
+            length=n,
+            norm=n,
+        )
+
+    # ---------------- vectorized batch path (the hot path) -----------------
+
+    def analyze_column(self, texts: pa.Array | pa.ChunkedArray) -> dict:
+        """Vectorized analysis of a column of documents.
+
+        Returns flattened arrays over all *kept* tokens plus per-doc norms:
+
+        - ``doc_idx``   int32 — row index within the batch for each token
+        - ``terms``     pa.LargeStringArray — analyzed term per token
+        - ``positions`` int32 — full-stream position per token
+        - ``norms``     int64 — per-doc kept-token count (len == batch rows)
+
+        Null text rows produce no tokens and norm 0 (field absent).
+        """
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        empty = {
+            "doc_idx": np.empty(0, np.int32),
+            "terms": pa.array([], type=pa.large_string()),
+            "positions": np.empty(0, np.int32),
+            "norms": np.zeros(n_docs, np.int64),
+        }
+        if n_docs == 0:
+            return empty
+        texts = texts.cast(pa.large_string())
+        null_mask = texts.is_null().to_numpy(zero_copy_only=False)
+        has_null = bool(null_mask.any())
+        if has_null:
+            texts = pc.fill_null(texts, "")
+        toks = pc.split_pattern_regex(texts, GO_WHITESPACE_CLASS)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        flat = pc.list_flatten(toks)
+        if self.lowercase:
+            flat = pc.utf8_lower(flat)
+        total = len(flat)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        positions = (
+            np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        ).astype(np.int32)
+        keep = None
+        if has_null:
+            keep = ~null_mask[doc_idx]
+        if self.stop_words:
+            stop_arr = pa.array(sorted(self.stop_words), type=pa.large_string())
+            drop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+            keep = ~drop if keep is None else (keep & ~drop)
+        if keep is not None:
+            doc_idx = doc_idx[keep]
+            positions = positions[keep]
+            flat = flat.filter(pa.array(keep))
+        norms = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        return {
+            "doc_idx": doc_idx,
+            "terms": flat,
+            "positions": positions,
+            "norms": norms,
+        }
+
+
+@dataclass(frozen=True)
+class WhitespaceAnalyzer(StandardAnalyzer):
+    """Tokenizer only — no lowercase, no stopwords (the reference
+    WhitespaceTokenizer, `analysis/common/analysis/core/whitespacetokenizer.go`,
+    shares the same single-char-split scanner semantics)."""
+
+    stop_words: frozenset = frozenset()
+    lowercase: bool = False
+
+
+@dataclass(frozen=True)
+class KeywordAnalyzer:
+    """Untokenized field -> exactly one token at position 0, offsets [0, len)
+    (reference StringTokenStream, /root/reference/core/document/field.go:119-237)."""
+
+    def analyze(self, text: str) -> AnalyzedDoc:
+        nbytes = len(text.encode("utf-8"))
+        return AnalyzedDoc(
+            terms=[text],
+            positions=np.zeros(1, np.int32),
+            starts=np.zeros(1, np.int32),
+            ends=np.asarray([nbytes], np.int32),
+            length=1,
+            norm=1,
+        )
+
+    def analyze_column(self, texts: pa.Array | pa.ChunkedArray) -> dict:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        null_mask = texts.is_null().to_numpy(zero_copy_only=False)
+        keep = ~null_mask
+        doc_idx = np.arange(n, dtype=np.int32)[keep]
+        return {
+            "doc_idx": doc_idx,
+            "terms": texts.cast(pa.large_string()).filter(pa.array(keep)),
+            "positions": np.zeros(int(keep.sum()), np.int32),
+            "norms": keep.astype(np.int64),
+        }

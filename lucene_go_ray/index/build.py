@@ -1,0 +1,374 @@
+"""Distributed index build: partition planning + stateful segment indexers.
+
+The Ray-Data graft of the reference write path
+(IndexWriter.AddDocument → DWPT → flush, SURVEY.md §3.1):
+
+- one *partition descriptor* per input shard (file / row-group range),
+  planned driver-side from parquet **metadata only** (no data read) so that
+  global docIDs are deterministic: docBase = prefix sum of partition row
+  counts in (sorted file, row-group) order — the composite-reader docBase
+  stitching (/root/reference/core/index/standarddirectoryreader.go:48);
+- a ``ray.data.Dataset`` over the descriptors feeds a ``SegmentIndexer``
+  actor pool via ``map_batches`` — each actor is the analogue of a
+  DocumentsWriterPerThread (documentswriterflushcontrol.go:65-79): it reads
+  its shard (column-pruned), analyzes, builds in-RAM postings, and flushes
+  one self-contained segment (docmap + terms + packed postings);
+- segments are committed with temp-dir + atomic rename (idempotent retries,
+  mirroring pending_segments_N → segments_N, segmentinfos.go:258-259), and a
+  manifest with per-partition lineage + metrics enables resume: a re-run
+  skips every partition whose committed segment exists.
+
+Scale notes: at 10^12 docs the descriptor table is ~10^6-10^7 rows (tiny);
+all heavy data flows worker→disk inside the actors, never through the
+driver. The only driver-side materialization is the manifest row stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis import StandardAnalyzer
+from .codec import encode_postings
+from .config import IndexConfig
+from .manifest import (
+    Manifest,
+    PartitionInfo,
+    finalize_partitions,
+    save_manifest,
+)
+
+SEGMENT_DIR = "segments"
+
+
+def segment_path(index_dir: str, pid: int) -> str:
+    return os.path.join(index_dir, SEGMENT_DIR, f"p={pid:05d}")
+
+
+def plan_partitions(paths: list[str], target_rows: int) -> list[PartitionInfo]:
+    """Pack row groups of the (sorted) input files into ~target_rows partitions.
+
+    Metadata-only: reads parquet footers, never data. A row group larger than
+    2x target is split into row ranges (the reading task slices after a
+    single row-group read).
+    """
+    parts: list[PartitionInfo] = []
+    pid = 0
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        pending_rgs: list[int] = []
+        pending_rows = 0
+        pending_bytes = 0
+
+        def flush_pending():
+            nonlocal pid, pending_rgs, pending_rows, pending_bytes
+            if pending_rgs:
+                parts.append(
+                    PartitionInfo(
+                        pid=pid,
+                        path=path,
+                        row_groups=list(pending_rgs),
+                        row_start=0,
+                        num_docs=pending_rows,
+                        input_bytes=pending_bytes,
+                    )
+                )
+                pid += 1
+                pending_rgs, pending_rows, pending_bytes = [], 0, 0
+
+        for rg in range(md.num_row_groups):
+            rows = md.row_group(rg).num_rows
+            nbytes = md.row_group(rg).total_byte_size
+            if rows > 2 * target_rows:
+                flush_pending()
+                # split one big row group into row ranges
+                nsplit = (rows + target_rows - 1) // target_rows
+                base = 0
+                for s in range(nsplit):
+                    n = min(target_rows, rows - base)
+                    parts.append(
+                        PartitionInfo(
+                            pid=pid,
+                            path=path,
+                            row_groups=[rg],
+                            row_start=base,
+                            num_docs=n,
+                            input_bytes=nbytes // nsplit,
+                        )
+                    )
+                    pid += 1
+                    base += n
+            else:
+                if pending_rows and pending_rows + rows > target_rows:
+                    flush_pending()
+                pending_rgs.append(rg)
+                pending_rows += rows
+                pending_bytes += nbytes
+        flush_pending()
+    return parts
+
+
+class SegmentIndexer:
+    """Actor-pool stage: descriptor batch in → manifest rows out.
+
+    Stateful setup (analyzer tables, config) happens once in ``__init__``;
+    each ``__call__`` builds whole segments. All token-level work is
+    vectorized (arrow split/lower/is_in + numpy lexsort/run-length)."""
+
+    def __init__(self, index_dir: str, cfg_dict: dict):
+        self.index_dir = index_dir
+        self.cfg = IndexConfig(**cfg_dict)
+        self.analyzer = StandardAnalyzer(
+            stop_words=self.cfg.stop_set(), lowercase=self.cfg.lowercase
+        )
+
+    # -- core: one partition -> one segment on disk ------------------------
+    def build_segment(self, part: dict) -> dict:
+        t0 = time.perf_counter()
+        # normalize descriptor values (numpy scalars from the batch)
+        part = {
+            "pid": int(part["pid"]),
+            "path": str(part["path"]),
+            "row_groups": [int(x) for x in part["row_groups"]],
+            "row_start": int(part["row_start"]),
+            "num_docs": int(part["num_docs"]),
+            "input_bytes": int(part.get("input_bytes", 0)),
+        }
+        cfg = self.cfg
+        pf = pq.ParquetFile(part["path"])
+        cols = [cfg.key_column, cfg.text_column]
+        table = pf.read_row_groups(list(part["row_groups"]), columns=cols)
+        if part["row_start"] or len(table) != part["num_docs"]:
+            table = table.slice(part["row_start"], part["num_docs"])
+        n_docs = len(table)
+
+        tok = self.analyzer.analyze_column(table[cfg.text_column])
+        norms = tok["norms"]  # int64 per doc
+        doc_idx = tok["doc_idx"].astype(np.int64)
+        positions = tok["positions"].astype(np.int64)
+
+        # term interning (BytesHash analogue): arrow dictionary encode
+        dict_arr = tok["terms"].dictionary_encode()
+        term_ids = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dict_arr.dictionary.to_pylist()
+        # UTF-8 byte-order term sort (byteshash.go:138 semantics; python str
+        # sort == codepoint order == UTF-8 byte order for valid unicode)
+        order = np.argsort(np.asarray(vocab, dtype=object), kind="stable")
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[order] = np.arange(len(vocab))
+        sorted_vocab = [vocab[i] for i in order]
+        term_ids = rank[term_ids]
+
+        # sort tokens by (term, doc, position); analyze output is already
+        # doc-then-position ordered, so a stable sort on term_id suffices
+        perm = np.argsort(term_ids, kind="stable")
+        t_sorted = term_ids[perm]
+        d_sorted = doc_idx[perm]
+        p_sorted = positions[perm]
+
+        # run-length over (term, doc) -> postings
+        if len(t_sorted):
+            change = np.empty(len(t_sorted), dtype=bool)
+            change[0] = True
+            change[1:] = (t_sorted[1:] != t_sorted[:-1]) | (
+                d_sorted[1:] != d_sorted[:-1]
+            )
+            starts = np.flatnonzero(change)
+            freqs_all = np.diff(np.append(starts, len(t_sorted)))
+            post_term = t_sorted[starts]
+            post_doc = d_sorted[starts]
+            tchange = np.empty(len(post_term), dtype=bool)
+            tchange[0] = True
+            tchange[1:] = post_term[1:] != post_term[:-1]
+            tstarts = np.flatnonzero(tchange)
+            tcounts = np.diff(np.append(tstarts, len(post_term)))
+        else:
+            starts = freqs_all = post_term = post_doc = np.empty(0, np.int64)
+            tstarts = tcounts = np.empty(0, np.int64)
+
+        norms8 = (norms & 0xFF).astype(np.uint8)
+        rows = []
+        pos_cursor_starts = np.zeros(len(starts), dtype=np.int64)
+        if len(starts):
+            pos_cursor_starts[1:] = np.cumsum(freqs_all)[:-1]
+        for ti, (ts, tc) in enumerate(zip(tstarts, tcounts)):
+            docs_t = post_doc[ts : ts + tc]
+            freqs_t = freqs_all[ts : ts + tc]
+            pos_lo = pos_cursor_starts[ts]
+            pos_hi = pos_lo + int(freqs_t.sum())
+            blob = encode_postings(
+                docs_t,
+                freqs_t,
+                norms8[docs_t],
+                p_sorted[pos_lo:pos_hi] if cfg.index_positions else None,
+                block=cfg.block_size,
+            )
+            row = blob.to_row()
+            row["term"] = sorted_vocab[ti]
+            rows.append(row)
+
+        # ---- write segment (tmp dir + atomic rename) ----
+        pid = int(part["pid"])
+        final_dir = segment_path(self.index_dir, pid)
+        tmp_dir = os.path.join(
+            self.index_dir, SEGMENT_DIR, f".tmp-p={pid:05d}-{os.getpid()}"
+        )
+        os.makedirs(tmp_dir, exist_ok=True)
+        docmap = pa.table(
+            {
+                "ord": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "key": table[cfg.key_column],
+                "norm": pa.array(norms),
+            }
+        )
+        pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
+        terms_table = _rows_to_terms_table(rows, pid)
+        pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+
+        info = PartitionInfo(
+            pid=pid,
+            path=part["path"],
+            row_groups=list(part["row_groups"]),
+            row_start=int(part["row_start"]),
+            num_docs=n_docs,
+            num_terms=len(rows),
+            sum_total_term_freq=int(norms.sum()),
+            sum_doc_freq=int(len(starts)),
+            doc_count=int((norms > 0).sum()),
+            build_secs=time.perf_counter() - t0,
+            input_bytes=int(part.get("input_bytes", 0)),
+        )
+        with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+            json.dump(asdict(info), f)
+        if os.path.exists(final_dir):  # lost a race with a retry — keep winner
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        else:
+            os.replace(tmp_dir, final_dir)
+        return asdict(info)
+
+    def __call__(self, batch: dict) -> dict:
+        out: list[dict] = []
+        n = len(batch["pid"])
+        for i in range(n):
+            part = {k: batch[k][i] for k in batch}
+            out.append(self.build_segment(part))
+        return {"info": np.array([json.dumps(r) for r in out], dtype=object)}
+
+
+def _rows_to_terms_table(rows: list[dict], pid: int) -> pa.Table:
+    cols: dict[str, list] = {k: [] for k in _TERMS_SCHEMA_NAMES}
+    for r in rows:
+        for k in _TERMS_SCHEMA_NAMES:
+            if k == "pid":
+                cols[k].append(pid)
+            else:
+                cols[k].append(r[k])
+    return pa.table(
+        {name: pa.array(cols[name], type=t) for name, t in _TERMS_SCHEMA}
+    )
+
+
+_TERMS_SCHEMA = [
+    ("term", pa.large_string()),
+    ("pid", pa.int32()),
+    ("doc_freq", pa.int64()),
+    ("total_term_freq", pa.int64()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("docs_blob", pa.large_binary()),
+    ("doc_widths", pa.large_binary()),
+    ("freqs_blob", pa.large_binary()),
+    ("freq_widths", pa.large_binary()),
+    ("norms_blob", pa.large_binary()),
+    ("block_last", pa.large_binary()),
+    ("block_max_freq", pa.large_binary()),
+    ("block_min_norm", pa.large_binary()),
+    ("pos_blob", pa.large_binary()),
+    ("pos_width", pa.int32()),
+]
+_TERMS_SCHEMA_NAMES = [n for n, _ in _TERMS_SCHEMA]
+
+
+def _completed_pids(index_dir: str) -> dict[int, PartitionInfo]:
+    seg_root = os.path.join(index_dir, SEGMENT_DIR)
+    done: dict[int, PartitionInfo] = {}
+    if not os.path.isdir(seg_root):
+        return done
+    for name in os.listdir(seg_root):
+        if not name.startswith("p="):
+            continue
+        meta = os.path.join(seg_root, name, "meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                info = PartitionInfo(**json.load(f))
+            done[info.pid] = info
+    return done
+
+
+def build_index(
+    input_paths: list[str] | str,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    concurrency: int | None = None,
+    merge: bool = True,
+) -> Manifest:
+    """Build (or resume) the full index: segments, then the global merge.
+
+    Resumable: completed segments (committed via atomic rename) are skipped;
+    the manifest is only written once every planned partition exists.
+    """
+    import ray
+    import ray.data
+
+    cfg = cfg or IndexConfig()
+    if isinstance(input_paths, str):
+        input_paths = _expand_paths(input_paths)
+    parts = plan_partitions(input_paths, cfg.target_partition_rows)
+    done = _completed_pids(index_dir)
+    todo = [p for p in parts if p.pid not in done]
+    os.makedirs(os.path.join(index_dir, SEGMENT_DIR), exist_ok=True)
+
+    if todo:
+        n_actors = concurrency or max(
+            1, min(len(todo), int(ray.cluster_resources().get("CPU", 4)))
+        )
+        ds = ray.data.from_items([asdict(p) for p in todo])
+        infos = ds.map_batches(
+            SegmentIndexer,
+            fn_constructor_kwargs={"index_dir": index_dir, "cfg_dict": asdict(cfg)},
+            batch_size=1,
+            concurrency=n_actors,
+            num_cpus=1,
+        ).take_all()
+        for row in infos:
+            info = PartitionInfo(**json.loads(row["info"]))
+            done[info.pid] = info
+
+    manifest = finalize_partitions([done[p.pid] for p in parts])
+    manifest.config = asdict(cfg)
+    save_manifest(index_dir, manifest)
+
+    if merge:
+        from .merge import merge_index
+
+        manifest = merge_index(index_dir, manifest, cfg)
+    return manifest
+
+
+def _expand_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]

@@ -1,0 +1,40 @@
+"""Build/search configuration (the analogue of IndexWriterConfig +
+LiveIndexWriterConfig knobs, /root/reference/core/index/indexwriter.go:1595-1611)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- schema ---
+    text_column: str = "text"  # TextField: tokenized, DOCS_AND_FREQS_AND_POSITIONS
+    key_column: str = "doc_id"  # stored key (url or doc_id) kept in the docmap
+    # --- analysis ---
+    stop_words: tuple = tuple(
+        sorted(
+            """a an and are as at be but by for if in into is it no not of on or such
+            that the their then there these they this to was will with""".split()
+        )
+    )
+    lowercase: bool = True
+    # --- BM25 (reference defaults, similaritybm25.go:68-75) ---
+    k1: float = 1.2
+    b: float = 0.75
+    # --- physical layout ---
+    block_size: int = 128  # postings docs per FOR block
+    index_positions: bool = True
+    target_partition_rows: int = 25_000  # docs per build partition (segment)
+    chunk_docs: int = 131_072  # max postings per merged-index row (term chunk)
+    # --- merge-shuffle skew handling ---
+    # terms whose global doc_freq exceeds this get salted: their per-partition
+    # postings are merged in groups of `salt_group_partitions` partitions
+    # instead of one all-partitions group (SURVEY §4 "skew").
+    hot_term_doc_freq: int = 500_000
+    salt_group_partitions: int = 8
+    # --- search ---
+    total_hits_threshold: int = 1000  # indexsearcher.go:14
+
+    def stop_set(self) -> frozenset:
+        return frozenset(self.stop_words)

@@ -1,0 +1,125 @@
+"""Query tree — the relational surface of the engine (SURVEY.md §2.9).
+
+Dataclass analogue of the reference Query/Weight tree:
+- TermQuery (/root/reference/core/search/termquery.go:35-277)
+- BooleanQuery with MUST/SHOULD/FILTER/MUST_NOT, minimumShouldMatch and
+  maxClauseCount=1024 (/root/reference/core/search/booleanquery.go:13-26)
+- BoostQuery (multiplies weight boost, boostquery.go)
+- MatchAllDocsQuery (matchalldocsquery.go)
+- PhraseQuery: absent in the reference (positions are indexed but spans/ is
+  a stub — spans.go:1-40); semantics defined here: exact adjacency on
+  analyzer positions, phrase freq scored through BM25 with summed idf.
+
+``rewrite`` performs the reference's BooleanQuery normalizations
+(booleanquery.go:75-421): single-clause flattening and duplicate
+FILTER/MUST_NOT removal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+MAX_CLAUSE_COUNT = 1024  # booleanquery.go:13-15
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if isinstance(inner, BoostQuery):
+            return BoostQuery(inner.query, self.boost * inner.boost)
+        if inner is self.query:
+            return self
+        return BoostQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple
+    field: str = "text"
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(self.terms))
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple
+    minimum_should_match: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "clauses", tuple(self.clauses))
+        if len(self.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"too many clauses: {len(self.clauses)} > {MAX_CLAUSE_COUNT}")
+
+    @staticmethod
+    def build(
+        must=(), should=(), filter=(), must_not=(), minimum_should_match: int = 0
+    ) -> "BooleanQuery":
+        clauses = (
+            [BooleanClause(_as_query(q), Occur.MUST) for q in must]
+            + [BooleanClause(_as_query(q), Occur.SHOULD) for q in should]
+            + [BooleanClause(_as_query(q), Occur.FILTER) for q in filter]
+            + [BooleanClause(_as_query(q), Occur.MUST_NOT) for q in must_not]
+        )
+        return BooleanQuery(tuple(clauses), minimum_should_match)
+
+    def rewrite(self) -> Query:
+        # flatten single positive clause with no prohibitions (booleanquery.go)
+        clauses = [BooleanClause(c.query.rewrite(), c.occur) for c in self.clauses]
+        # dedup FILTER and MUST_NOT clauses
+        seen, out = set(), []
+        for c in clauses:
+            if c.occur in (Occur.FILTER, Occur.MUST_NOT):
+                key = (c.occur, c.query)
+                if key in seen:
+                    continue
+                seen.add(key)
+            out.append(c)
+        if len(out) == 1 and out[0].occur in (Occur.MUST, Occur.SHOULD):
+            if self.minimum_should_match <= 1:
+                return out[0].query
+        if out == list(self.clauses):
+            return self
+        return BooleanQuery(tuple(out), self.minimum_should_match)
+
+
+def _as_query(q) -> Query:
+    if isinstance(q, Query):
+        return q
+    if isinstance(q, str):
+        return TermQuery(q)
+    raise TypeError(f"not a query: {q!r}")

@@ -1,0 +1,582 @@
+"""Top-k BM25 search over the merged global index.
+
+The query-side graft of the reference's IndexSearcher
+(/root/reference/core/search/indexsearcher.go:204-397):
+
+- collection statistics are global (summed across all partitions at build
+  finalize — the searcher-side summation of indexsearcher.go:438-481 done
+  once instead of per query);
+- term lookup is a range-index probe + row-group read (the FST seek,
+  termquery.go:194-218, at file granularity);
+- boolean evaluation uses sorted-docID array algebra: intersection =
+  ConjunctionDISI leapfrog (conjunctiondisi.go:17-33), union =
+  DisjunctionSumScorer, difference = ReqExclScorer, req+opt =
+  ReqOptSumScorer — all as vectorized numpy set operations;
+- top-k: score desc, docID asc on ties (topscoredoccollector.go:92-101);
+- optional block-max pruning (``prune=True``) skips postings blocks whose
+  impact upper bound cannot reach the current kth score — rank-identical to
+  exhaustive evaluation by construction (the working version of the
+  reference's stubbed WANDScorer, wandscorer.go:30-32).
+
+Two distributed paths:
+- ``search_batch``: a Dataset of queries through a ``SearcherActor`` pool —
+  the query-throughput path (each actor caches the term range index and the
+  hot file handles);
+- ``search`` on the driver reads only the postings rows its terms need —
+  at most a few row groups per term — never the whole index.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..index.codec import block_metadata, decode_docs_freqs_norms, decode_positions
+from ..index.config import IndexConfig
+from ..index.manifest import load_manifest
+from .query import (
+    BooleanQuery,
+    BoostQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+from .scorer import BM25Scorer, idf
+
+
+@dataclass
+class TopDocs:
+    doc_ids: np.ndarray  # int64, rank order
+    scores: np.ndarray  # float64, rank order
+    total_hits: int
+    keys: list | None = None  # stored key per hit (when requested)
+
+    def to_table(self) -> pa.Table:
+        cols = {
+            "rank": pa.array(np.arange(1, len(self.doc_ids) + 1, dtype=np.int64)),
+            "doc_id": pa.array(self.doc_ids),
+            "score": pa.array(self.scores),
+        }
+        if self.keys is not None:
+            cols["key"] = pa.array(self.keys)
+        return pa.table(cols)
+
+
+@dataclass
+class _Scored:
+    """Evaluation result: parallel sorted-by-doc arrays."""
+
+    docs: np.ndarray  # int64 sorted unique
+    scores: np.ndarray | None  # float64 aligned with docs (None for filters)
+
+
+class _RangeIndex:
+    """term -> candidate (file, row_group) lookup over a sorted range table."""
+
+    def __init__(self, dir_path: str):
+        t = pq.read_table(dir_path + "_index.parquet")
+        self.files = t["file"].to_pylist()
+        self.row_groups = t["row_group"].to_numpy(zero_copy_only=False)
+        self.term_min = t["term_min"].to_pylist()
+        self.term_max = t["term_max"].to_pylist()
+        self.dir_path = dir_path
+        self._pf_cache: dict[str, pq.ParquetFile] = {}
+
+    def candidates(self, term: str) -> list[tuple[str, int]]:
+        return [
+            (self.files[i], int(self.row_groups[i]))
+            for i in range(len(self.files))
+            if self.term_min[i] <= term <= self.term_max[i]
+        ]
+
+    def read_term_rows(self, term: str, columns: list[str] | None = None) -> pa.Table:
+        tables = []
+        for fname, rg in self.candidates(term):
+            pf = self._pf_cache.get(fname)
+            if pf is None:
+                pf = pq.ParquetFile(os.path.join(self.dir_path, fname))
+                self._pf_cache[fname] = pf
+            t = pf.read_row_group(rg, columns=columns)
+            t = t.filter(pc.equal(t["term"], term))
+            if len(t):
+                tables.append(t)
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        if not self.manifest.merged:
+            raise RuntimeError("index not merged; run merge_index / build_index(merge=True)")
+        cfgd = dict(self.manifest.config)
+        cfgd["stop_words"] = tuple(cfgd.get("stop_words", ()))
+        self.cfg = IndexConfig(**cfgd)
+        gdir = os.path.join(index_dir, "global")
+        with open(os.path.join(gdir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.scorer = BM25Scorer(
+            self.stats["doc_count"],
+            self.stats["sum_total_term_freq"],
+            k1=self.cfg.k1,
+            b=self.cfg.b,
+        )
+        self.postings = _RangeIndex(os.path.join(gdir, "postings"))
+        self.term_stats_idx = _RangeIndex(os.path.join(gdir, "term_stats"))
+        self._doc_bases = [int(p["doc_base"]) for p in self.manifest.partitions]
+        self._pids = [int(p["pid"]) for p in self.manifest.partitions]
+        self._docmap_cache: dict[int, pa.Table] = {}
+        self._postings_cache: dict[tuple, tuple] = {}
+
+    # ---------------- term access ----------------
+
+    def term_statistics(self, term: str) -> tuple[int, int]:
+        """(doc_freq, total_term_freq) from the global term-stats table."""
+        t = self.term_stats_idx.read_term_rows(term)
+        if t.num_rows == 0:
+            return 0, 0
+        return (
+            int(pc.sum(t["doc_freq"]).as_py()),
+            int(pc.sum(t["total_term_freq"]).as_py()),
+        )
+
+    def _term_rows(self, term: str) -> list[dict]:
+        t = self.postings.read_term_rows(term)
+        if t.num_rows == 0:
+            return []
+        rows = t.to_pylist()
+        rows.sort(key=lambda r: r["first_doc"])
+        return rows
+
+    def term_postings(
+        self, term: str, with_positions: bool = False
+    ) -> dict | None:
+        key = (term, with_positions)
+        if key in self._postings_cache:
+            return self._postings_cache[key]
+        rows = self._term_rows(term)
+        if not rows:
+            self._postings_cache[key] = None
+            return None
+        parts = [decode_docs_freqs_norms(r, self.cfg.block_size) for r in rows]
+        out = {
+            "docs": np.concatenate([p[0] for p in parts]),
+            "freqs": np.concatenate([p[1] for p in parts]),
+            "norms8": np.concatenate([p[2] for p in parts]),
+        }
+        if with_positions:
+            out["positions"] = np.concatenate(
+                [decode_positions(r, p[1]) for r, p in zip(rows, parts)]
+            )
+        self._postings_cache[key] = out
+        return out
+
+    # ---------------- public API ----------------
+
+    def count(self, query: Query) -> int:
+        s = self._eval(query.rewrite(), 1.0, need_scores=False)
+        return len(s.docs)
+
+    def search(
+        self,
+        query: Query,
+        k: int = 10,
+        *,
+        prune: bool = False,
+        with_keys: bool = False,
+    ) -> TopDocs:
+        query = query.rewrite()
+        if prune:
+            pruned = self._try_pruned(query, k)
+            if pruned is not None:
+                if with_keys:
+                    pruned.keys = self.lookup_keys(pruned.doc_ids)
+                return pruned
+        s = self._eval(query, 1.0, need_scores=True)
+        td = _topk(s, k)
+        if with_keys:
+            td.keys = self.lookup_keys(td.doc_ids)
+        return td
+
+    def lookup_keys(self, doc_ids: np.ndarray) -> list:
+        """Stored-key retrieval: global docID -> (partition, ord) -> docmap row
+        (the reader.Document stored-fields visit, SURVEY.md §2.4)."""
+        keys = []
+        for d in doc_ids:
+            d = int(d)
+            i = bisect.bisect_right(self._doc_bases, d) - 1
+            pid = self._pids[i]
+            dm = self._docmap_cache.get(pid)
+            if dm is None:
+                dm = pq.read_table(
+                    os.path.join(
+                        self.index_dir, "segments", f"p={pid:05d}", "docmap.parquet"
+                    ),
+                    columns=["key"],
+                )
+                self._docmap_cache[pid] = dm
+            keys.append(dm["key"][d - self._doc_bases[i]].as_py())
+        return keys
+
+    # ---------------- evaluation (exhaustive, rank-authoritative) ----------
+
+    def _eval(self, q: Query, boost: float, need_scores: bool) -> _Scored:
+        if isinstance(q, TermQuery):
+            p = self.term_postings(q.term)
+            if p is None:
+                return _Scored(np.empty(0, np.int64), np.empty(0))
+            if not need_scores:
+                return _Scored(p["docs"], None)
+            df, _ = self.term_statistics(q.term)
+            w = self.scorer.weight(df, boost)
+            return _Scored(p["docs"], self.scorer.score(w, p["freqs"], p["norms8"]))
+        if isinstance(q, BoostQuery):
+            return self._eval(q.query, boost * q.boost, need_scores)
+        if isinstance(q, MatchAllDocsQuery):
+            docs = np.arange(self.manifest.max_doc, dtype=np.int64)
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q, boost, need_scores)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q, boost, need_scores)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _eval_phrase(self, q: PhraseQuery, boost: float, need_scores: bool) -> _Scored:
+        if not q.terms:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        plists = [self.term_postings(t, with_positions=True) for t in q.terms]
+        if any(p is None for p in plists):
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        # conjunction on docs
+        docs = plists[0]["docs"]
+        for p in plists[1:]:
+            docs = _intersect_sorted(docs, p["docs"])
+        if len(docs) == 0:
+            return _Scored(docs, np.empty(0))
+        # phrase positions: candidate = pos of term0; survive if pos+i present
+        # in term i's positions for the same doc. Work on (doc, pos) keys.
+        BIG = np.int64(1) << 32
+        cand = _doc_pos_keys(plists[0], docs, BIG)  # keys doc*BIG + pos
+        for i, p in enumerate(plists[1:], start=1):
+            keys_i = _doc_pos_keys(p, docs, BIG)
+            cand = cand[np.isin(cand + i, keys_i, assume_unique=True)]
+            if len(cand) == 0:
+                break
+        match_docs_all = (cand // BIG).astype(np.int64)
+        mdocs, freqs = np.unique(match_docs_all, return_counts=True)
+        if not need_scores:
+            return _Scored(mdocs, None)
+        # weight: boost * sum of per-term idfs (IdfExplainV1 semantics)
+        w = boost * float(
+            sum(idf(self.term_statistics(t)[0], self.scorer.doc_count) for t in q.terms)
+        )
+        # norms from the first term's postings at the matching docs
+        p0 = plists[0]
+        norms8 = p0["norms8"][np.searchsorted(p0["docs"], mdocs)]
+        return _Scored(mdocs, self.scorer.score(w, freqs.astype(np.float64), norms8))
+
+    def _eval_bool(self, q: BooleanQuery, boost: float, need_scores: bool) -> _Scored:
+        must = [c.query for c in q.clauses if c.occur is Occur.MUST]
+        should = [c.query for c in q.clauses if c.occur is Occur.SHOULD]
+        filt = [c.query for c in q.clauses if c.occur is Occur.FILTER]
+        must_not = [c.query for c in q.clauses if c.occur is Occur.MUST_NOT]
+        msm = q.minimum_should_match
+
+        must_ev = [self._eval(c, boost, need_scores) for c in must]
+        should_ev = [self._eval(c, boost, need_scores) for c in should]
+        filt_ev = [self._eval(c, 0.0, False) for c in filt]
+
+        if must or filt:
+            base = None
+            for ev in [*must_ev, *filt_ev]:
+                base = ev.docs if base is None else _intersect_sorted(base, ev.docs)
+            # minimumShouldMatch over SHOULD memberships
+            if should_ev and msm > 0:
+                cnt = np.zeros(len(base), dtype=np.int32)
+                for ev in should_ev:
+                    cnt += _membership(base, ev.docs)
+                base = base[cnt >= msm]
+            scores = None
+            if need_scores:
+                scores = np.zeros(len(base), dtype=np.float64)
+                for ev in must_ev:  # sum MUST scores (clause order)
+                    pos = np.searchsorted(ev.docs, base)
+                    scores += ev.scores[pos]
+                for ev in should_ev:  # ReqOptSum: add SHOULD where present
+                    scores += _gather_scores(base, ev)
+        else:
+            # pure disjunction (+ optional msm)
+            if not should_ev:
+                return _Scored(np.empty(0, np.int64), np.empty(0))
+            all_docs = np.concatenate([ev.docs for ev in should_ev])
+            base, inv_counts = np.unique(all_docs, return_counts=True)
+            if msm > 1:
+                base = base[inv_counts >= msm]
+            scores = None
+            if need_scores:
+                scores = np.zeros(len(base), dtype=np.float64)
+                for ev in should_ev:
+                    scores += _gather_scores(base, ev)
+
+        for c in must_not:
+            ev = self._eval(c, 0.0, False)
+            keep = ~_membership(base, ev.docs).astype(bool)
+            base = base[keep]
+            if scores is not None:
+                scores = scores[keep]
+        return _Scored(base, scores)
+
+    # ---------------- block-max pruned path (perf; rank-identical) ---------
+
+    def _try_pruned(self, q: Query, k: int) -> TopDocs | None:
+        """Block-max WAND for TermQuery and pure-OR BooleanQuery of terms.
+
+        Interval-at-a-time variant: elementary doc intervals get an upper
+        bound from the overlapping per-term block maxima; intervals are
+        visited in descending bound order and evaluation stops when the
+        bound cannot beat the current kth score. Skipped work never changes
+        the result (upper-bound pruning only)."""
+        terms = _pure_or_terms(q)
+        if terms is None:
+            return None
+        rows_per_term = [self._term_rows(t) for t in terms]
+        if all(not r for r in rows_per_term):
+            return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+        weights = [
+            self.scorer.weight(self.term_statistics(t)[0]) for t in terms
+        ]
+        # block bounds per term
+        starts_all, ends_all, ubs_all, owner = [], [], [], []
+        for ti, rows in enumerate(rows_per_term):
+            for r in rows:
+                last, maxf, minn = block_metadata(r)
+                first = np.empty(len(last), dtype=np.int64)
+                first[0] = r["first_doc"]
+                first[1:] = last[:-1] + 1
+                ub = self.scorer.max_block_score(weights[ti], maxf, minn)
+                starts_all.append(first)
+                ends_all.append(last)
+                ubs_all.append(ub)
+                owner.append(np.full(len(last), ti, dtype=np.int32))
+        starts = np.concatenate(starts_all)
+        ends = np.concatenate(ends_all)
+        ubs = np.concatenate(ubs_all)
+        # elementary intervals
+        bps = np.unique(np.concatenate([starts, ends + 1]))
+        ivl_starts = bps[:-1]
+        diff = np.zeros(len(bps), dtype=np.float64)
+        np.add.at(diff, np.searchsorted(bps, starts), ubs)
+        np.add.at(diff, np.searchsorted(bps, ends + 1), -ubs)
+        ivl_ub = np.cumsum(diff)[:-1]
+        order = np.argsort(-ivl_ub, kind="stable")
+
+        decoded: dict[int, dict] = {}
+        total_hits = 0
+        heap_docs = np.empty(0, np.int64)
+        heap_scores = np.empty(0, np.float64)
+        theta = -np.inf
+        for oi in order:
+            if ivl_ub[oi] <= theta and len(heap_docs) >= k:
+                break
+            lo = int(ivl_starts[oi])
+            hi = int(bps[oi + 1]) - 1
+            # exact scores for docs in [lo, hi]
+            seg_docs, seg_scores = [], []
+            for ti in range(len(terms)):
+                d = decoded.get(ti)
+                if d is None:
+                    p = self.term_postings(terms[ti])
+                    d = p if p is not None else {"docs": np.empty(0, np.int64)}
+                    if p is not None:
+                        d = dict(p)
+                        d["scores"] = self.scorer.score(
+                            weights[ti], p["freqs"], p["norms8"]
+                        )
+                    decoded[ti] = d
+                dd = d["docs"]
+                a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
+                if b > a:
+                    seg_docs.append(dd[a:b])
+                    seg_scores.append(d["scores"][a:b])
+            if not seg_docs:
+                continue
+            cat = np.concatenate(seg_docs)
+            udocs, inv = np.unique(cat, return_inverse=True)
+            sc = np.zeros(len(udocs), dtype=np.float64)
+            np.add.at(sc, inv, np.concatenate(seg_scores))
+            total_hits += len(udocs)
+            heap_docs = np.concatenate([heap_docs, udocs])
+            heap_scores = np.concatenate([heap_scores, sc])
+            if len(heap_docs) > k:
+                ordk = np.lexsort((heap_docs, -heap_scores))[:k]
+                heap_docs, heap_scores = heap_docs[ordk], heap_scores[ordk]
+            if len(heap_docs) >= k:
+                theta = float(heap_scores.min())
+        ordf = np.lexsort((heap_docs, -heap_scores))
+        # NOTE: total_hits under pruning is a lower bound (GREATER_THAN_OR_EQUAL
+        # relation, as in the reference collector under early termination).
+        return TopDocs(heap_docs[ordf][:k], heap_scores[ordf][:k], total_hits)
+
+    # ---------------- distributed batch search ----------------
+
+    def search_batch_dataset(
+        self,
+        queries: list[dict],
+        k: int = 10,
+        concurrency: int | None = None,
+        prune: bool = False,
+    ):
+        """Evaluate a batch of query descriptors as a Ray Data pipeline.
+
+        ``queries``: [{"qid": int, "kind": "term|bool_and|bool_or|bool_not|phrase",
+        "clauses": [str, ...], "k": int?}]. Returns a Dataset of
+        (qid, rank, doc_id, score) rows.
+        """
+        import ray
+        import ray.data
+
+        n = concurrency or max(
+            1, min(len(queries), int(ray.cluster_resources().get("CPU", 4)))
+        )
+        ds = ray.data.from_items(queries)
+        return ds.map_batches(
+            SearcherActor,
+            fn_constructor_kwargs={
+                "index_dir": self.index_dir,
+                "k": k,
+                "prune": prune,
+            },
+            batch_size=max(1, (len(queries) + n - 1) // n),
+            batch_format="pandas",
+            concurrency=n,
+            num_cpus=1,
+        )
+
+
+def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
+    kind = str(kind)
+    clauses = [str(c) for c in clauses]
+    if kind == "term":
+        return TermQuery(clauses[0])
+    if kind == "bool_and":
+        return BooleanQuery.build(must=clauses)
+    if kind == "bool_or":
+        return BooleanQuery.build(should=clauses)
+    if kind == "bool_not":
+        return BooleanQuery.build(must=clauses[:1], must_not=clauses[1:])
+    if kind == "phrase":
+        return PhraseQuery(tuple(clauses))
+    if kind == "match_all":
+        return MatchAllDocsQuery()
+    raise ValueError(f"unknown query kind {kind!r}")
+
+
+class SearcherActor:
+    """Actor-pool stage for query throughput: index state loaded once per
+    actor (__init__), each __call__ evaluates a batch of queries."""
+
+    def __init__(self, index_dir: str, k: int = 10, prune: bool = False):
+        self.searcher = IndexSearcher(index_dir)
+        self.k = k
+        self.prune = prune
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        for _, row in batch.iterrows():
+            q = query_from_descriptor(row["kind"], list(row["clauses"]))
+            k = int(row["k"]) if "k" in row and not pd.isna(row["k"]) else self.k
+            td = self.searcher.search(q, k, prune=self.prune)
+            for rank, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+                out["qid"].append(int(row["qid"]))
+                out["rank"].append(rank)
+                out["doc_id"].append(int(d))
+                out["score"].append(float(s))
+        return pd.DataFrame(out)
+
+
+# ---------------- sorted-array algebra helpers ----------------
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.empty(0, np.int64)
+    if len(b) < len(a):
+        a, b = b, a
+    pos = np.searchsorted(b, a)
+    pos[pos == len(b)] = len(b) - 1
+    return a[b[pos] == a]
+
+
+def _membership(base: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """1 where base ∈ docs else 0 (both sorted unique)."""
+    if len(base) == 0 or len(docs) == 0:
+        return np.zeros(len(base), dtype=np.int32)
+    pos = np.searchsorted(docs, base)
+    pos[pos == len(docs)] = len(docs) - 1
+    return (docs[pos] == base).astype(np.int32)
+
+
+def _gather_scores(base: np.ndarray, ev: _Scored) -> np.ndarray:
+    out = np.zeros(len(base), dtype=np.float64)
+    if len(ev.docs) == 0 or len(base) == 0:
+        return out
+    pos = np.searchsorted(ev.docs, base)
+    pos_c = np.minimum(pos, len(ev.docs) - 1)
+    hit = ev.docs[pos_c] == base
+    out[hit] = ev.scores[pos_c[hit]]
+    return out
+
+
+def _doc_pos_keys(p: dict, docs: np.ndarray, BIG: np.int64) -> np.ndarray:
+    """(doc*BIG + position) keys for postings restricted to ``docs``."""
+    sel = np.searchsorted(p["docs"], docs)
+    freqs = p["freqs"]
+    starts = np.zeros(len(p["docs"]), dtype=np.int64)
+    starts[1:] = np.cumsum(freqs)[:-1]
+    # flatten selected docs' position ranges
+    reps = freqs[sel]
+    doc_rep = np.repeat(docs, reps)
+    base_rep = np.repeat(starts[sel], reps)
+    within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps
+    )
+    pos = p["positions"][base_rep + within]
+    return doc_rep * BIG + pos
+
+
+def _pure_or_terms(q: Query):
+    if isinstance(q, TermQuery):
+        return [q.term]
+    if isinstance(q, BooleanQuery):
+        if q.minimum_should_match > 1:
+            return None
+        terms = []
+        for c in q.clauses:
+            if c.occur is not Occur.SHOULD or not isinstance(c.query, TermQuery):
+                return None
+            terms.append(c.query.term)
+        return terms or None
+    return None
+
+
+def _topk(s: _Scored, k: int) -> TopDocs:
+    n = len(s.docs)
+    if n == 0:
+        return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+    order = np.lexsort((s.docs, -s.scores))[:k]
+    return TopDocs(s.docs[order], s.scores[order], n)

@@ -1,0 +1,69 @@
+"""FOR codec round-trips (reference test model: packed-ints round-trips,
+core/util/packed/blockpacked_test.go)."""
+
+import numpy as np
+import pytest
+
+from lucene_go_ray.index.codec import (
+    bitpack,
+    bitunpack,
+    block_metadata,
+    decode_docs_freqs_norms,
+    decode_positions,
+    encode_postings,
+)
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 20, 31, 40])
+def test_bitpack_roundtrip(width):
+    rng = np.random.default_rng(42 + width)
+    n = 1000
+    vals = rng.integers(0, 2**width if width else 1, size=n, dtype=np.uint64)
+    assert np.array_equal(bitunpack(bitpack(vals, width), width, n), vals)
+
+
+def _random_postings(rng, n_docs, max_doc, max_freq=7):
+    docs = np.sort(rng.choice(max_doc, size=n_docs, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, max_freq + 1, size=n_docs).astype(np.int64)
+    norms8 = rng.integers(0, 256, size=n_docs).astype(np.uint8)
+    pos = []
+    for f in freqs:
+        pos.append(np.sort(rng.choice(10_000, size=f, replace=False)))
+    positions = np.concatenate(pos).astype(np.int64)
+    return docs, freqs, norms8, positions
+
+
+@pytest.mark.parametrize("n_docs", [1, 127, 128, 129, 1000])
+def test_postings_roundtrip(n_docs):
+    rng = np.random.default_rng(7 + n_docs)
+    docs, freqs, norms8, positions = _random_postings(rng, n_docs, 1_000_000)
+    blob = encode_postings(docs, freqs, norms8, positions)
+    row = blob.to_row()
+    d, f, n8 = decode_docs_freqs_norms(row)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(f, freqs)
+    assert np.array_equal(n8, norms8)
+    p = decode_positions(row, f)
+    assert np.array_equal(p, positions)
+
+
+def test_block_metadata_bounds():
+    rng = np.random.default_rng(3)
+    docs, freqs, norms8, positions = _random_postings(rng, 1000, 1_000_000)
+    row = encode_postings(docs, freqs, norms8, positions).to_row()
+    last, maxf, minn = block_metadata(row)
+    assert last[-1] == docs[-1]
+    for b in range(len(last)):
+        lo, hi = b * 128, min((b + 1) * 128, len(docs))
+        assert maxf[b] == freqs[lo:hi].max()
+        assert minn[b] == norms8[lo:hi].min()
+        assert last[b] == docs[hi - 1]
+
+
+def test_doc_zero_first():
+    docs = np.array([0, 5], dtype=np.int64)
+    freqs = np.array([1, 2], dtype=np.int64)
+    norms8 = np.array([3, 4], dtype=np.uint8)
+    row = encode_postings(docs, freqs, norms8, None).to_row()
+    d, f, _ = decode_docs_freqs_norms(row)
+    assert d.tolist() == [0, 5]

@@ -1,0 +1,200 @@
+"""End-to-end: distributed build + merged-index search must be
+rank-identical (docIDs and float64 scores) to the exhaustive oracle."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import StandardAnalyzer
+from lucene_go_ray.index import IndexConfig, build_index
+from lucene_go_ray.search import (
+    BooleanQuery,
+    IndexSearcher,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    TermQuery,
+)
+
+from .naive_oracle import NaiveEngine
+
+CFG = IndexConfig(
+    target_partition_rows=100,  # force multiple partitions on 500 docs
+    chunk_docs=96,  # force multi-chunk terms
+    block_size=32,  # force multiple blocks per chunk
+    hot_term_doc_freq=80,  # force salting of common terms
+    salt_group_partitions=2,
+)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, sf_dir):
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    manifest = build_index([src], index_dir, CFG)
+    texts = pq.read_table(src, columns=["text"])["text"].to_pylist()
+    oracle = NaiveEngine(
+        texts, StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    )
+    return index_dir, manifest, oracle, texts
+
+
+def _common_terms(oracle, lo, hi):
+    out = sorted(
+        t for t, pl in oracle.postings.items() if lo <= len(pl) <= hi and t
+    )
+    if not out:  # fall back to the lowest-df terms available
+        out = sorted((len(pl), t) for t, pl in oracle.postings.items() if t)
+        out = [t for _, t in out[:5]]
+    return out
+
+
+def _assert_rank_identical(td, expected, total):
+    got = list(zip(td.doc_ids.tolist(), td.scores.tolist()))
+    exp = [(d, pytest.approx(s, rel=1e-12, abs=1e-12)) for d, s in expected]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == es, (gd, gs)
+    assert td.total_hits == total
+
+
+def test_manifest_stats(built):
+    index_dir, manifest, oracle, texts = built
+    assert manifest.max_doc == len(texts)
+    assert manifest.doc_count == oracle.doc_count
+    assert manifest.sum_total_term_freq == oracle.sum_ttf
+    assert manifest.sum_doc_freq == sum(len(pl) for pl in oracle.postings.values())
+
+
+def test_term_statistics(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    for t in list(oracle.postings)[:50]:
+        df, ttf = s.term_statistics(t)
+        assert df == len(oracle.postings[t])
+        assert ttf == sum(len(ps) for ps in oracle.postings[t].values())
+    assert s.term_statistics("nonexistent-term-xyz") == (0, 0)
+
+
+def test_term_queries_rank_identical(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    hot = _common_terms(oracle, 80, 10**9)[:5]
+    mid = _common_terms(oracle, 10, 79)[:5]
+    rare = _common_terms(oracle, 1, 3)[:3]
+    for t in hot + mid + rare:
+        for k in (1, 10, 1000):
+            exp, total = oracle.search(TermQuery(t), k)
+            _assert_rank_identical(s.search(TermQuery(t), k), exp, total)
+
+
+def test_absent_term_empty(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    td = s.search(TermQuery("zzz-absent"), 10)
+    assert len(td.doc_ids) == 0 and td.total_hits == 0
+
+
+def test_boolean_queries_rank_identical(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    terms = _common_terms(oracle, 20, 10**9)
+    t1, t2, t3 = terms[0], terms[len(terms) // 2], terms[-1]
+    rare = _common_terms(oracle, 1, 5)[0]
+    cases = [
+        BooleanQuery.build(must=[t1, t2]),
+        BooleanQuery.build(must=[t1, t2, t3]),
+        BooleanQuery.build(must=[t1, rare]),
+        BooleanQuery.build(should=[t1, t2, t3]),
+        BooleanQuery.build(should=[t1, rare]),
+        BooleanQuery.build(must=[t1], must_not=[t2]),
+        BooleanQuery.build(must=[t1], should=[t2, t3]),
+        BooleanQuery.build(should=[t1, t2, t3], minimum_should_match=2),
+        BooleanQuery.build(filter=[t1], should=[t2]),
+        BooleanQuery.build(must=[t1, "zzz-absent"]),
+    ]
+    for q in cases:
+        for k in (10, 100):
+            exp, total = oracle.search(q, k)
+            _assert_rank_identical(s.search(q, k), exp, total)
+
+
+def test_phrase_queries_rank_identical(built):
+    index_dir, _, oracle, texts = built
+    s = IndexSearcher(index_dir)
+    # pick real adjacent bigrams/trigrams from the corpus
+    an = StandardAnalyzer(stop_words=CFG.stop_set())
+    d0 = an.analyze(texts[0])
+    bigram = None
+    trigram = None
+    for i in range(len(d0.terms) - 2):
+        if d0.positions[i + 1] == d0.positions[i] + 1 and d0.terms[i]:
+            bigram = (d0.terms[i], d0.terms[i + 1])
+            if d0.positions[i + 2] == d0.positions[i] + 2:
+                trigram = (d0.terms[i], d0.terms[i + 1], d0.terms[i + 2])
+                break
+    assert bigram
+    cases = [PhraseQuery(bigram)]
+    if trigram:
+        cases.append(PhraseQuery(trigram))
+    # present-but-not-adjacent: reversed bigram likely not adjacent everywhere
+    cases.append(PhraseQuery((bigram[1], bigram[0])))
+    cases.append(PhraseQuery(("zzz-absent", bigram[0])))
+    for q in cases:
+        exp, total = oracle.search(q, 50)
+        _assert_rank_identical(s.search(q, 50), exp, total)
+
+
+def test_match_all(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    exp, total = oracle.search(MatchAllDocsQuery(), 20)
+    _assert_rank_identical(s.search(MatchAllDocsQuery(), 20), exp, total)
+
+
+def test_pruned_equals_exhaustive(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    hot = _common_terms(oracle, 50, 10**9)[:3]
+    mid = _common_terms(oracle, 5, 30)[:3]
+    for t in hot + mid:
+        for k in (1, 5, 20):
+            a = s.search(TermQuery(t), k, prune=False)
+            b = s.search(TermQuery(t), k, prune=True)
+            assert a.doc_ids.tolist() == b.doc_ids.tolist()
+            assert a.scores.tolist() == b.scores.tolist()
+    q = BooleanQuery.build(should=hot + mid)
+    a = s.search(q, 10, prune=False)
+    b = s.search(q, 10, prune=True)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
+    assert a.scores.tolist() == b.scores.tolist()
+
+
+def test_lookup_keys(built):
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    t = _common_terms(oracle, 20, 10**9)[0]
+    td = s.search(TermQuery(t), 5, with_keys=True)
+    # corpus key column is doc_id and input is doc_id-ordered => key == docID
+    assert td.keys == td.doc_ids.tolist()
+
+
+def test_resume_skips_completed_partitions(built, tmp_path):
+    index_dir, manifest, oracle, _ = built
+    # simulate a crashed build: copy index, delete manifest + one segment
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(index_dir, crash_dir)
+    os.remove(os.path.join(crash_dir, "manifest.json"))
+    segs = sorted(os.listdir(os.path.join(crash_dir, "segments")))
+    victim = os.path.join(crash_dir, "segments", segs[1])
+    shutil.rmtree(victim)
+    shutil.rmtree(os.path.join(crash_dir, "global"))
+    src = manifest.partitions[0]["path"]
+    m2 = build_index([src], crash_dir, CFG)
+    assert m2.max_doc == manifest.max_doc
+    s2 = IndexSearcher(crash_dir)
+    t = _common_terms(oracle, 20, 10**9)[0]
+    exp, total = oracle.search(TermQuery(t), 10)
+    _assert_rank_identical(s2.search(TermQuery(t), 10), exp, total)
