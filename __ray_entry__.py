@@ -1,44 +1,310 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one callable per implemented pipeline/operator from
+SURVEY.md §2 (plus the training-data extras); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. The driver runs both
+at sf=0.01 and compares row-count + schema + order-insensitive value-hash.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Scores/similarities are rounded to 6 decimals on BOTH sides (and ranked by
+the rounded value, doc_id ascending) so the comparison is robust to 1-ulp
+libm differences between numpy and DuckDB; full-precision rank-identity is
+asserted separately in pytest against the exhaustive oracle engine.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
+from lucene_go_ray.analysis import DEFAULT_STOP_WORDS, GO_WHITESPACE_CLASS
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror lucene_go_ray.analysis semantics exactly)
+# ---------------------------------------------------------------------------
+
+_WS = GO_WHITESPACE_CLASS  # identical char class in Python/RE2/DuckDB
+_STOPS = ", ".join(f"'{w}'" for w in sorted(DEFAULT_STOP_WORDS))
+
+_TOKS = f"""toks AS (
+    SELECT doc_id, lower(tok) AS term
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '{_WS}')) AS tok
+          FROM documents)
+    WHERE lower(tok) NOT IN ({_STOPS})
+)"""
+
+_NORMS = """norms AS (
+    SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
+)"""
+
+_STATS = """stats AS (
+    SELECT count(*)::DOUBLE AS doc_count, sum(norm)::DOUBLE AS sum_ttf
+    FROM norms
+)"""
+
+K1, B = 1.2, 0.75
+
+
+def _bm25_score_expr(w: str, freq: str, norm: str) -> str:
+    ninv = f"1.0/({K1}*((1-{B}) + {B}*(({norm} % 256)::DOUBLE)/(stats.sum_ttf/stats.doc_count)))"
+    return f"({w}) - ({w})/(1 + ({freq}) * {ninv})"
+
+
+def _idf_expr(df: str) -> str:
+    return f"ln(1 + (stats.doc_count - {df} + 0.5)/({df} + 0.5))"
+
+
+def _topk_term_sql(term: str, k: int) -> str:
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_score_expr(_idf_expr("dfv.df"), "tf.freq", "n.norm")} AS score
+  FROM tf JOIN norms n ON n.doc_id = tf.doc_id, dfv, stats
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _topk_bool_sql(terms: list[str], k: int, mode: str, msm: int = 0) -> str:
+    """mode: 'and' | 'or' | 'not' (first term MUST, rest MUST_NOT)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    if mode == "not":
+        pos = f"('{terms[0]}')"
+        neg = ", ".join(f"'{t}'" for t in terms[1:])
+        cand = f"""cand AS (
+  SELECT doc_id FROM tfs WHERE term IN {pos}
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ({neg}))
+)"""
+    elif mode == "and":
+        cand = f"""cand AS (
+  SELECT doc_id FROM tfs GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+)"""
+    else:
+        having = f"HAVING count(DISTINCT term) >= {msm}" if msm > 1 else ""
+        cand = f"cand AS (SELECT doc_id FROM tfs GROUP BY doc_id {having})"
+    scoring_terms = f"('{terms[0]}')" if mode == "not" else f"({tlist})"
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks
+        WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term),
+{cand},
+scored AS (
+  SELECT c.doc_id,
+         sum({_bm25_score_expr(_idf_expr("dfs.df"), "t.freq", "n.norm")}) AS score
+  FROM cand c
+  JOIN tfs t ON t.doc_id = c.doc_id AND t.term IN {scoring_terms}
+  JOIN dfs ON dfs.term = t.term
+  JOIN norms n ON n.doc_id = c.doc_id, stats
+  GROUP BY c.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _topk_phrase_sql(terms: list[str], k: int) -> str:
+    joins = "\n  ".join(
+        f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    plists = ",\n".join(
+        f"p{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
+        for i, t in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        _idf_expr(
+            f"(SELECT count(DISTINCT doc_id)::DOUBLE FROM toks WHERE term = '{t}')"
+        )
+        for t in terms
+    )
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tokpos AS (
+  SELECT doc_id, lower(tok) AS term, idx - 1 AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '{_WS}')) AS tok,
+               generate_subscripts(string_split_regex(text, '{_WS}'), 1) AS idx
+        FROM documents)
+),
+{plists},
+matches AS (
+  SELECT p0.doc_id, count(*)::DOUBLE AS freq
+  FROM p0
+  {joins}
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+         {_bm25_score_expr("(" + idf_sum + ")", "m.freq", "n.norm")} AS score
+  FROM matches m JOIN norms n ON n.doc_id = m.doc_id, stats
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# gate query terms (all present at every sf of the synthetic documents table)
+# ---------------------------------------------------------------------------
+
+_TERM = "spark"
+_AND_TERMS = ["sort", "merge"]
+_OR_TERMS = ["spark", "window", "dup"]
+_NOT_TERMS = ["scan", "join"]
+_MSM_TERMS = ["spark", "window", "dup", "batch"]
+_PHRASE = ["batch", "scan"]
+_K = 10
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the merged inverted index over the
+    documents table and answer a distributed batch of BM25 queries."""
+    from lucene_go_ray.pipelines import fulltext
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = fulltext.get_searcher(sf_dir)
+    queries = [
+        {"qid": 0, "kind": "term", "clauses": [_TERM], "k": 10},
+        {"qid": 1, "kind": "bool_and", "clauses": _AND_TERMS, "k": 10},
+        {"qid": 2, "kind": "bool_or", "clauses": _OR_TERMS, "k": 10},
+        {"qid": 3, "kind": "bool_not", "clauses": _NOT_TERMS, "k": 10},
+        {"qid": 4, "kind": "phrase", "clauses": _PHRASE, "k": 10},
+    ]
+    return s.search_batch_dataset(queries, k=10).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_go_ray.pipelines import ann, dedup, fulltext, textstats
+    from lucene_go_ray.search.query import BooleanQuery
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def msm_topk(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        s = fulltext.get_searcher(sf_dir)
+        q = BooleanQuery.build(should=_MSM_TERMS, minimum_should_match=2)
+        td = s.search(q, _K + 200)
+        s6 = np.round(td.scores, 6)
+        order = np.lexsort((td.doc_ids, -s6))[:_K]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(td.doc_ids[order]),
+                "score": pa.array(s6[order], type=pa.float64()),
+            }
+        )
+
+    return {
+        # --- analysis / stats (index-build surfaces) ---
+        "term_stats": lambda sf: fulltext.term_stats(sf),
+        "collection_stats": lambda sf: fulltext.collection_stats(sf),
+        "doc_norms": lambda sf: fulltext.doc_norms(sf),
+        # --- top-k BM25 over the merged inverted index ---
+        "topk_term": lambda sf: fulltext.topk(sf, "term", [_TERM], _K),
+        "topk_bool_and": lambda sf: fulltext.topk(sf, "bool_and", _AND_TERMS, _K),
+        "topk_bool_or": lambda sf: fulltext.topk(sf, "bool_or", _OR_TERMS, _K),
+        "topk_bool_not": lambda sf: fulltext.topk(sf, "bool_not", _NOT_TERMS, _K),
+        "topk_bool_msm": msm_topk,
+        "topk_phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
+        "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
+        # --- dedup family ---
+        "exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(sf),
+        "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
+        "simhash": lambda sf: dedup.simhash_table(sf),
+        # --- text analysis ---
+        "token_counts": lambda sf: textstats.token_counts(sf),
+        "text_quality": lambda sf: textstats.text_quality(sf),
+        "language_id": lambda sf: textstats.language_id(sf),
+        "fingerprints": lambda sf: textstats.fingerprints(sf),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
+        "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qual_stops = _STOPS
+    return {
+        "term_stats": f"""
+WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
+       count(*)::BIGINT AS total_term_freq
+FROM toks GROUP BY term
+""",
+        "collection_stats": f"""
+WITH {_TOKS}, {_NORMS},
+postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+       (SELECT count(*) FROM norms)::BIGINT AS doc_count,
+       (SELECT sum(norm) FROM norms)::BIGINT AS sum_total_term_freq,
+       (SELECT count(*) FROM postings)::BIGINT AS sum_doc_freq
+""",
+        "doc_norms": f"""
+WITH {_TOKS}
+SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
+""",
+        "topk_term": _topk_term_sql(_TERM, _K),
+        "topk_bool_and": _topk_bool_sql(_AND_TERMS, _K, "and"),
+        "topk_bool_or": _topk_bool_sql(_OR_TERMS, _K, "or"),
+        "topk_bool_not": _topk_bool_sql(_NOT_TERMS, _K, "not"),
+        "topk_bool_msm": _topk_bool_sql(_MSM_TERMS, _K, "or", msm=2),
+        "topk_phrase": _topk_phrase_sql(_PHRASE, _K),
+        "term_doc_count": f"""
+WITH {_TOKS}
+SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM toks WHERE term = '{_TERM}'
+""",
+        "exact_dedup": """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
+""",
+        "exact_dedup_hashed": """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
+""",
+        "token_counts": f"""
+SELECT doc_id, len(string_split_regex(text, '{_WS}'))::BIGINT AS n_tokens
+FROM documents
+""",
+        "text_quality": f"""
+WITH raw AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                    string_split_regex(text, '{_WS}') AS toks FROM documents),
+flat AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(DISTINCT term)::BIGINT AS n_unique_terms,
+               sum(CASE WHEN term IN ({qual_stops}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+        FROM flat GROUP BY doc_id)
+SELECT r.doc_id, r.n_chars, a.n_tokens, a.n_unique_terms,
+       round(a.n_stop / a.n_tokens, 6) AS stopword_ratio
+FROM raw r JOIN agg a USING (doc_id)
+""",
+        "ann_cosine_topk": f"""
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT e.vec_id,
+                  list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), q.qv) AS sim
+           FROM embeddings e, q)
+SELECT rank, vec_id, sim FROM (
+  SELECT row_number() OVER (ORDER BY round(sim, 6) DESC, vec_id) AS rank,
+         vec_id, round(sim, 6) AS sim
+  FROM scored)
+WHERE rank <= {_K} ORDER BY rank
+""",
+        # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk:
+        # non-SQL-expressible (hash-family / heuristic pipelines) -> rows-only.
+    }

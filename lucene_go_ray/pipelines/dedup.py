@@ -1,0 +1,297 @@
+"""Deduplication pipelines for large-scale training-data curation.
+
+All stages are Dataset-native and scale-shaped:
+
+- exact: hash-partition by content (groupby) + per-group min-key winner;
+- MinHash + LSH: shingle → 64 minhashes → banded bucket keys → groupby
+  bucket → candidate pairs → exact-Jaccard verification (classic
+  Broder '97 / LSH banding, public-literature algorithms);
+- SimHash: 64-bit Charikar fingerprint per doc (vectorized);
+- n-gram Jaccard: the verification kernel, exposed standalone.
+
+Hashing is a splitmix64-style integer mix over a stable 64-bit FNV-1a of
+the token bytes — fully deterministic across runs/processes (no Python
+``hash``), so dedup results are reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import GO_WHITESPACE_CLASS
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _token_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hash uint64, doc token counts) — vectorized FNV-1a over
+    lowercased whitespace tokens."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(texts.cast(pa.large_string()), GO_WHITESPACE_CLASS)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offs)
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # vectorized FNV over the flat string buffer
+    buf = np.frombuffer(flat.buffers()[2] or b"", dtype=np.uint8)
+    soffs = np.frombuffer(flat.buffers()[1], dtype=np.int64)
+    h = np.full(len(flat), _FNV_OFFSET, dtype=np.uint64)
+    # byte-at-a-time over the max token length (token lengths are tiny)
+    lens = np.diff(soffs)
+    maxlen = int(lens.max()) if len(lens) else 0
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            live = lens > i
+            idx = soffs[:-1][live] + i
+            h[live] = (h[live] ^ buf[idx].astype(np.uint64)) * _FNV_PRIME
+    return h, counts
+
+
+def _mix(h: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64 finalizer with seed — cheap family of independent hashes."""
+    with np.errstate(over="ignore"):
+        z = h + seed * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(
+    tok_h: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes per doc (docs shorter than k get one whole-doc
+    shingle). Returns (flat shingle hashes, per-doc shingle counts)."""
+    n_docs = len(counts)
+    sh_counts = np.maximum(counts - k + 1, 1)
+    sh_counts[counts == 0] = 0
+    doc_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_starts[1:])
+    out_total = int(sh_counts.sum())
+    out = np.zeros(out_total, dtype=np.uint64)
+    out_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=out_starts[1:])
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            # token j of each shingle (clamped to doc end for short docs)
+            rel = (
+                np.arange(out_total, dtype=np.int64)
+                - np.repeat(out_starts[:-1], sh_counts)
+                + j
+            )
+            rel = np.minimum(
+                rel, np.repeat(np.maximum(counts[sh_counts > 0] - 1, 0), sh_counts[sh_counts > 0])
+            )
+            idx = np.repeat(doc_starts[:-1][sh_counts > 0], sh_counts[sh_counts > 0]) + rel
+            out = out * np.uint64(0x100000001B3) ^ tok_h[idx]
+    return out, sh_counts
+
+
+def minhash_signatures(
+    texts: pa.Array, num_hashes: int = 64, shingle_k: int = 3
+) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signature matrix, vectorized."""
+    tok_h, counts = _token_hashes(texts)
+    sh, sh_counts = _shingle_hashes(tok_h, counts, shingle_k)
+    n_docs = len(counts)
+    sig = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    doc_of = np.repeat(np.arange(n_docs), sh_counts)
+    for i in range(num_hashes):
+        hv = _mix(sh, np.uint64(i + 1))
+        np.minimum.at(sig[:, i], doc_of, hv)
+    return sig
+
+
+def simhash64(texts: pa.Array, shingle_k: int = 2) -> np.ndarray:
+    """64-bit SimHash (Charikar) per doc over shingle hashes, vectorized."""
+    tok_h, counts = _token_hashes(texts)
+    sh, sh_counts = _shingle_hashes(tok_h, counts, shingle_k)
+    n_docs = len(counts)
+    doc_of = np.repeat(np.arange(n_docs), sh_counts)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if len(sh):
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        ) * 2 - 1
+        np.add.at(acc, doc_of, bits)
+    out = (acc > 0).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(64, dtype=np.uint64)
+    )
+    return out
+
+
+def jaccard_ngrams(a_tokens: set, b_tokens: set) -> float:
+    if not a_tokens and not b_tokens:
+        return 1.0
+    return len(a_tokens & b_tokens) / max(1, len(a_tokens | b_tokens))
+
+
+# --------------------------------------------------------------------------
+# Dataset pipelines
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """Keep the smallest key per identical text: groupby(text).min(key).
+
+    At scale one would group on a 128-bit content hash instead of the raw
+    text (see ``exact_dedup_hashed``); grouping on text keeps the pipeline
+    byte-exact comparable to the SQL oracle."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    out = ds.groupby(text).aggregate(Min(key, alias_name=key))
+    return out.select_columns([key])
+
+
+def exact_dedup_hashed(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """Scale path: map_batches computes a 64-bit content hash; the shuffle
+    moves (hash, key) pairs only — text bytes never leave the read stage."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        tok_h, counts = _token_hashes(batch[text])
+        # combine token hashes per doc into one content hash
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        acc = np.full(len(counts), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.multiply.at(acc, doc_of, np.uint64(31))  # order-sensitive fold
+            np.bitwise_xor.at(acc, doc_of, _mix(tok_h, np.uint64(7)))
+        return pa.table(
+            {
+                key: batch[key],
+                "content_hash": pa.array(acc.astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return (
+        ds.map_batches(_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(key, alias_name=key))
+        .select_columns([key])
+    )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+):
+    """Near-duplicate pairs via MinHash-LSH banding + exact verification.
+
+    Pipeline: map_batches(signatures) → flat_map to (band_key, key, sig) →
+    groupby(band_key) candidate generation → verified (a, b, jaccard_est)
+    pairs (deduped, a < b). The groupby key space is bands × buckets, so
+    hot buckets are bounded by true near-duplicate cluster size."""
+    import os
+
+    import ray.data
+
+    rows_per_band = num_hashes // bands
+
+    def _sigs(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text], num_hashes, shingle_k)
+        n = len(sig)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        keys = np.repeat(batch[key].to_numpy(zero_copy_only=False), bands)
+        bh = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(rows_per_band):
+                    h = (h ^ seg[:, c]) * _FNV_PRIME
+            bh[b::bands] = h
+        bucket = ((band_ids.astype(np.uint64) << np.uint64(56)) ^ bh).astype(np.int64)
+        return pa.table(
+            {
+                "band_bucket": pa.array(bucket),
+                key: pa.array(keys),
+                "sig": pa.array(list(sig.repeat(bands, axis=0).astype(np.int64))),
+            }
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard_est": pa.array([], pa.float64())}
+            )
+        keys = group[key].to_numpy(zero_copy_only=False)
+        sigs = np.stack(group["sig"].to_numpy(zero_copy_only=False))
+        out_a, out_b, out_j = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if keys[i] == keys[j]:
+                    continue
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    a, b = sorted((int(keys[i]), int(keys[j])))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(est)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard_est": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    pairs = (
+        ds.map_batches(_sigs, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+    # same pair can surface from several bands — dedup
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["a", "b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est")
+    )
+
+
+def simhash_table(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """(key, simhash int64) fingerprints."""
+    import os
+
+    import ray.data
+
+    def _f(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch[text])
+        return pa.table(
+            {key: batch[key], "simhash": pa.array(sh.astype(np.int64))}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1,0 +1,220 @@
+"""Dataset-native full-text pipelines over a (doc_id, text) parquet table.
+
+These are the SQL-checkable surfaces of the engine (driver correctness
+gate): term statistics, collection statistics, norms, and top-k BM25
+queries over the merged inverted index. Each has an exactly matching
+DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Design: per-batch *partial* aggregation inside ``map_batches`` (pyarrow
+group_by over the flattened token table — no Python rows), then a small
+``groupby().aggregate(Sum)`` shuffle over (term, partial) rows — the
+pre-combine pattern that keeps the all-to-all exchange proportional to
+vocabulary size, not token count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import StandardAnalyzer
+from ..index import IndexConfig, build_index
+from ..search import IndexSearcher
+from ..search.searcher import query_from_descriptor
+
+_GATE_CFG = IndexConfig(
+    target_partition_rows=2000,
+    hot_term_doc_freq=100_000,
+    chunk_docs=131_072,
+)
+
+
+def _analyzer(cfg: IndexConfig = _GATE_CFG) -> StandardAnalyzer:
+    return StandardAnalyzer(stop_words=cfg.stop_set(), lowercase=cfg.lowercase)
+
+
+def _doc_table(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# token-level aggregates (pure Dataset pipelines, no index required)
+# --------------------------------------------------------------------------
+
+
+class _TokenPartials:
+    """map_batches stage: batch of (doc_id, text) -> per-batch partial
+    (term, doc_freq, total_term_freq) rows. Analyzer built once per actor."""
+
+    def __init__(self, stop_words=None, lowercase=True):
+        self.analyzer = StandardAnalyzer(
+            stop_words=frozenset(stop_words or ()), lowercase=lowercase
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.analyzer.analyze_column(batch["text"])
+        t = pa.table(
+            {
+                "term": out["terms"],
+                "doc_idx": pa.array(out["doc_idx"], type=pa.int32()),
+            }
+        )
+        per_doc = t.group_by(["term", "doc_idx"]).aggregate([("doc_idx", "count")])
+        per_term = per_doc.group_by("term").aggregate(
+            [("doc_idx", "count"), ("doc_idx_count", "sum")]
+        )
+        return pa.table(
+            {
+                "term": per_term["term"].cast(pa.string()),
+                "doc_freq": per_term["doc_idx_count"].cast(pa.int64()),
+                "total_term_freq": per_term["doc_idx_count_sum"].cast(pa.int64()),
+            }
+        )
+
+
+def term_stats(sf_dir: str, cfg: IndexConfig = _GATE_CFG):
+    """Global (term, doc_freq, total_term_freq) — the term dictionary stats."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_doc_table(sf_dir), columns=["doc_id", "text"])
+    partial = ds.map_batches(
+        _TokenPartials,
+        fn_constructor_kwargs={
+            "stop_words": list(cfg.stop_words),
+            "lowercase": cfg.lowercase,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return partial.groupby("term").aggregate(
+        Sum("doc_freq", alias_name="doc_freq"),
+        Sum("total_term_freq", alias_name="total_term_freq"),
+    )
+
+
+def doc_norms(sf_dir: str, cfg: IndexConfig = _GATE_CFG):
+    """(doc_id, norm) for every doc with at least one kept token."""
+    import ray.data
+
+    an = _analyzer(cfg)
+
+    def _norms(batch: pa.Table) -> pa.Table:
+        out = an.analyze_column(batch["text"])
+        norms = out["norms"]
+        keep = norms > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "norm": pa.array(norms[keep], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_doc_table(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(_norms, batch_format="pyarrow")
+
+
+def collection_stats(sf_dir: str, cfg: IndexConfig = _GATE_CFG) -> pa.Table:
+    """One row: (max_doc, doc_count, sum_total_term_freq, sum_doc_freq) —
+    CollectionStatistics semantics (indexsearcher.go:438-481)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    an = _analyzer(cfg)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = an.analyze_column(batch["text"])
+        norms = out["norms"]
+        t = pa.table(
+            {
+                "term": out["terms"],
+                "doc_idx": pa.array(out["doc_idx"], type=pa.int32()),
+            }
+        )
+        n_postings = t.group_by(["term", "doc_idx"]).aggregate([]).num_rows
+        return pa.table(
+            {
+                "max_doc": pa.array([batch.num_rows], type=pa.int64()),
+                "doc_count": pa.array([int((norms > 0).sum())], type=pa.int64()),
+                "sum_total_term_freq": pa.array([int(norms.sum())], type=pa.int64()),
+                "sum_doc_freq": pa.array([n_postings], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_doc_table(sf_dir), columns=["doc_id", "text"])
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            c: pa.array([int(parts[c].sum())], type=pa.int64())
+            for c in ["max_doc", "doc_count", "sum_total_term_freq", "sum_doc_freq"]
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# top-k BM25 over the merged index (cached per sf_dir)
+# --------------------------------------------------------------------------
+
+_searcher_cache: dict[str, IndexSearcher] = {}
+
+
+def get_searcher(sf_dir: str, cfg: IndexConfig = _GATE_CFG) -> IndexSearcher:
+    key = os.path.abspath(sf_dir)
+    s = _searcher_cache.get(key)
+    if s is not None:
+        return s
+    src = _doc_table(sf_dir)
+    tag = hashlib.md5(
+        f"{key}:{os.path.getmtime(src)}:{cfg}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp/lgr_gate_index", tag)
+    from ..index.manifest import load_manifest
+
+    m = load_manifest(index_dir)
+    if m is None or not m.merged:
+        build_index([src], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    _searcher_cache[key] = s
+    return s
+
+
+def topk(
+    sf_dir: str,
+    kind: str,
+    clauses: list[str],
+    k: int = 10,
+    *,
+    round_to: int = 6,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Top-k as (rank, doc_id, score) with scores rounded to ``round_to``
+    decimals and rank order (rounded score desc, doc_id asc) — the rounding
+    makes the cross-engine (numpy vs DuckDB) comparison robust to 1-ulp
+    libm differences in ln(); rank-identity at full float64 precision is
+    asserted against the exhaustive oracle in pytest instead."""
+    s = get_searcher(sf_dir, cfg)
+    q = query_from_descriptor(kind, clauses)
+    td = s.search(q, k + 200)
+    scores6 = np.round(td.scores, round_to)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
+def term_doc_count(sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG) -> pa.Table:
+    """Total hit count for a term query (TotalHitCountCollector)."""
+    s = get_searcher(sf_dir, cfg)
+    from ..search.query import TermQuery
+
+    return pa.table(
+        {"total_hits": pa.array([s.count(TermQuery(term))], type=pa.int64())}
+    )

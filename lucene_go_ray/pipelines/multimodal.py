@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are treated as opaque ``binary`` columns moving through
+actor-pool ``map_batches`` stages. The decode kernels themselves are
+STUBBED (no image/audio libraries in this container): each stage tries the
+real library import and otherwise either raises ``NotImplementedError``
+(``fake=False``) or produces a deterministic fake derived from the payload
+bytes (``fake=True``) so that the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and tested end-to-end.
+
+Batch-size note: binary payloads are large, so these stages should run with
+small ``batch_size`` (rows) — the helper ``decode_images`` defaults to 64 —
+and actor-pool concurrency sized to the node, letting block size stay under
+the object-store target.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _mix
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("key", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # "image/jpeg", "audio/wav", ...
+    ]
+)
+
+
+def _payload_hashes(payloads: pa.Array) -> np.ndarray:
+    """Deterministic uint64 per payload from (length, first/last 8 bytes)."""
+    if isinstance(payloads, pa.ChunkedArray):
+        payloads = payloads.combine_chunks()
+    out = np.zeros(len(payloads), dtype=np.uint64)
+    for i, v in enumerate(payloads):
+        b = v.as_py() or b""
+        h = np.uint64(len(b))
+        for byte in b[:8] + b[-8:]:
+            with np.errstate(over="ignore"):
+                h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return _mix(out, np.uint64(5))
+
+
+class ImageDecodeStage:
+    """binary image -> (width, height, mean_luma). Actor-pool stage.
+
+    Real path would be ``PIL.Image.open`` in ``__init__``-compiled form;
+    stubbed here (library absent)."""
+
+    def __init__(self, payload_col: str = "payload", fake: bool = True):
+        self.payload_col = payload_col
+        self.fake = fake
+        try:  # pragma: no cover - not present in this container
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._pil and not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not available; "
+                "construct with fake=True for the deterministic stub"
+            )
+        h = _payload_hashes(batch[self.payload_col])
+        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int32)
+        height = ((h >> np.uint64(11)) % np.uint64(1080) + np.uint64(16)).astype(
+            np.int32
+        )
+        luma = ((h >> np.uint64(22)) % np.uint64(256)).astype(np.float64)
+        return batch.drop_columns([self.payload_col]).append_column(
+            "width", pa.array(width)
+        ).append_column("height", pa.array(height)).append_column(
+            "mean_luma", pa.array(luma)
+        )
+
+
+class EmbedStage:
+    """binary payload -> deterministic fake embedding (dim float32 list).
+
+    The real stage would load a model once per actor in __init__ and run
+    batched inference in __call__."""
+
+    def __init__(self, payload_col: str = "payload", dim: int = 16, fake: bool = True):
+        self.payload_col = payload_col
+        self.dim = dim
+        if not fake:
+            raise NotImplementedError("no model runtime in this container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _payload_hashes(batch[self.payload_col])
+        mat = np.empty((len(h), self.dim), dtype=np.float32)
+        for j in range(self.dim):
+            mat[:, j] = (
+                _mix(h, np.uint64(j + 11)).astype(np.float64) / 2**64 - 0.5
+            ).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float32()), self.dim
+        )
+        return batch.drop_columns([self.payload_col]).append_column(
+            "embedding", emb
+        )
+
+
+def frame_sample_offsets(payload_len: int, n_frames: int = 8) -> list[int]:
+    """Deterministic frame-sample byte offsets for a video payload."""
+    if payload_len <= 0:
+        return []
+    return [int(i * payload_len / n_frames) for i in range(n_frames)]
+
+
+def decode_images(ds, *, batch_size: int = 64, concurrency=(1, 8), fake: bool = True):
+    """Wire the decode stage with multimodal-appropriate batch sizing."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis pipelines: token counting, quality scoring, language ID,
+document fingerprinting — the per-document curation signals a training-data
+pipeline computes alongside indexing. All vectorized map_batches stages."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import GO_WHITESPACE_CLASS
+from .dedup import _mix, _shingle_hashes, _token_hashes
+
+_STOP_LIST = (
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with"
+).split()
+
+
+def token_counts(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """(key, n_tokens) — raw whitespace-scanner token count (empties incl.)."""
+    import ray.data
+
+    def _f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            batch[text].cast(pa.large_string()), GO_WHITESPACE_CLASS
+        )
+        return pa.table(
+            {key: batch[key], "n_tokens": pc.list_value_length(toks).cast(pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """Per-doc quality signals: (key, n_chars, n_tokens, n_unique_terms,
+    stopword_ratio) — the usual web-text quality filters (length, lexical
+    diversity, stopword density), all SQL-checkable."""
+    import ray.data
+
+    stop_arr = pa.array(_STOP_LIST, type=pa.large_string())
+
+    def _f(batch: pa.Table) -> pa.Table:
+        s = batch[text].cast(pa.large_string())
+        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(doc_of, weights=is_stop, minlength=len(counts))
+        # unique terms per doc via sorted (doc, term-dictionary-id) runs
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys64 = doc_of.astype(np.int64) * (np.int64(len(denc.dictionary)) + 1) + codes
+        uniq_keys = np.unique(keys64)
+        n_uniq = np.bincount(
+            (uniq_keys // (np.int64(len(denc.dictionary)) + 1)).astype(np.int64),
+            minlength=len(counts),
+        )
+        ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+        return pa.table(
+            {
+                key: batch[key],
+                "n_chars": pc.utf8_length(s).cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_unique_terms": pa.array(n_uniq.astype(np.int64)),
+                "stopword_ratio": pa.array(np.round(ratio, 6)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# simple n-gram-profile language ID: score = fraction of tokens in each
+# language's marker list; deterministic heuristic (stub-quality, but the
+# Ray plumbing — broadcast profiles, vectorized membership — is the real
+# shape of a fastText-style classifier stage)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une"],
+}
+
+
+def language_id(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """(key, lang_pred, lang_score) by stopword-profile voting."""
+    import ray.data
+
+    marker_arrays = {
+        lang: pa.array(words, type=pa.large_string())
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        s = batch[text].cast(pa.large_string())
+        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        scores = np.zeros((len(counts), len(langs)))
+        for li, lang in enumerate(langs):
+            hit = pc.is_in(flat, value_set=marker_arrays[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[:, li] = np.bincount(
+                doc_of, weights=hit, minlength=len(counts)
+            ) / np.maximum(counts, 1)
+        best = scores.argmax(axis=1)
+        return pa.table(
+            {
+                key: batch[key],
+                "lang_pred": pa.array([langs[i] for i in best], type=pa.string()),
+                "lang_score": pa.array(np.round(scores.max(axis=1), 6)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def fingerprints(
+    sf_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    window: int = 4,
+    keep: int = 8,
+):
+    """Winnowing-style document fingerprints: the ``keep`` smallest
+    ``window``-gram rolling hashes per doc (Schleimer et al. winnowing,
+    public algorithm), as (key, fp0..fp{keep-1}) int64 columns."""
+    import ray.data
+
+    def _f(batch: pa.Table) -> pa.Table:
+        tok_h, counts = _token_hashes(batch[text])
+        sh, sh_counts = _shingle_hashes(tok_h, counts, window)
+        n = len(counts)
+        doc_of = np.repeat(np.arange(n), sh_counts)
+        hv = _mix(sh, np.uint64(99))
+        out = np.full((n, keep), np.iinfo(np.int64).max, dtype=np.int64)
+        order = np.lexsort((hv, doc_of))
+        hv_s, doc_s = hv[order], doc_of[order]
+        starts = np.searchsorted(doc_s, np.arange(n))
+        ends = np.searchsorted(doc_s, np.arange(n) + 1)
+        for d in range(n):
+            vals = hv_s[starts[d] : min(ends[d], starts[d] + keep)]
+            out[d, : len(vals)] = (vals >> np.uint64(1)).astype(np.int64)
+        cols = {key: batch[key]}
+        for i in range(keep):
+            cols[f"fp{i}"] = pa.array(out[:, i])
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")
