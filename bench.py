@@ -1,0 +1,159 @@
+"""Benchmark harness: headline pipelines + scaling evidence.
+
+Usage:
+    python bench.py                  # one JSON line with per-query seconds
+    python bench.py --scaling        # same job at num_cpus=8 vs 32 (fresh
+                                     # processes), prints throughputs +
+                                     # scaling efficiency JSON
+
+Env:
+    GRAFT_SF_DIR     input tables dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+    LGR_BENCH_DOCS   synthetic-corpus size for the indexing headline
+                     (default 100_000; deterministic, cached in /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from lucene_go_ray.index import IndexConfig, build_index
+    from lucene_go_ray.pipelines import ann, corpus, dedup, fulltext, textstats
+    from lucene_go_ray.search import IndexSearcher
+
+    results: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        results[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- headline 1: index build over a deterministic synthetic web corpus
+    n_docs = int(os.environ.get("LGR_BENCH_DOCS", "100000"))
+    corpus_dir = f"/tmp/lgr_bench_corpus/{n_docs}-42"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        corpus.synthesize_corpus(n_docs, corpus_dir, seed=42)
+    paths = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+    )
+    index_dir = f"/tmp/lgr_bench_index/{n_docs}-{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        key_column="url",
+        target_partition_rows=max(2000, n_docs // (num_cpus * 2)),
+        hot_term_doc_freq=max(50_000, n_docs // 4),
+        salt_group_partitions=8,
+    )
+    timed("index_build", lambda: build_index(paths, index_dir, cfg))
+    meta["index_docs_per_sec"] = round(n_docs / results["index_build"], 1)
+
+    # ---- headline 2: distributed BM25 query batch over that index
+    queries = corpus.generate_query_set(n_queries=200)
+    searcher = IndexSearcher(index_dir)
+
+    def run_queries():
+        return searcher.search_batch_dataset(queries, k=10).count()
+
+    timed("query_batch", run_queries)
+    meta["queries_per_sec"] = round(len(queries) / results["query_batch"], 1)
+
+    # ---- extraction invariant (reads html+text; the heaviest column scan)
+    timed("extract_check", lambda: corpus.check_extraction_invariant(paths))
+
+    # ---- sf-dir pipelines (the driver-visible tables) ----
+    timed("term_stats", lambda: fulltext.term_stats(sf_dir).count())
+    timed(
+        "exact_dedup_hashed",
+        lambda: dedup.exact_dedup_hashed(sf_dir).count(),
+    )
+    timed(
+        "minhash_pairs",
+        lambda: dedup.minhash_lsh_pairs(sf_dir, threshold=0.5).count(),
+    )
+    timed("simhash", lambda: dedup.simhash_table(sf_dir).count())
+    timed("text_quality", lambda: textstats.text_quality(sf_dir).count())
+    timed("ann_cosine", lambda: ann.brute_force_topk(sf_dir, k=10))
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "lucene_go_ray headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **meta,
+    }
+    ray.shutdown()
+    return out
+
+
+def _scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes — the sandbox
+    stand-in for N vs 4N cluster nodes (north rule)."""
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env.pop("LGR_SCALING", None)
+        p = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    eff = {}
+    for key in ("index_docs_per_sec", "queries_per_sec"):
+        ratio = runs[32][key] / runs[8][key]
+        eff[key] = {
+            "cpus8": runs[8][key],
+            "cpus32": runs[32][key],
+            "speedup": round(ratio, 3),
+            "efficiency": round(ratio / 4.0, 3),
+        }
+    return {
+        "metric": "scaling efficiency 8->32 cpus (N vs 4N stand-in)",
+        "value": eff["index_docs_per_sec"]["efficiency"],
+        "unit": "efficiency",
+        "detail": eff,
+        "sf": sf_dir,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir)))
+    else:
+        print(json.dumps(_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,12 +136,15 @@ def _make_shard(rng, vocab, probs, base: int, n: int) -> pa.Table:
 
 
 def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized extraction inverse of the html wrapper (zero Python rows)."""
+    """Vectorized extraction inverse of the html wrapper (zero Python rows).
+
+    Anchored greedy RE2 match strips exactly one leading prefix and the final
+    trailing suffix; ``(?s)`` lets ``.*`` span newlines inside the text.
+    """
     s = html.cast(pa.large_string())
-    s = pc.replace_substring(s, HTML_PREFIX, "", max_replacements=1)
-    # strip the fixed-length suffix
-    lens = pc.utf8_length(s)
-    return pc.utf8_slice_codeunits(s, 0, pc.subtract(lens, len(HTML_SUFFIX)))
+    pattern = f"(?s)^{HTML_PREFIX}(?P<text>.*){HTML_SUFFIX}$"
+    extracted = pc.extract_regex(s, pattern)
+    return pc.struct_field(extracted, "text")
 
 
 def check_extraction_invariant(paths: list[str]) -> int:
