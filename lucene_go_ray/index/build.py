@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analysis import StandardAnalyzer
-from .codec import encode_postings
+from .codec import encode_postings_many
 from .config import IndexConfig
 from .manifest import (
     Manifest,
@@ -193,25 +193,19 @@ class SegmentIndexer:
             tstarts = tcounts = np.empty(0, np.int64)
 
         norms8 = (norms & 0xFF).astype(np.uint8)
-        rows = []
-        pos_cursor_starts = np.zeros(len(starts), dtype=np.int64)
-        if len(starts):
-            pos_cursor_starts[1:] = np.cumsum(freqs_all)[:-1]
-        for ti, (ts, tc) in enumerate(zip(tstarts, tcounts)):
-            docs_t = post_doc[ts : ts + tc]
-            freqs_t = freqs_all[ts : ts + tc]
-            pos_lo = pos_cursor_starts[ts]
-            pos_hi = pos_lo + int(freqs_t.sum())
-            blob = encode_postings(
-                docs_t,
-                freqs_t,
-                norms8[docs_t],
-                p_sorted[pos_lo:pos_hi] if cfg.index_positions else None,
+        n_terms = len(tstarts)
+        if n_terms:
+            term_offsets = np.append(tstarts, len(post_doc)).astype(np.int64)
+            enc = encode_postings_many(
+                post_doc,
+                freqs_all,
+                norms8[post_doc],
+                term_offsets,
+                p_sorted if cfg.index_positions else None,
                 block=cfg.block_size,
             )
-            row = blob.to_row()
-            row["term"] = sorted_vocab[ti]
-            rows.append(row)
+        else:
+            enc = None
 
         # ---- write segment (tmp dir + atomic rename) ----
         pid = int(part["pid"])
@@ -228,7 +222,7 @@ class SegmentIndexer:
             }
         )
         pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
-        terms_table = _rows_to_terms_table(rows, pid)
+        terms_table = _enc_to_terms_table(enc, sorted_vocab, pid)
         pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
 
         info = PartitionInfo(
@@ -237,7 +231,7 @@ class SegmentIndexer:
             row_groups=list(part["row_groups"]),
             row_start=int(part["row_start"]),
             num_docs=n_docs,
-            num_terms=len(rows),
+            num_terms=n_terms,
             sum_total_term_freq=int(norms.sum()),
             sum_doc_freq=int(len(starts)),
             doc_count=int((norms > 0).sum()),
@@ -263,17 +257,20 @@ class SegmentIndexer:
         return {"info": np.array([json.dumps(r) for r in out], dtype=object)}
 
 
-def _rows_to_terms_table(rows: list[dict], pid: int) -> pa.Table:
-    cols: dict[str, list] = {k: [] for k in _TERMS_SCHEMA_NAMES}
-    for r in rows:
-        for k in _TERMS_SCHEMA_NAMES:
-            if k == "pid":
-                cols[k].append(pid)
-            else:
-                cols[k].append(r[k])
-    return pa.table(
-        {name: pa.array(cols[name], type=t) for name, t in _TERMS_SCHEMA}
-    )
+def _enc_to_terms_table(
+    enc: dict | None, sorted_vocab: list[str], pid: int
+) -> pa.Table:
+    n = len(sorted_vocab) if enc is not None else 0
+    cols: dict[str, pa.Array] = {}
+    for name, t in _TERMS_SCHEMA:
+        if name == "term":
+            cols[name] = pa.array(sorted_vocab[:n], type=t)
+        elif name == "pid":
+            cols[name] = pa.array(np.full(n, pid, dtype=np.int32), type=t)
+        else:
+            vals = enc[name] if enc is not None else []
+            cols[name] = pa.array(vals, type=t)
+    return pa.table(cols)
 
 
 _TERMS_SCHEMA = [

@@ -64,6 +64,122 @@ def _bit_width(maxval: int) -> int:
     return int(maxval).bit_length()
 
 
+def _bit_widths(maxvals: np.ndarray) -> np.ndarray:
+    """Vectorized exact ``int.bit_length`` over a uint64 array."""
+    m = np.asarray(maxvals, dtype=np.uint64)
+    w = np.zeros(len(m), dtype=np.int64)
+    nz = m > 0
+    w[nz] = np.floor(np.log2(m[nz].astype(np.float64))).astype(np.int64) + 1
+    # float rounding near 2^k boundaries is off by at most 1; fix exactly
+    over = nz & (w < 64) & (m >= (np.uint64(1) << w.astype(np.uint64)))
+    w[over] += 1
+    under = (w > 1) & (m < (np.uint64(1) << np.maximum(w - 1, 0).astype(np.uint64)))
+    w[under] -= 1
+    return w
+
+
+def _seg_local_idx(counts: np.ndarray) -> np.ndarray:
+    """For contiguous segments of the given sizes, the within-segment index
+    of every element (0..count-1 per segment), vectorized."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+_PACK_CHUNK = 1 << 21  # values per bit-matrix slice (bounds intermediates)
+
+
+def _pack_segments(
+    values: np.ndarray, counts: np.ndarray, widths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack contiguous segments of ``values`` (uint64) at per-segment bit
+    widths, each segment's bitstream byte-aligned. All segments with the
+    same width are packed in ONE numpy pass (<=64 passes total), so cost is
+    O(total bits), not O(num segments).
+
+    Returns (uint8 byte array: segments concatenated in order, per-segment
+    byte counts)."""
+    values = np.asarray(values, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    nbytes = (counts * widths + 7) // 8
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    if len(out) == 0:
+        return out, nbytes
+    starts = np.cumsum(counts) - counts
+    dst = np.cumsum(nbytes) - nbytes
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        cnts = counts[sel]
+        m = int(cnts.sum())
+        if m == 0:
+            continue
+        lj = _seg_local_idx(cnts)
+        vals = values[np.repeat(starts[sel], cnts) + lj]
+        gb = nbytes[sel]
+        gb_off = np.cumsum(gb) - gb
+        bit_base = np.repeat(gb_off * 8, cnts) + lj * w
+        bitbuf = np.zeros(int(gb.sum()) * 8, dtype=np.uint8)
+        wbits = np.arange(w, dtype=np.uint64)
+        for lo in range(0, m, _PACK_CHUNK):
+            hi = min(m, lo + _PACK_CHUNK)
+            bits = ((vals[lo:hi, None] >> wbits) & np.uint64(1)).astype(np.uint8)
+            bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
+            bitbuf[bitpos.ravel()] = bits.ravel()
+        packed = np.packbits(bitbuf, bitorder="little")
+        bj = _seg_local_idx(gb)
+        out[np.repeat(dst[sel], gb) + bj] = packed
+    return out, nbytes
+
+
+def _unpack_segments(
+    buf: np.ndarray, counts: np.ndarray, widths: np.ndarray
+) -> np.ndarray:
+    """Inverse of :func:`_pack_segments` → uint64 values, segments in order."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    counts = np.asarray(counts, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    nbytes = (counts * widths + 7) // 8
+    src = np.cumsum(nbytes) - nbytes
+    total = int(counts.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0:
+        return out
+    starts = np.cumsum(counts) - counts
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        cnts = counts[sel]
+        m = int(cnts.sum())
+        if m == 0:
+            continue
+        gb = nbytes[sel]
+        bj = _seg_local_idx(gb)
+        packed = buf[np.repeat(src[sel], gb) + bj]
+        bitbuf = np.unpackbits(packed, bitorder="little")
+        gb_off = np.cumsum(gb) - gb
+        lj = _seg_local_idx(cnts)
+        bit_base = np.repeat(gb_off * 8, cnts) + lj * w
+        vals = np.zeros(m, dtype=np.uint64)
+        pow2 = _POW2[:w]
+        for lo in range(0, m, _PACK_CHUNK):
+            hi = min(m, lo + _PACK_CHUNK)
+            bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
+            vals[lo:hi] = (
+                bitbuf[bitpos.ravel()].reshape(hi - lo, w).astype(np.uint64) @ pow2
+            )
+        out[np.repeat(starts[sel], cnts) + lj] = vals
+    return out
+
+
 def _blockwise_pack(values: np.ndarray, block: int) -> tuple[bytes, np.ndarray]:
     """Pack ``values`` in blocks of ``block`` at per-block minimal widths.
 
@@ -133,6 +249,168 @@ class PostingBlob:
         }
 
 
+def encode_postings_many(
+    docs: np.ndarray,
+    freqs: np.ndarray,
+    norms8: np.ndarray,
+    offsets: np.ndarray,
+    positions: np.ndarray | None = None,
+    block: int = BLOCK_SIZE,
+) -> dict:
+    """Vectorized multi-term encode: ONE numpy pass over all terms' postings.
+
+    ``offsets`` (int64, T+1) delimits each term's slice of the flattened
+    ``docs`` / ``freqs`` / ``norms8`` arrays (every slice non-empty);
+    ``positions`` is the matching flattened position stream (len ==
+    freqs.sum()) or None. Returns a dict of per-term columns: numpy arrays
+    for the stats and Python lists of ``bytes`` for the blobs — the exact
+    byte format of :func:`encode_postings` (which wraps this with T=1).
+    """
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norms8 = np.asarray(norms8, dtype=np.uint8)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    if (counts <= 0).any():
+        raise ValueError("every term slice must be non-empty")
+    T = len(counts)
+    starts = offsets[:-1]
+    n = len(docs)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = docs[1:].astype(np.uint64) - docs[:-1].astype(np.uint64)
+    deltas[starts] = (docs[starts] + 1).astype(np.uint64)  # base = doc -1
+
+    # block grid (per-term blocks of `block` docs; last block partial)
+    nblocks = (counts + block - 1) // block
+    bt = np.repeat(np.arange(T), nblocks)
+    bi = _seg_local_idx(nblocks)
+    bcount = np.minimum(block, counts[bt] - bi * block)
+    bstart = starts[bt] + bi * block
+
+    dmax = np.maximum.reduceat(deltas, bstart)
+    wdoc = _bit_widths(dmax)
+    docs_buf, docs_nbytes = _pack_segments(deltas, bcount, wdoc)
+    fmax = np.maximum.reduceat(freqs, bstart).astype(np.uint64)
+    wfreq = _bit_widths(fmax)
+    freqs_buf, freqs_nbytes = _pack_segments(freqs.astype(np.uint64), bcount, wfreq)
+
+    block_last = docs[bstart + bcount - 1].astype(np.int64)
+    block_max_freq = fmax.astype(np.uint32)
+    block_min_norm = np.minimum.reduceat(norms8, bstart).astype(np.uint8)
+
+    ttf = np.add.reduceat(freqs, starts).astype(np.int64)
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        pdelta = np.empty(len(positions), dtype=np.int64)
+        pdelta[1:] = positions[1:] - positions[:-1]
+        pstarts = np.cumsum(freqs) - freqs  # first position of each posting
+        pdelta[pstarts] = positions[pstarts]
+        pos_off = np.cumsum(ttf) - ttf
+        pmax = np.maximum.reduceat(pdelta, pos_off).astype(np.uint64)
+        wpos = _bit_widths(pmax)
+        pos_buf, pos_nbytes = _pack_segments(pdelta.astype(np.uint64), ttf, wpos)
+    else:
+        wpos = np.zeros(T, dtype=np.int64)
+        pos_buf = np.zeros(0, dtype=np.uint8)
+        pos_nbytes = np.zeros(T, dtype=np.int64)
+
+    # per-term byte/block ranges -> slice the packed buffers into bytes rows
+    tb_off = np.cumsum(nblocks) - nblocks
+    term_docbytes = np.add.reduceat(docs_nbytes, tb_off)
+    term_freqbytes = np.add.reduceat(freqs_nbytes, tb_off)
+    d_off = np.concatenate([[0], np.cumsum(term_docbytes)])
+    f_off = np.concatenate([[0], np.cumsum(term_freqbytes)])
+    p_off = np.concatenate([[0], np.cumsum(pos_nbytes)])
+    b_off = np.concatenate([[0], np.cumsum(nblocks)])
+
+    wdoc8 = wdoc.astype(np.uint8)
+    wfreq8 = wfreq.astype(np.uint8)
+    docs_b = docs_buf.tobytes()
+    freqs_b = freqs_buf.tobytes()
+    pos_b = pos_buf.tobytes()
+    wdoc_b = wdoc8.tobytes()
+    wfreq_b = wfreq8.tobytes()
+    norms_b = norms8.tobytes()
+    blast_b = block_last.tobytes()
+    bmaxf_b = block_max_freq.tobytes()
+    bminn_b = block_min_norm.tobytes()
+
+    return {
+        "doc_freq": counts,
+        "total_term_freq": ttf,
+        "first_doc": docs[starts],
+        "last_doc": docs[offsets[1:] - 1],
+        "docs_blob": [docs_b[d_off[i] : d_off[i + 1]] for i in range(T)],
+        "doc_widths": [wdoc_b[b_off[i] : b_off[i + 1]] for i in range(T)],
+        "freqs_blob": [freqs_b[f_off[i] : f_off[i + 1]] for i in range(T)],
+        "freq_widths": [wfreq_b[b_off[i] : b_off[i + 1]] for i in range(T)],
+        "norms_blob": [norms_b[offsets[i] : offsets[i + 1]] for i in range(T)],
+        "block_last": [blast_b[8 * b_off[i] : 8 * b_off[i + 1]] for i in range(T)],
+        "block_max_freq": [bmaxf_b[4 * b_off[i] : 4 * b_off[i + 1]] for i in range(T)],
+        "block_min_norm": [bminn_b[b_off[i] : b_off[i + 1]] for i in range(T)],
+        "pos_blob": [pos_b[p_off[i] : p_off[i + 1]] for i in range(T)],
+        "pos_width": wpos.astype(np.int32),
+    }
+
+
+def decode_postings_many(
+    doc_freqs: np.ndarray,
+    docs_blobs: list[bytes],
+    doc_widths_blobs: list[bytes],
+    freqs_blobs: list[bytes],
+    freq_widths_blobs: list[bytes],
+    norms_blobs: list[bytes],
+    block: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized multi-row decode (inverse of :func:`encode_postings_many`).
+
+    Returns (docs int64, freqs int64, norms8 uint8, offsets int64[R+1]) with
+    each row's postings in its offsets slice (docs are row-local ids)."""
+    counts = np.asarray(doc_freqs, dtype=np.int64)
+    R = len(counts)
+    nblocks = (counts + block - 1) // block
+    wdoc = np.frombuffer(b"".join(doc_widths_blobs), dtype=np.uint8).astype(np.int64)
+    wfreq = np.frombuffer(b"".join(freq_widths_blobs), dtype=np.uint8).astype(np.int64)
+    bt = np.repeat(np.arange(R), nblocks)
+    bi = _seg_local_idx(nblocks)
+    bcount = np.minimum(block, counts[bt] - bi * block)
+    dbuf = np.frombuffer(b"".join(docs_blobs), dtype=np.uint8)
+    deltas = _unpack_segments(dbuf, bcount, wdoc).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    starts = offsets[:-1]
+    c = np.cumsum(deltas)
+    seg0 = c[starts] - deltas[starts]
+    docs = c - np.repeat(seg0, counts) - 1
+    fbuf = np.frombuffer(b"".join(freqs_blobs), dtype=np.uint8)
+    freqs = _unpack_segments(fbuf, bcount, wfreq).astype(np.int64)
+    norms8 = np.frombuffer(b"".join(norms_blobs), dtype=np.uint8).copy()
+    return docs, freqs, norms8, offsets
+
+
+def decode_positions_many(
+    pos_blobs: list[bytes],
+    pos_widths: np.ndarray,
+    freqs: np.ndarray,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    """Decode flattened absolute positions for a batch of rows.
+
+    ``freqs``/``offsets`` as returned by :func:`decode_postings_many`."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    ttf = np.add.reduceat(freqs, offsets[:-1]) if len(freqs) else np.zeros(
+        len(pos_blobs), dtype=np.int64
+    )
+    pbuf = np.frombuffer(b"".join(pos_blobs), dtype=np.uint8)
+    pdelta = _unpack_segments(
+        pbuf, ttf, np.asarray(pos_widths, dtype=np.int64)
+    ).astype(np.int64)
+    pstarts = np.cumsum(freqs) - freqs
+    c = np.cumsum(pdelta)
+    carry = c[pstarts] - pdelta[pstarts]
+    return c - np.repeat(carry, freqs)
+
+
 def encode_postings(
     docs: np.ndarray,
     freqs: np.ndarray,
@@ -140,60 +418,39 @@ def encode_postings(
     positions: np.ndarray | None = None,
     block: int = BLOCK_SIZE,
 ) -> PostingBlob:
-    """Encode one term's postings.
+    """Encode one term's postings (wrapper over :func:`encode_postings_many`).
 
     ``docs`` strictly-increasing int64 doc ids; ``freqs`` int per doc;
     ``norms8`` = (norm & 0xFF) per doc; ``positions`` flattened ascending
     positions per doc, concatenated in doc order (len == freqs.sum()),
     or None when positions are not indexed.
     """
-    docs = np.asarray(docs, dtype=np.int64)
-    freqs = np.asarray(freqs, dtype=np.int64)
-    norms8 = np.asarray(norms8, dtype=np.uint8)
     n = len(docs)
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = docs[0] + 1  # delta from virtual previous doc -1
-    np.subtract(docs[1:], docs[:-1], out=deltas[1:], casting="unsafe")
-    docs_blob, doc_widths = _blockwise_pack(deltas, block)
-    freqs_blob, freq_widths = _blockwise_pack(freqs.astype(np.uint64), block)
-    norms_blob = norms8.tobytes()
-    nblocks = len(doc_widths)
-    pad = (-n) % block
-    if pad:
-        fpad = np.pad(freqs, (0, pad))
-        npad = np.pad(norms8, (0, pad), constant_values=255)
-        dpad = np.pad(docs, (0, pad), constant_values=docs[-1])
-    else:
-        fpad, npad, dpad = freqs, norms8, docs
-    block_last = dpad.reshape(nblocks, block)[:, -1].astype(np.int64)
-    block_max_freq = fpad.reshape(nblocks, block).max(axis=1).astype(np.uint32)
-    block_min_norm = npad.reshape(nblocks, block).min(axis=1).astype(np.uint8)
-    if positions is not None and len(positions):
-        positions = np.asarray(positions, dtype=np.int64)
-        # delta within each doc: pos[0] raw, then diffs; doc boundaries from freqs
-        pdelta = np.diff(positions, prepend=0)
-        starts = np.zeros(n, dtype=np.int64)
-        starts[1:] = np.cumsum(freqs)[:-1]
-        pdelta[starts] = positions[starts]
-        w = _bit_width(int(pdelta.max())) if len(pdelta) else 0
-        pos_blob, pos_width = bitpack(pdelta.astype(np.uint64), w), w
-    else:
-        pos_blob, pos_width = b"", 0
+    if positions is not None and len(positions) == 0:
+        positions = None
+    enc = encode_postings_many(
+        docs,
+        freqs,
+        norms8,
+        np.array([0, n], dtype=np.int64),
+        positions,
+        block=block,
+    )
     return PostingBlob(
-        doc_freq=int(n),
-        total_term_freq=int(freqs.sum()),
-        first_doc=int(docs[0]),
-        last_doc=int(docs[-1]),
-        docs_blob=docs_blob,
-        doc_widths=doc_widths.tobytes(),
-        freqs_blob=freqs_blob,
-        freq_widths=freq_widths.tobytes(),
-        norms_blob=norms_blob,
-        block_last=block_last.tobytes(),
-        block_max_freq=block_max_freq.tobytes(),
-        block_min_norm=block_min_norm.tobytes(),
-        pos_blob=pos_blob,
-        pos_width=pos_width,
+        doc_freq=int(enc["doc_freq"][0]),
+        total_term_freq=int(enc["total_term_freq"][0]),
+        first_doc=int(enc["first_doc"][0]),
+        last_doc=int(enc["last_doc"][0]),
+        docs_blob=enc["docs_blob"][0],
+        doc_widths=enc["doc_widths"][0],
+        freqs_blob=enc["freqs_blob"][0],
+        freq_widths=enc["freq_widths"][0],
+        norms_blob=enc["norms_blob"][0],
+        block_last=enc["block_last"][0],
+        block_max_freq=enc["block_max_freq"][0],
+        block_min_norm=enc["block_min_norm"][0],
+        pos_blob=enc["pos_blob"][0],
+        pos_width=int(enc["pos_width"][0]),
     )
 
 

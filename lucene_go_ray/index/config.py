@@ -33,6 +33,10 @@ class IndexConfig:
     # instead of one all-partitions group (SURVEY §4 "skew").
     hot_term_doc_freq: int = 500_000
     salt_group_partitions: int = 8
+    # term-hash buckets for the merge shuffle: each reduce task processes one
+    # bucket of (term, salt) groups in a single vectorized pass. Sized so a
+    # bucket's postings fit a worker's heap (~cluster cores x 2 at scale).
+    merge_buckets: int = 32
     # --- search ---
     total_hits_threshold: int = 1000  # indexsearcher.go:14
 

@@ -4,18 +4,19 @@ Replaces both the reference's (unimplemented) SegmentMerger
 (/root/reference/core/index/segmentmerger.go:17-29) and its composite-reader
 multi-segment search with an explicit Ray Data shuffle:
 
-1. a tiny ``groupby(term)`` aggregate over per-segment term *stats* rows
-   (term, doc_freq, ttf — no blobs) produces the global term-statistics
-   table (the TermStates / CollectionStatistics source,
-   /root/reference/core/index/termstates.go:52-93) and identifies *hot*
-   terms (Zipfian web-text skew);
+1. *hot* terms (Zipfian web-text skew) are estimated from a strided sample
+   of per-segment term-stats columns — no full-vocab shuffle; global term
+   statistics (the TermStates source, /root/reference/core/index/termstates.go:52-93)
+   are recovered at query time by summing merged chunk-row metadata;
 
 2. the full segment term rows (with packed posting blobs — already
    partial-aggregated, so at most P rows per term) are salted —
-   ``salt = pid // salt_group_partitions`` for hot terms, 0 otherwise — and
-   shuffled with ``groupby(term, salt).map_groups``; each group concatenates
-   its partitions' postings in docBase order (global docIDs stay sorted
-   because salt groups are contiguous pid ranges) and re-encodes them into
+   ``salt = pid // salt_group_partitions`` for hot terms, 0 otherwise —
+   bucketed by ``hash(term, salt)``, and shuffled with
+   ``groupby(bucket).map_groups``; each reduce task concatenates every
+   (term, salt) group's partitions in docBase order (global docIDs stay
+   sorted because salt groups are contiguous pid ranges) and re-encodes
+   ALL its groups in one vectorized pass (codec.encode_postings_many) into
    FOR-compressed chunk rows of at most ``chunk_docs`` postings with fresh
    block-max metadata;
 
@@ -38,7 +39,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codec import decode_docs_freqs_norms, decode_positions, encode_postings
+import pyarrow.compute as pc
+
+from .codec import (
+    _seg_local_idx,
+    decode_positions_many,
+    decode_postings_many,
+    encode_postings_many,
+)
 from .config import IndexConfig
 from .manifest import Manifest, save_manifest
 
@@ -52,7 +60,6 @@ def _global_dir(index_dir: str) -> str:
 def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifest:
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     seg_glob = os.path.join(index_dir, "segments")
     seg_files = sorted(
@@ -66,106 +73,129 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     tmp_gdir = gdir + ".tmp"
     if os.path.isdir(tmp_gdir):
         shutil.rmtree(tmp_gdir)
-    os.makedirs(os.path.join(tmp_gdir, "term_stats"))
     os.makedirs(os.path.join(tmp_gdir, "postings"))
 
-    # ---- pass 1: global term stats (small rows; the only full-vocab shuffle)
-    stats_ds = (
-        ray.data.read_parquet(seg_files, columns=["term", "doc_freq", "total_term_freq"])
-        .groupby("term")
-        .aggregate(
-            Sum("doc_freq", alias_name="doc_freq"),
-            Sum("total_term_freq", alias_name="total_term_freq"),
-        )
-    )
-    stats_ds = stats_ds.materialize()
-    stats_ds.write_parquet(os.path.join(tmp_gdir, "term_stats"))
-    hot_terms = set(
-        r["term"]
-        for r in stats_ds.filter(
-            lambda row: row["doc_freq"] > cfg.hot_term_doc_freq
-        ).take_all()
-    )
+    # ---- pass 1: hot-term detection by stratified segment sampling ----
+    # Salting is a perf-only decision (it never changes merged results), so
+    # an estimate suffices: a term with global df > H appears in a uniform
+    # S-of-P segment sample with expected df ~ H*S/P and vanishing variance
+    # for the Zipf head. No full-vocab shuffle — exact global term stats are
+    # recoverable at query time by summing the merged chunk rows' metadata.
+    hot_terms = _estimate_hot_terms(seg_files, cfg.hot_term_doc_freq)
 
-    # ---- pass 2: postings merge shuffle ----
-    doc_bases = {int(p["pid"]): int(p["doc_base"]) for p in manifest.partitions}
-    hot_ref = ray.put(hot_terms)
-    bases_ref = ray.put(doc_bases)
+    # ---- pass 2: postings merge shuffle (bucketed, fully vectorized) ----
+    # rows are keyed by bucket = hash(term) ^ mix(salt); one reduce task per
+    # bucket decodes + re-encodes ALL of its (term, salt) groups in a single
+    # numpy pass (codec.encode_postings_many), so reduce cost is O(postings),
+    # not O(groups). Salting still bounds the largest (term, salt) group to
+    # `salt_group_partitions` contiguous partitions of postings.
+    pid_arr = np.array([int(p["pid"]) for p in manifest.partitions], dtype=np.int64)
+    base_arr = np.zeros(int(pid_arr.max()) + 1 if len(pid_arr) else 1, dtype=np.int64)
+    base_arr[pid_arr] = np.array(
+        [int(p["doc_base"]) for p in manifest.partitions], dtype=np.int64
+    )
+    hot_ref = ray.put(sorted(hot_terms))
+    bases_ref = ray.put(base_arr)
     group_size = cfg.salt_group_partitions
     chunk_docs = cfg.chunk_docs
     block = cfg.block_size
     index_positions = cfg.index_positions
+    num_buckets = cfg.merge_buckets
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        pids = batch["pid"].to_numpy(zero_copy_only=False)
-        terms = batch["term"].to_pylist()
-        salt = np.array(
-            [pid // group_size if t in hot else -1 for t, pid in zip(terms, pids)],
-            dtype=np.int32,
-        )
-        return batch.append_column("salt", pa.array(salt, type=pa.int32()))
+        import zlib
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        bases = ray.get(bases_ref)
-        order = np.argsort(group["pid"].to_numpy(zero_copy_only=False), kind="stable")
-        rows = [
-            {k: group[k][int(i)].as_py() for k in group.column_names} for i in order
-        ]
-        term = rows[0]["term"]
-        salt = rows[0]["salt"]
-        all_docs, all_freqs, all_norms, all_pos = [], [], [], []
-        for r in rows:
-            docs, freqs, norms8 = decode_docs_freqs_norms(r, block)
-            docs = docs + bases[int(r["pid"])]
-            all_docs.append(docs)
-            all_freqs.append(freqs)
-            all_norms.append(norms8)
-            if index_positions:
-                all_pos.append(decode_positions(r, freqs))
-        docs = np.concatenate(all_docs)
-        freqs = np.concatenate(all_freqs)
-        norms8 = np.concatenate(all_norms)
-        pos = np.concatenate(all_pos) if index_positions else None
-        pos_starts = np.zeros(len(docs), dtype=np.int64)
-        if len(docs):
-            pos_starts[1:] = np.cumsum(freqs)[:-1]
-        out_rows = []
-        for ci, lo in enumerate(range(0, len(docs), chunk_docs)):
-            hi = min(lo + chunk_docs, len(docs))
-            p = None
-            if pos is not None:
-                p_lo = pos_starts[lo]
-                p_hi = pos_starts[hi - 1] + freqs[hi - 1]
-                p = pos[p_lo:p_hi]
-            blob = encode_postings(
-                docs[lo:hi], freqs[lo:hi], norms8[lo:hi], p, block=block
-            )
-            row = blob.to_row()
-            row["term"] = term
-            row["salt"] = int(salt)
-            row["chunk_id"] = ci
-            out_rows.append(row)
-        cols = {k: [r[k] for r in out_rows] for k in out_rows[0]}
-        return pa.table(
-            {
-                name: pa.array(cols[name], type=t)
-                for name, t in _MERGED_SCHEMA
-                if name in cols
-            }
+        hot = ray.get(hot_ref)
+        pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if hot:
+            is_hot = pc.is_in(
+                batch["term"], value_set=pa.array(hot, type=pa.large_string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            is_hot = np.zeros(len(batch), dtype=bool)
+        salt = np.where(is_hot, pids // group_size, -1).astype(np.int32)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) for t in batch["term"].to_pylist()),
+            dtype=np.uint64,
+            count=len(batch),
         )
+        bucket = (
+            (crc ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return batch.append_column(
+            "salt", pa.array(salt, type=pa.int32())
+        ).append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        R = group.num_rows
+        if R == 0:
+            return _empty_merged_table()
+        bases = ray.get(bases_ref)
+        pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        _, term_code = np.unique(terms, return_inverse=True)
+        order = np.lexsort((pids, salts, term_code))
+        group = group.take(pa.array(order))
+        pids, salts, terms = pids[order], salts[order], terms[order]
+        term_code = term_code[order]
+        doc_freqs = group["doc_freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs, freqs, norms8, offs = decode_postings_many(
+            doc_freqs,
+            group["docs_blob"].to_pylist(),
+            group["doc_widths"].to_pylist(),
+            group["freqs_blob"].to_pylist(),
+            group["freq_widths"].to_pylist(),
+            group["norms_blob"].to_pylist(),
+            block,
+        )
+        docs += np.repeat(bases[pids], doc_freqs)
+        pos = None
+        if index_positions:
+            pos = decode_positions_many(
+                group["pos_blob"].to_pylist(),
+                group["pos_width"].to_numpy(zero_copy_only=False),
+                freqs,
+                offs,
+            )
+        # merged (term, salt) groups over the sorted rows; docIDs ascend
+        # across a group's rows because salt groups are contiguous pid ranges
+        new_grp = np.ones(R, dtype=bool)
+        new_grp[1:] = (term_code[1:] != term_code[:-1]) | (salts[1:] != salts[:-1])
+        grp_row_starts = np.flatnonzero(new_grp)
+        G = len(grp_row_starts)
+        gcounts = np.add.reduceat(doc_freqs, grp_row_starts)
+        nchunks = (gcounts + chunk_docs - 1) // chunk_docs
+        ct = np.repeat(np.arange(G), nchunks)
+        ci = _seg_local_idx(nchunks)
+        ccount = np.minimum(chunk_docs, gcounts[ct] - ci * chunk_docs)
+        chunk_offsets = np.concatenate([[0], np.cumsum(ccount)]).astype(np.int64)
+        enc = encode_postings_many(
+            docs, freqs, norms8, chunk_offsets, pos, block=block
+        )
+        chunk_terms = terms[grp_row_starts][ct]
+        chunk_salts = salts[grp_row_starts][ct]
+        cols = {
+            "term": pa.array(chunk_terms.tolist(), type=pa.large_string()),
+            "salt": pa.array(chunk_salts, type=pa.int32()),
+            "chunk_id": pa.array(ci.astype(np.int32), type=pa.int32()),
+        }
+        for name, t in _MERGED_SCHEMA:
+            if name not in cols:
+                cols[name] = pa.array(enc[name], type=t)
+        return pa.table({name: cols[name] for name, _ in _MERGED_SCHEMA})
 
     (
         ray.data.read_parquet(seg_files)
         .map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["term", "salt"])
-        .map_groups(merge_group, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
         .write_parquet(os.path.join(tmp_gdir, "postings"))
     )
 
-    # ---- pass 3: metadata-only term range indexes ----
-    for sub in ("term_stats", "postings"):
-        _build_range_index(os.path.join(tmp_gdir, sub))
+    # ---- pass 3: metadata-only term range index ----
+    _build_range_index(os.path.join(tmp_gdir, "postings"))
 
     with open(os.path.join(tmp_gdir, "stats.json"), "w") as f:
         json.dump(
@@ -203,6 +233,43 @@ _MERGED_SCHEMA = [
     ("pos_blob", pa.large_binary()),
     ("pos_width", pa.int32()),
 ]
+
+
+_HOT_SAMPLE_SEGMENTS = 64
+
+
+def _estimate_hot_terms(seg_files: list[str], hot_doc_freq: int) -> set[str]:
+    """Estimated set of terms with global doc_freq > ``hot_doc_freq``.
+
+    Reads (term, doc_freq) from an evenly-strided sample of at most
+    ``_HOT_SAMPLE_SEGMENTS`` segment term tables and scales by P/S. A missed
+    hot term only costs merge balance, never correctness; a false positive
+    only adds a few extra (term, salt) groups. At cluster scale this read
+    is one small column off S files — independent of P."""
+    P = len(seg_files)
+    if P == 0:
+        return set()
+    stride = max(1, P // _HOT_SAMPLE_SEGMENTS)
+    sample = seg_files[::stride][:_HOT_SAMPLE_SEGMENTS]
+    parts = [
+        pq.read_table(f, columns=["term", "doc_freq"]) for f in sample
+    ]
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("term")
+        .aggregate([("doc_freq", "sum")])
+    )
+    scale = P / len(sample)
+    # 2x margin on the scaled estimate to absorb sampling noise
+    thresh = max(1.0, hot_doc_freq / (2.0 * scale))
+    import pyarrow.compute as _pc
+
+    mask = _pc.greater(agg["doc_freq_sum"], int(thresh))
+    return set(agg.filter(mask)["term"].to_pylist())
+
+
+def _empty_merged_table() -> pa.Table:
+    return pa.table({name: pa.array([], type=t) for name, t in _MERGED_SCHEMA})
 
 
 def _build_range_index(dir_path: str) -> None:

@@ -135,7 +135,6 @@ class IndexSearcher:
             b=self.cfg.b,
         )
         self.postings = _RangeIndex(os.path.join(gdir, "postings"))
-        self.term_stats_idx = _RangeIndex(os.path.join(gdir, "term_stats"))
         self._doc_bases = [int(p["doc_base"]) for p in self.manifest.partitions]
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
@@ -144,8 +143,12 @@ class IndexSearcher:
     # ---------------- term access ----------------
 
     def term_statistics(self, term: str) -> tuple[int, int]:
-        """(doc_freq, total_term_freq) from the global term-stats table."""
-        t = self.term_stats_idx.read_term_rows(term)
+        """(doc_freq, total_term_freq): exact global stats = sum of the
+        term's merged chunk rows' metadata (column-pruned read; the
+        TermStates accumulation of termstates.go:52-93 done at lookup)."""
+        t = self.postings.read_term_rows(
+            term, columns=["term", "doc_freq", "total_term_freq"]
+        )
         if t.num_rows == 0:
             return 0, 0
         return (

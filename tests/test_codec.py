@@ -67,3 +67,69 @@ def test_doc_zero_first():
     row = encode_postings(docs, freqs, norms8, None).to_row()
     d, f, _ = decode_docs_freqs_norms(row)
     assert d.tolist() == [0, 5]
+
+
+def test_batch_encode_matches_single_and_roundtrips():
+    from lucene_go_ray.index.codec import (
+        decode_positions_many,
+        decode_postings_many,
+        encode_postings_many,
+    )
+
+    rng = np.random.default_rng(0)
+    T = 120
+    all_docs, all_freqs, all_norms, all_pos, offs = [], [], [], [], [0]
+    for _ in range(T):
+        n = int(rng.integers(1, 300))
+        docs = np.sort(rng.choice(50000, size=n, replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 9, size=n).astype(np.int64)
+        norms = rng.integers(0, 256, size=n).astype(np.uint8)
+        pos = np.concatenate(
+            [np.sort(rng.choice(5000, size=int(f), replace=False)) for f in freqs]
+        ).astype(np.int64)
+        all_docs.append(docs)
+        all_freqs.append(freqs)
+        all_norms.append(norms)
+        all_pos.append(pos)
+        offs.append(offs[-1] + n)
+    docs = np.concatenate(all_docs)
+    freqs = np.concatenate(all_freqs)
+    norms = np.concatenate(all_norms)
+    pos = np.concatenate(all_pos)
+    offs = np.array(offs, dtype=np.int64)
+
+    enc = encode_postings_many(docs, freqs, norms, offs, pos)
+    # byte-identical to the single-term encoder on sampled terms
+    for t in range(0, T, 17):
+        lo, hi = offs[t], offs[t + 1]
+        ps = int(freqs[:lo].sum())
+        pe = ps + int(freqs[lo:hi].sum())
+        row = encode_postings(
+            docs[lo:hi], freqs[lo:hi], norms[lo:hi], pos[ps:pe]
+        ).to_row()
+        for k, v in row.items():
+            got = enc[k][t]
+            got = int(got) if hasattr(got, "item") else got
+            assert got == v, (t, k)
+    # batch round-trip
+    d2, f2, n2, off2 = decode_postings_many(
+        enc["doc_freq"],
+        enc["docs_blob"],
+        enc["doc_widths"],
+        enc["freqs_blob"],
+        enc["freq_widths"],
+        enc["norms_blob"],
+    )
+    assert np.array_equal(off2, offs)
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(f2, freqs)
+    assert np.array_equal(n2, norms)
+    p2 = decode_positions_many(enc["pos_blob"], enc["pos_width"], f2, off2)
+    assert np.array_equal(p2, pos)
+    # row-wise decoder reads batch-encoded rows
+    for t in range(0, T, 29):
+        row = {k: enc[k][t] for k in enc}
+        dd, ff, _ = decode_docs_freqs_norms(row)
+        lo, hi = offs[t], offs[t + 1]
+        assert np.array_equal(dd, docs[lo:hi])
+        assert np.array_equal(ff, freqs[lo:hi])
