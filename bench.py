@@ -71,7 +71,9 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     meta["index_docs_per_sec"] = round(n_docs / results["index_build"], 1)
 
     # ---- headline 2: distributed BM25 query batch over that index
-    queries = corpus.generate_query_set(n_queries=200)
+    # 2000 Zipf-sampled queries: enough to amortize actor-pool startup and
+    # reach steady-state (per-actor term caches warm), like a live service.
+    queries = corpus.generate_query_set(n_queries=2000)
     searcher = IndexSearcher(index_dir)
 
     def run_queries():

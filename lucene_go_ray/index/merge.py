@@ -103,8 +103,6 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     num_buckets = cfg.merge_buckets
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        import zlib
-
         hot = ray.get(hot_ref)
         pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
         if hot:
@@ -114,15 +112,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         else:
             is_hot = np.zeros(len(batch), dtype=bool)
         salt = np.where(is_hot, pids // group_size, -1).astype(np.int32)
-        crc = np.fromiter(
-            (zlib.crc32(t.encode()) for t in batch["term"].to_pylist()),
-            dtype=np.uint64,
-            count=len(batch),
-        )
-        bucket = (
-            (crc ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(num_buckets)
-        ).astype(np.int32)
+        bucket = term_buckets(batch["term"].to_pylist(), salt, num_buckets)
         return batch.append_column(
             "salt", pa.array(salt, type=pa.int32())
         ).append_column("bucket", pa.array(bucket, type=pa.int32()))
@@ -131,6 +121,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         R = group.num_rows
         if R == 0:
             return _empty_merged_table()
+        bucket_id = int(group["bucket"][0].as_py())
         bases = ray.get(bases_ref)
         pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
         salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
@@ -179,6 +170,9 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         cols = {
             "term": pa.array(chunk_terms.tolist(), type=pa.large_string()),
             "salt": pa.array(chunk_salts, type=pa.int32()),
+            "bucket": pa.array(
+                np.full(len(ct), bucket_id, dtype=np.int32), type=pa.int32()
+            ),
             "chunk_id": pa.array(ci.astype(np.int32), type=pa.int32()),
         }
         for name, t in _MERGED_SCHEMA:
@@ -217,6 +211,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
 _MERGED_SCHEMA = [
     ("term", pa.large_string()),
     ("salt", pa.int32()),
+    ("bucket", pa.int32()),
     ("chunk_id", pa.int32()),
     ("doc_freq", pa.int64()),
     ("total_term_freq", pa.int64()),
@@ -233,6 +228,31 @@ _MERGED_SCHEMA = [
     ("pos_blob", pa.large_binary()),
     ("pos_width", pa.int32()),
 ]
+
+
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def term_buckets(
+    terms: list[str], salts: np.ndarray, num_buckets: int
+) -> np.ndarray:
+    """Deterministic merge-bucket id per (term, salt) row.
+
+    Shared between the merge shuffle keying and the query-side direct
+    bucket probe (search/searcher.py:_RangeIndex) — a term's postings live
+    ONLY in the buckets this function returns for its possible salts, so a
+    lookup touches O(1) row groups instead of range-scanning the vocab."""
+    import zlib
+
+    crc = np.fromiter(
+        (zlib.crc32(t.encode()) for t in terms),
+        dtype=np.uint64,
+        count=len(terms),
+    )
+    salts = np.asarray(salts, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        prod = salts.astype(np.uint64) * np.uint64(_GOLDEN)
+    return ((crc ^ prod) % np.uint64(num_buckets)).astype(np.int32)
 
 
 _HOT_SAMPLE_SEGMENTS = 64
@@ -287,16 +307,20 @@ def _build_range_index(dir_path: str) -> None:
         fpath = os.path.join(dir_path, fname)
         pf = pq.ParquetFile(fpath)
         for rg in range(pf.metadata.num_row_groups):
-            terms = pf.read_row_group(rg, columns=["term"])["term"]
+            t = pf.read_row_group(rg, columns=["term", "bucket"])
+            terms = t["term"]
             if len(terms) == 0:
                 continue
             mm = pc.min_max(terms).as_py()
+            bmm = pc.min_max(t["bucket"]).as_py()
             rows.append(
                 {
                     "file": fname,
                     "row_group": rg,
                     "term_min": mm["min"],
                     "term_max": mm["max"],
+                    "bucket_min": bmm["min"],
+                    "bucket_max": bmm["max"],
                     "num_rows": len(terms),
                 }
             )
@@ -306,6 +330,8 @@ def _build_range_index(dir_path: str) -> None:
             "row_group": pa.array([r["row_group"] for r in rows], type=pa.int32()),
             "term_min": pa.array([r["term_min"] for r in rows], type=pa.large_string()),
             "term_max": pa.array([r["term_max"] for r in rows], type=pa.large_string()),
+            "bucket_min": pa.array([r["bucket_min"] for r in rows], type=pa.int32()),
+            "bucket_max": pa.array([r["bucket_max"] for r in rows], type=pa.int32()),
             "num_rows": pa.array([r["num_rows"] for r in rows], type=pa.int64()),
         }
     )

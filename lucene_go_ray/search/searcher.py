@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 from ..index.codec import block_metadata, decode_docs_freqs_norms, decode_positions
 from ..index.config import IndexConfig
 from ..index.manifest import load_manifest
+from ..index.merge import term_buckets
 from .query import (
     BooleanQuery,
     BoostQuery,
@@ -80,27 +81,48 @@ class _Scored:
 
 
 class _RangeIndex:
-    """term -> candidate (file, row_group) lookup over a sorted range table."""
+    """term -> candidate (file, row_group) lookup over the merged postings.
+
+    Two pruning predicates per row group: the term range [term_min,
+    term_max] AND the merge-bucket range [bucket_min, bucket_max]. The
+    caller passes the term's possible bucket ids (computable from
+    crc32(term) x its possible salts, index/merge.py:term_buckets), so a
+    lookup touches O(1) row groups — the FST seek of the reference
+    (/root/reference/codecs/simpletext/fieldsreader.go:290) at row-group
+    granularity, with no driver-side vocabulary."""
 
     def __init__(self, dir_path: str):
         t = pq.read_table(dir_path + "_index.parquet")
         self.files = t["file"].to_pylist()
         self.row_groups = t["row_group"].to_numpy(zero_copy_only=False)
-        self.term_min = t["term_min"].to_pylist()
-        self.term_max = t["term_max"].to_pylist()
+        self.term_min = np.asarray(t["term_min"].to_pylist(), dtype=object)
+        self.term_max = np.asarray(t["term_max"].to_pylist(), dtype=object)
+        self.bucket_min = t["bucket_min"].to_numpy(zero_copy_only=False)
+        self.bucket_max = t["bucket_max"].to_numpy(zero_copy_only=False)
         self.dir_path = dir_path
         self._pf_cache: dict[str, pq.ParquetFile] = {}
 
-    def candidates(self, term: str) -> list[tuple[str, int]]:
+    def candidates(
+        self, term: str, buckets: list[int] | None = None
+    ) -> list[tuple[str, int]]:
+        mask = (self.term_min <= term) & (term <= self.term_max)
+        if buckets is not None:
+            bmask = np.zeros(len(mask), dtype=bool)
+            for b in buckets:
+                bmask |= (self.bucket_min <= b) & (b <= self.bucket_max)
+            mask &= bmask
         return [
-            (self.files[i], int(self.row_groups[i]))
-            for i in range(len(self.files))
-            if self.term_min[i] <= term <= self.term_max[i]
+            (self.files[i], int(self.row_groups[i])) for i in np.flatnonzero(mask)
         ]
 
-    def read_term_rows(self, term: str, columns: list[str] | None = None) -> pa.Table:
+    def read_term_rows(
+        self,
+        term: str,
+        columns: list[str] | None = None,
+        buckets: list[int] | None = None,
+    ) -> pa.Table:
         tables = []
-        for fname, rg in self.candidates(term):
+        for fname, rg in self.candidates(term, buckets):
             pf = self._pf_cache.get(fname)
             if pf is None:
                 pf = pq.ParquetFile(os.path.join(self.dir_path, fname))
@@ -139,6 +161,20 @@ class IndexSearcher:
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
         self._postings_cache: dict[tuple, tuple] = {}
+        self._rows_cache: dict[str, list[dict]] = {}
+        # direct bucket probe state (mirror of the merge shuffle keying)
+        self._hot_set = frozenset(self.stats.get("hot_terms", ()))
+        self._num_buckets = self.cfg.merge_buckets
+        self._hot_salts = sorted(
+            {pid // self.cfg.salt_group_partitions for pid in self._pids}
+        )
+
+    def _term_buckets(self, term: str) -> list[int]:
+        """The only merge buckets that can hold this term's chunk rows."""
+        salts = self._hot_salts if term in self._hot_set else [-1]
+        return sorted(
+            set(term_buckets([term] * len(salts), salts, self._num_buckets).tolist())
+        )
 
     # ---------------- term access ----------------
 
@@ -146,8 +182,16 @@ class IndexSearcher:
         """(doc_freq, total_term_freq): exact global stats = sum of the
         term's merged chunk rows' metadata (column-pruned read; the
         TermStates accumulation of termstates.go:52-93 done at lookup)."""
+        rows = self._rows_cache.get(term)
+        if rows is not None:
+            return (
+                sum(r["doc_freq"] for r in rows),
+                sum(r["total_term_freq"] for r in rows),
+            )
         t = self.postings.read_term_rows(
-            term, columns=["term", "doc_freq", "total_term_freq"]
+            term,
+            columns=["term", "doc_freq", "total_term_freq"],
+            buckets=self._term_buckets(term),
         )
         if t.num_rows == 0:
             return 0, 0
@@ -157,11 +201,11 @@ class IndexSearcher:
         )
 
     def _term_rows(self, term: str) -> list[dict]:
-        t = self.postings.read_term_rows(term)
-        if t.num_rows == 0:
-            return []
-        rows = t.to_pylist()
-        rows.sort(key=lambda r: r["first_doc"])
+        rows = self._rows_cache.get(term)
+        if rows is None:
+            t = self.postings.read_term_rows(term, buckets=self._term_buckets(term))
+            rows = sorted(t.to_pylist(), key=lambda r: r["first_doc"]) if t.num_rows else []
+            self._rows_cache[term] = rows
         return rows
 
     def term_postings(
