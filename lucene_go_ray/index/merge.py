@@ -52,6 +52,11 @@ from .manifest import Manifest, save_manifest
 
 GLOBAL_DIR = "global"
 
+# Rows per row group in merged postings files: the unit of a term lookup
+# read. Small enough that one probe reads a few MB at most, large enough
+# that footer/metadata overhead stays negligible at web-scale vocab sizes.
+POSTINGS_ROW_GROUP_ROWS = 4096
+
 
 def _global_dir(index_dir: str) -> str:
     return os.path.join(index_dir, GLOBAL_DIR)
@@ -117,11 +122,10 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
             "salt", pa.array(salt, type=pa.int32())
         ).append_column("bucket", pa.array(bucket, type=pa.int32()))
 
-    def merge_bucket(group: pa.Table) -> pa.Table:
+    def merge_bucket(group: pa.Table, bucket_id: int) -> pa.Table:
         R = group.num_rows
         if R == 0:
             return _empty_merged_table()
-        bucket_id = int(group["bucket"][0].as_py())
         bases = ray.get(bases_ref)
         pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
         salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
@@ -180,13 +184,56 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 cols[name] = pa.array(enc[name], type=t)
         return pa.table({name: cols[name] for name, _ in _MERGED_SCHEMA})
 
-    (
-        ray.data.read_parquet(seg_files)
-        .map_batches(add_salt, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(merge_bucket, batch_format="pyarrow")
-        .write_parquet(os.path.join(tmp_gdir, "postings"))
-    )
+    # Two-phase file shuffle (explicit, storage-backed — the pattern that
+    # holds at 100 TB: no in-memory all-to-all, and both phases are plain
+    # embarrassingly-parallel map stages over files):
+    #   A. map over segment term tables -> write parquet hive-partitioned by
+    #      bucket (each map task appends one file per bucket it touches);
+    #   B. one reduce task per bucket reads ONLY its bucket directory,
+    #      merges + re-encodes all its (term, salt) groups in one numpy
+    #      pass, and writes a deterministic `bucket-NNNNN.parquet`,
+    #      term-sorted so row-group term ranges are tight for lookup.
+    postings_dir = os.path.join(tmp_gdir, "postings")
+    shuffle_dir = os.path.join(tmp_gdir, "shuffle")
+    phase_a = ray.data.read_parquet(
+        seg_files, partitioning=None  # don't infer hive col from p=NNNNN dirs
+    ).map_batches(add_salt, batch_format="pyarrow")
+    phase_a.write_parquet(shuffle_dir, partition_cols=["bucket"])
+
+    def reduce_bucket(batch: pa.Table) -> pa.Table:
+        buckets, nrows = [], []
+        for b in batch["bucket"].to_pylist():
+            b = int(b)
+            bdir = os.path.join(shuffle_dir, f"bucket={b}")
+            if os.path.isdir(bdir):
+                t = pq.read_table(bdir)
+                if "bucket" in t.column_names:  # re-inferred from hive path
+                    t = t.drop_columns(["bucket"])
+                merged = merge_bucket(t, b)
+            else:
+                merged = _empty_merged_table()
+            pq.write_table(
+                merged,
+                os.path.join(postings_dir, f"bucket-{b:05d}.parquet"),
+                row_group_size=POSTINGS_ROW_GROUP_ROWS,
+            )
+            buckets.append(b)
+            nrows.append(merged.num_rows)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "num_rows": pa.array(nrows, type=pa.int64()),
+            }
+        )
+
+    phase_b = ray.data.from_items(
+        [{"bucket": b} for b in range(num_buckets)]
+    ).map_batches(reduce_bucket, batch_size=1, batch_format="pyarrow", num_cpus=1)
+    phase_b.materialize()
+    if os.environ.get("LGR_MERGE_STATS"):
+        print(phase_a.stats())
+        print(phase_b.stats())
+    shutil.rmtree(shuffle_dir)
 
     # ---- pass 3: metadata-only term range index ----
     _build_range_index(os.path.join(tmp_gdir, "postings"))
