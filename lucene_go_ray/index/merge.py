@@ -201,42 +201,83 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     phase_a.write_parquet(shuffle_dir, partition_cols=["bucket"])
 
     def reduce_bucket(batch: pa.Table) -> pa.Table:
-        buckets, nrows = [], []
+        # Writes this bucket's merged postings file AND returns its range-
+        # index rows (per row group: term min/max), so the lookup index
+        # needs no separate driver-side metadata pass over the files.
+        import time as _time
+
+        trace = os.environ.get("LGR_REDUCE_TRACE")
+        out: dict[str, list] = {k: [] for k in _RANGE_INDEX_COLS}
         for b in batch["bucket"].to_pylist():
             b = int(b)
+            t0 = _time.perf_counter()
             bdir = os.path.join(shuffle_dir, f"bucket={b}")
             if os.path.isdir(bdir):
-                t = pq.read_table(bdir)
-                if "bucket" in t.column_names:  # re-inferred from hive path
-                    t = t.drop_columns(["bucket"])
+                # one shuffle file per (map task, bucket): read them with an
+                # I/O thread pool — Ray pins each worker's Arrow CPU pool to
+                # 1, so a plain directory read would open files serially.
+                from concurrent.futures import ThreadPoolExecutor
+
+                files = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    tabs = list(ex.map(pq.read_table, files))
+                t = pa.concat_tables(tabs)
+                t1 = _time.perf_counter()
                 merged = merge_bucket(t, b)
             else:
+                t1 = _time.perf_counter()
                 merged = _empty_merged_table()
+            t2 = _time.perf_counter()
+            fname = f"bucket-{b:05d}.parquet"
             pq.write_table(
                 merged,
-                os.path.join(postings_dir, f"bucket-{b:05d}.parquet"),
+                os.path.join(postings_dir, fname),
                 row_group_size=POSTINGS_ROW_GROUP_ROWS,
             )
-            buckets.append(b)
-            nrows.append(merged.num_rows)
+            if trace:
+                print(
+                    f"[reduce b={b}] read={t1 - t0:.2f}s merge={t2 - t1:.2f}s "
+                    f"write={_time.perf_counter() - t2:.2f}s rows={merged.num_rows}",
+                    flush=True,
+                )
+            terms = merged["term"]
+            for rg_start in range(0, merged.num_rows, POSTINGS_ROW_GROUP_ROWS):
+                sl = terms.slice(rg_start, POSTINGS_ROW_GROUP_ROWS)
+                mm = pc.min_max(sl).as_py()
+                out["file"].append(fname)
+                out["row_group"].append(rg_start // POSTINGS_ROW_GROUP_ROWS)
+                out["term_min"].append(mm["min"])
+                out["term_max"].append(mm["max"])
+                out["bucket_min"].append(b)
+                out["bucket_max"].append(b)
+                out["num_rows"].append(len(sl))
         return pa.table(
-            {
-                "bucket": pa.array(buckets, type=pa.int32()),
-                "num_rows": pa.array(nrows, type=pa.int64()),
-            }
+            {name: pa.array(out[name], type=t) for name, t in _RANGE_INDEX_SCHEMA}
         )
 
     phase_b = ray.data.from_items(
         [{"bucket": b} for b in range(num_buckets)]
     ).map_batches(reduce_bucket, batch_size=1, batch_format="pyarrow", num_cpus=1)
-    phase_b.materialize()
+    index_rows = phase_b.take_all()  # one row per postings row group (small)
     if os.environ.get("LGR_MERGE_STATS"):
         print(phase_a.stats())
         print(phase_b.stats())
     shutil.rmtree(shuffle_dir)
 
-    # ---- pass 3: metadata-only term range index ----
-    _build_range_index(os.path.join(tmp_gdir, "postings"))
+    # ---- pass 3: term range index from the reduce tasks' metadata ----
+    pq.write_table(
+        pa.table(
+            {
+                name: pa.array([r[name] for r in index_rows], type=t)
+                for name, t in _RANGE_INDEX_SCHEMA
+            }
+        ),
+        os.path.join(tmp_gdir, "postings_index.parquet"),
+    )
 
     with open(os.path.join(tmp_gdir, "stats.json"), "w") as f:
         json.dump(
@@ -318,9 +359,12 @@ def _estimate_hot_terms(seg_files: list[str], hot_doc_freq: int) -> set[str]:
         return set()
     stride = max(1, P // _HOT_SAMPLE_SEGMENTS)
     sample = seg_files[::stride][:_HOT_SAMPLE_SEGMENTS]
-    parts = [
-        pq.read_table(f, columns=["term", "doc_freq"]) for f in sample
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(sample))) as ex:
+        parts = list(
+            ex.map(lambda f: pq.read_table(f, columns=["term", "doc_freq"]), sample)
+        )
     agg = (
         pa.concat_tables(parts)
         .group_by("term")
@@ -339,47 +383,13 @@ def _empty_merged_table() -> pa.Table:
     return pa.table({name: pa.array([], type=t) for name, t in _MERGED_SCHEMA})
 
 
-def _build_range_index(dir_path: str) -> None:
-    """(file, row_group, term_min, term_max, num_rows) per row group.
-
-    Exact min/max are computed from the term column itself (a single small
-    column read) rather than parquet footer statistics, which may be
-    truncated for long terms."""
-    import pyarrow.compute as pc
-
-    rows = []
-    for fname in sorted(os.listdir(dir_path)):
-        if not fname.endswith(".parquet"):
-            continue
-        fpath = os.path.join(dir_path, fname)
-        pf = pq.ParquetFile(fpath)
-        for rg in range(pf.metadata.num_row_groups):
-            t = pf.read_row_group(rg, columns=["term", "bucket"])
-            terms = t["term"]
-            if len(terms) == 0:
-                continue
-            mm = pc.min_max(terms).as_py()
-            bmm = pc.min_max(t["bucket"]).as_py()
-            rows.append(
-                {
-                    "file": fname,
-                    "row_group": rg,
-                    "term_min": mm["min"],
-                    "term_max": mm["max"],
-                    "bucket_min": bmm["min"],
-                    "bucket_max": bmm["max"],
-                    "num_rows": len(terms),
-                }
-            )
-    table = pa.table(
-        {
-            "file": pa.array([r["file"] for r in rows]),
-            "row_group": pa.array([r["row_group"] for r in rows], type=pa.int32()),
-            "term_min": pa.array([r["term_min"] for r in rows], type=pa.large_string()),
-            "term_max": pa.array([r["term_max"] for r in rows], type=pa.large_string()),
-            "bucket_min": pa.array([r["bucket_min"] for r in rows], type=pa.int32()),
-            "bucket_max": pa.array([r["bucket_max"] for r in rows], type=pa.int32()),
-            "num_rows": pa.array([r["num_rows"] for r in rows], type=pa.int64()),
-        }
-    )
-    pq.write_table(table, dir_path + "_index.parquet")
+_RANGE_INDEX_SCHEMA = [
+    ("file", pa.string()),
+    ("row_group", pa.int32()),
+    ("term_min", pa.large_string()),
+    ("term_max", pa.large_string()),
+    ("bucket_min", pa.int32()),
+    ("bucket_max", pa.int32()),
+    ("num_rows", pa.int64()),
+]
+_RANGE_INDEX_COLS = [name for name, _ in _RANGE_INDEX_SCHEMA]

@@ -53,7 +53,7 @@ def synthesize_corpus(
     seed: int = 42,
     vocab_size: int = 10_000,
     shard_rows: int = 250_000,
-    row_group_rows: int = 25_000,
+    row_group_rows: int = 5_000,
 ) -> list[str]:
     """Write the corpus as one or more parquet shards; returns the paths.
 

@@ -54,6 +54,12 @@ from .query import (
 from .scorer import BM25Scorer, idf
 
 
+# Postings volume below which exhaustive evaluation beats block-max WAND
+# (interval setup is O(total blocks) per query; measured crossover on the
+# synthetic web corpus is in the low hundreds of thousands).
+WAND_MIN_POSTINGS = 200_000
+
+
 @dataclass
 class TopDocs:
     doc_ids: np.ndarray  # int64, rank order
@@ -402,6 +408,12 @@ class IndexSearcher:
         rows_per_term = [self._term_rows(t) for t in terms]
         if all(not r for r in rows_per_term):
             return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+        # Adaptive engage: the interval bookkeeping costs O(total blocks)
+        # per query up front, so pruning only pays off once the candidate
+        # postings volume is large (exactly when it matters at web scale).
+        total_df = sum(r["doc_freq"] for rows in rows_per_term for r in rows)
+        if total_df < WAND_MIN_POSTINGS:
+            return None
         weights = [
             self.scorer.weight(self.term_statistics(t)[0]) for t in terms
         ]
@@ -498,7 +510,16 @@ class IndexSearcher:
         n = concurrency or max(
             1, min(len(queries), int(ray.cluster_resources().get("CPU", 4)))
         )
+        # Term-affinity routing: batch queries sorted by their clause terms
+        # so queries sharing a (Zipf-hot) term land on the same actor and
+        # its decoded-postings cache — otherwise every actor re-decodes the
+        # same hot posting lists and adding actors adds duplicated work.
+        queries = sorted(queries, key=lambda q: tuple(q.get("clauses", ())))
         ds = ray.data.from_items(queries)
+        # several batches per actor: term-sorted stream keeps neighbouring
+        # (same-term) queries in one batch, while small batches let the
+        # pool load-balance away from the actor stuck with the hottest term
+        batch_size = max(4, len(queries) // (n * 8))
         return ds.map_batches(
             SearcherActor,
             fn_constructor_kwargs={
@@ -506,7 +527,7 @@ class IndexSearcher:
                 "k": k,
                 "prune": prune,
             },
-            batch_size=max(1, (len(queries) + n - 1) // n),
+            batch_size=batch_size,
             batch_format="pandas",
             concurrency=n,
             num_cpus=1,
