@@ -160,6 +160,115 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+def _constant_topk_sql(term_pred: str, k: int) -> str:
+    """Constant-score top-k (MultiTermQuery CONSTANT_SCORE_REWRITE): every
+    matching doc scores 1.0; ties by docID ascending."""
+    return f"""
+WITH {_TOKS},
+cand AS (SELECT DISTINCT doc_id FROM toks WHERE {term_pred})
+SELECT row_number() OVER (ORDER BY doc_id) AS rank, doc_id, 1.0::DOUBLE AS score
+FROM cand ORDER BY doc_id LIMIT {k}
+"""
+
+
+def _dismax_topk_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks
+        WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         max({_bm25_score_expr(_idf_expr("dfs.df"), "t.freq", "n.norm")}) AS score
+  FROM tfs t JOIN dfs ON dfs.term = t.term
+  JOIN norms n ON n.doc_id = t.doc_id, stats
+  GROUP BY t.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _range_filter_topk_sql(term: str, lo: int, hi: int, k: int) -> str:
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_score_expr(_idf_expr("dfv.df"), "tf.freq", "n.norm")} AS score
+  FROM tf JOIN norms n ON n.doc_id = tf.doc_id, dfv, stats
+  WHERE tf.doc_id BETWEEN {lo} AND {hi}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _paged_topk_sql(term: str, page: int, page_size: int) -> str:
+    lo = (page - 1) * page_size + 1
+    hi = page * page_size
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_score_expr(_idf_expr("dfv.df"), "tf.freq", "n.norm")} AS score
+  FROM tf JOIN norms n ON n.doc_id = tf.doc_id, dfv, stats
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank BETWEEN {lo} AND {hi} ORDER BY rank
+"""
+
+
+_JACCARD_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         lower(unnest(string_split_regex(text, '{_WS}'))) AS tok,
+         generate_subscripts(string_split_regex(text, '{_WS}'), 1) AS idx
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+  FROM raw t0
+  JOIN raw t1 ON t1.doc_id = t0.doc_id AND t1.idx = t0.idx + 1
+  JOIN raw t2 ON t2.doc_id = t0.doc_id AND t2.idx = t0.idx + 2
+),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b, round(i.c / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.5
+"""
+
+_EMB_NEAR_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT a, b, sim FROM pairs WHERE sim >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # gate query terms (all present at every sf of the synthetic documents table)
 # ---------------------------------------------------------------------------
@@ -170,6 +279,11 @@ _OR_TERMS = ["spark", "window", "dup"]
 _NOT_TERMS = ["scan", "join"]
 _MSM_TERMS = ["spark", "window", "dup", "batch"]
 _PHRASE = ["batch", "scan"]
+_PREFIX = "sp"
+_RANGE = ["m", "p"]
+_SET_TERMS = ["spark", "window", "dup"]
+_DISMAX_TERMS = ["spark", "window"]
+_FILTER_TERM, _FILTER_LO, _FILTER_HI = "spark", 100, 400
 _K = 10
 
 
@@ -224,11 +338,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bool_msm": msm_topk,
         "topk_phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
         "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
+        # --- multi-term / constant-score / dismax / filter / paging / sort ---
+        "topk_prefix": lambda sf: fulltext.topk(sf, "prefix", [_PREFIX], _K),
+        "topk_term_range": lambda sf: fulltext.topk(sf, "term_range", _RANGE, _K),
+        "topk_term_set": lambda sf: fulltext.topk(sf, "term_set", _SET_TERMS, _K),
+        "topk_dismax": lambda sf: fulltext.topk(sf, "dismax", _DISMAX_TERMS, _K),
+        "topk_constant": lambda sf: fulltext.topk(sf, "constant", [_TERM], _K),
+        "topk_range_filter": lambda sf: fulltext.topk(
+            sf, "range_filter", [_FILTER_TERM, str(_FILTER_LO), str(_FILTER_HI)], _K
+        ),
+        "topk_paged": lambda sf: fulltext.topk_paged(sf, "term", [_TERM], page=2),
+        "sorted_topn_norms": lambda sf: fulltext.sorted_topn_norms(sf, 20),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(sf),
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash": lambda sf: dedup.simhash_table(sf),
+        "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
+        "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
         # --- text analysis ---
         "token_counts": lambda sf: textstats.token_counts(sf),
         "text_quality": lambda sf: textstats.text_quality(sf),
@@ -267,6 +394,25 @@ SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
         "topk_bool_not": _topk_bool_sql(_NOT_TERMS, _K, "not"),
         "topk_bool_msm": _topk_bool_sql(_MSM_TERMS, _K, "or", msm=2),
         "topk_phrase": _topk_phrase_sql(_PHRASE, _K),
+        "topk_prefix": _constant_topk_sql(f"term LIKE '{_PREFIX}%'", _K),
+        "topk_term_range": _constant_topk_sql(
+            f"term >= '{_RANGE[0]}' AND term <= '{_RANGE[1]}'", _K
+        ),
+        "topk_term_set": _constant_topk_sql(
+            "term IN (" + ", ".join(f"'{t}'" for t in _SET_TERMS) + ")", _K
+        ),
+        "topk_dismax": _dismax_topk_sql(_DISMAX_TERMS, _K),
+        "topk_constant": _constant_topk_sql(f"term = '{_TERM}'", _K),
+        "topk_range_filter": _range_filter_topk_sql(
+            _FILTER_TERM, _FILTER_LO, _FILTER_HI, _K
+        ),
+        "topk_paged": _paged_topk_sql(_TERM, 2, 10),
+        "sorted_topn_norms": f"""
+WITH {_TOKS}, {_NORMS}
+SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20
+""",
+        "jaccard_pairs": _JACCARD_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "term_doc_count": f"""
 WITH {_TOKS}
 SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM toks WHERE term = '{_TERM}'

@@ -295,3 +295,158 @@ def simhash_table(sf_dir: str, key: str = "doc_id", text: str = "text"):
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
     )
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def jaccard_ngram_pairs(
+    sf_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+):
+    """Exact token-k-gram Jaccard near-dup pairs via a shingle inverted join.
+
+    Shingles are the raw whitespace tokens (lowercased, empties kept — the
+    tokenizer semantics of analysis/analyzer.py) joined with single spaces,
+    so a DuckDB oracle can reproduce them exactly. Pipeline shape (all
+    Dataset-native, scales as an inverted join, not an all-pairs scan):
+
+      map_batches: doc -> DISTINCT shingles      (vectorized)
+      groupby(shingle).map_groups: co-occurring docs -> candidate pairs
+      groupby(pair): intersection counts
+      join per-doc shingle-set sizes (tiny side, collected once) -> Jaccard
+
+    At web scale the shingle strings would be 64-bit hashes (rows-only
+    check); the string form is kept here for SQL verifiability.
+    """
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..analysis import GO_WHITESPACE_CLASS as _WS
+
+    def _shingles(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text].combine_chunks().cast(pa.large_string())), _WS
+        )
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        out_doc, out_sh = [], []
+        # per-doc k-gram join; python-level but O(tokens) with numpy slices
+        for d in range(len(counts)):
+            lo, hi = offs[d], offs[d + 1]
+            n = hi - lo
+            if n < k:
+                continue
+            t = flat[lo:hi]
+            sh = t[: n - k + 1].copy()
+            for j in range(1, k):
+                sh = sh + " "
+                sh = sh + t[j : n - k + 1 + j]
+            uniq = np.unique(sh)
+            out_doc.append(np.full(len(uniq), keys[d], dtype=np.int64))
+            out_sh.append(uniq)
+        if not out_doc:
+            return pa.table(
+                {key: pa.array([], type=pa.int64()),
+                 "shingle": pa.array([], type=pa.large_string())}
+            )
+        return pa.table(
+            {
+                key: pa.array(np.concatenate(out_doc)),
+                "shingle": pa.array(
+                    np.concatenate(out_sh).tolist(), type=pa.large_string()
+                ),
+            }
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(group[key].to_numpy(zero_copy_only=False))
+        if len(docs) < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        ai, bi = np.triu_indices(len(docs), 1)
+        return pa.table({"a": pa.array(docs[ai]), "b": pa.array(docs[bi])})
+
+    sh = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    ).map_batches(_shingles, batch_format="pyarrow")
+    sizes = {
+        int(r[key]): int(r["count()"])
+        for r in sh.groupby(key).aggregate(Count()).take_all()
+    }
+    inter = (
+        sh.groupby("shingle")
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
+        nb = np.array([sizes[int(x)] for x in b], dtype=np.float64)
+        j = np.round(c / (na + nb - c), 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return inter.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def embedding_near_dup(
+    sf_dir: str,
+    key: str = "vec_id",
+    col: str = "embedding",
+    threshold: float = 0.4,
+):
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    map_batches computes each batch's similarities against the full
+    normalized matrix broadcast ONCE via ray.put (numpy matmul per batch —
+    the brute-force O(N^2/batches) baseline; the LSH-bucketed variant in
+    pipelines/ann.py is the scale path for the same kernel)."""
+    import os
+
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[key, col])
+    E = np.array(t[col].to_pylist(), dtype=np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((E, ids))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        Eall, ids_all = ray.get(ref)
+        eb = np.array(batch[col].to_pylist(), dtype=np.float64)
+        eb /= np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-12)
+        ib = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        S = eb @ Eall.T
+        S6 = np.round(S, 6)
+        ri, ci = np.nonzero((S6 >= threshold) & (ib[:, None] < ids_all[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(ib[ri]),
+                "b": pa.array(ids_all[ci]),
+                "sim": pa.array(S6[ri, ci], type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=[key, col])
+    return ds.map_batches(_pairs, batch_format="pyarrow")

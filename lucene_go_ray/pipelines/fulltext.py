@@ -218,3 +218,42 @@ def term_doc_count(sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG) -> pa.T
     return pa.table(
         {"total_hits": pa.array([s.count(TermQuery(term))], type=pa.int64())}
     )
+
+
+def sorted_topn_norms(sf_dir: str, n: int = 20, cfg: IndexConfig = _GATE_CFG):
+    """Field-sorted top-N (the TopFieldCollector surface,
+    /root/reference/core/search/topfieldcollector.go): docs ordered by
+    field-length norm desc then doc_id asc — a Dataset ``sort`` + ``limit``
+    (distributed ordered-limit, no full materialization)."""
+    ds = doc_norms(sf_dir, cfg)
+    return ds.sort(["norm", "doc_id"], descending=[True, False]).limit(n)
+
+
+def topk_paged(
+    sf_dir: str,
+    kind: str,
+    clauses: list[str],
+    page: int = 2,
+    page_size: int = 10,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Page ``page`` of the rounded-score ranking (SearchAfter paging,
+    /root/reference/core/search/indexsearcher.go:223-262). Ranking is done
+    in the rounded-score domain like every gate top-k (full-precision
+    ``IndexSearcher.search_after`` paging is asserted in pytest)."""
+    s = get_searcher(sf_dir, cfg)
+    q = query_from_descriptor(kind, clauses)
+    td = s.search(q, page * page_size + 400)
+    scores6 = np.round(td.scores, 6)
+    order = np.lexsort((td.doc_ids, -scores6))
+    sel = order[(page - 1) * page_size : page * page_size]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange((page - 1) * page_size + 1,
+                          (page - 1) * page_size + 1 + len(sel), dtype=np.int64)
+            ),
+            "doc_id": pa.array(td.doc_ids[sel]),
+            "score": pa.array(scores6[sel], type=pa.float64()),
+        }
+    )

@@ -61,6 +61,74 @@ class BoostQuery(Query):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Every matching doc scores ``boost`` (reference ConstantScoreQuery,
+    /root/reference/core/search/ — skeletal there; semantics from Lucene)."""
+
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(clause scores) + tie_breaker * sum(other clause scores)
+    (reference DisjunctionMaxQuery is skeletal; semantics from Lucene)."""
+
+    disjuncts: tuple
+    tie_breaker: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "disjuncts", tuple(self.disjuncts))
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score membership in a term set (reference TermInSetQuery is
+    skeletal; Lucene semantics: matches any doc containing any set term,
+    scored as a constant)."""
+
+    terms: tuple
+    field: str = "text"
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(sorted(set(self.terms))))
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Constant-score over all terms with the given prefix (reference
+    PrefixQuery is a stub, prefixquery.go; Lucene default
+    CONSTANT_SCORE_REWRITE semantics). Term expansion happens in the
+    searcher against the merged term dictionary."""
+
+    prefix: str
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Constant-score over terms in [lower, upper] byte order (reference
+    TermRangeQuery is a stub; Lucene constant-score semantics)."""
+
+    lower: str
+    upper: str
+    include_lower: bool = True
+    include_upper: bool = True
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class DocIdRangeQuery(Query):
+    """Matches global docIDs in [lo, hi] — the engine's zone-map analogue of
+    the reference PointRangeQuery over a sorted numeric key
+    (/root/reference/core/search/pointrangequery.go); typically used as a
+    FILTER clause."""
+
+    lo: int
+    hi: int
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     terms: tuple
     field: str = "text"

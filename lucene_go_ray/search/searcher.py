@@ -45,11 +45,17 @@ from ..index.merge import term_buckets
 from .query import (
     BooleanQuery,
     BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    DocIdRangeQuery,
     MatchAllDocsQuery,
     Occur,
     PhraseQuery,
+    PrefixQuery,
     Query,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
 )
 from .scorer import BM25Scorer, idf
 
@@ -120,6 +126,24 @@ class _RangeIndex:
         return [
             (self.files[i], int(self.row_groups[i])) for i in np.flatnonzero(mask)
         ]
+
+    def expand_terms(self, lo: str, hi: str) -> list[str]:
+        """All dictionary terms in [lo, hi] (byte order): the MultiTermQuery
+        expansion seek. Reads ONLY the term column of overlapping row
+        groups; bucket files are hash-scattered so a range scan touches
+        many row groups, but the term column alone is a tiny fraction of
+        each (postings blobs are never read)."""
+        mask = (self.term_min <= hi) & (lo <= self.term_max)
+        terms: set[str] = set()
+        for i in np.flatnonzero(mask):
+            pf = self._pf_cache.get(self.files[i])
+            if pf is None:
+                pf = pq.ParquetFile(os.path.join(self.dir_path, self.files[i]))
+                self._pf_cache[self.files[i]] = pf
+            col = pf.read_row_group(int(self.row_groups[i]), columns=["term"])["term"]
+            arr = col.to_pylist()
+            terms.update(t for t in arr if lo <= t <= hi)
+        return sorted(terms)
 
     def read_term_rows(
         self,
@@ -264,6 +288,20 @@ class IndexSearcher:
             td.keys = self.lookup_keys(td.doc_ids)
         return td
 
+    def search_after(
+        self, query: Query, after: tuple[float, int] | None, k: int = 10
+    ) -> TopDocs:
+        """Paging: top-k hits strictly after ``(score, doc_id)`` in
+        (score desc, docID asc) order — PagingTopScoreDocCollector
+        (/root/reference/core/search/topscoredoccollector.go:235+,
+        indexsearcher.go:223-262)."""
+        s = self._eval(query.rewrite(), 1.0, need_scores=True)
+        if after is not None:
+            a_score, a_doc = after
+            keep = (s.scores < a_score) | ((s.scores == a_score) & (s.docs > a_doc))
+            s = _Scored(s.docs[keep], s.scores[keep])
+        return _topk(s, k)
+
     def lookup_keys(self, doc_ids: np.ndarray) -> list:
         """Stored-key retrieval: global docID -> (partition, ord) -> docmap row
         (the reader.Document stored-fields visit, SURVEY.md §2.4)."""
@@ -301,11 +339,64 @@ class IndexSearcher:
         if isinstance(q, MatchAllDocsQuery):
             docs = np.arange(self.manifest.max_doc, dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, ConstantScoreQuery):
+            ev = self._eval(q.query, 0.0, False)
+            return _Scored(
+                ev.docs,
+                np.full(len(ev.docs), boost * q.boost) if need_scores else None,
+            )
+        if isinstance(q, DocIdRangeQuery):
+            lo = max(0, int(q.lo))
+            hi = min(self.manifest.max_doc - 1, int(q.hi))
+            docs = np.arange(lo, hi + 1, dtype=np.int64)
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, TermInSetQuery):
+            return self._eval_term_union(list(q.terms), boost, need_scores)
+        if isinstance(q, PrefixQuery):
+            terms = self.postings.expand_terms(q.prefix, q.prefix + "\U0010ffff")
+            return self._eval_term_union(terms, boost, need_scores)
+        if isinstance(q, TermRangeQuery):
+            terms = self.postings.expand_terms(q.lower, q.upper)
+            if not q.include_lower:
+                terms = [t for t in terms if t != q.lower]
+            if not q.include_upper:
+                terms = [t for t in terms if t != q.upper]
+            return self._eval_term_union(terms, boost, need_scores)
+        if isinstance(q, DisjunctionMaxQuery):
+            evs = [self._eval(d, boost, need_scores) for d in q.disjuncts]
+            evs = [e for e in evs if len(e.docs)]
+            if not evs:
+                return _Scored(np.empty(0, np.int64), np.empty(0))
+            base = np.unique(np.concatenate([e.docs for e in evs]))
+            if not need_scores:
+                return _Scored(base, None)
+            per = np.zeros((len(evs), len(base)), dtype=np.float64)
+            for i, e in enumerate(evs):
+                pos = np.searchsorted(base, e.docs)
+                per[i, pos] = e.scores
+            mx = per.max(axis=0)
+            scores = mx + q.tie_breaker * (per.sum(axis=0) - mx)
+            return _Scored(base, scores)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, boost, need_scores)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, boost, need_scores)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _eval_term_union(
+        self, terms: list[str], boost: float, need_scores: bool
+    ) -> _Scored:
+        """Constant-score union of the terms' postings (MultiTermQuery
+        CONSTANT_SCORE_REWRITE — every matching doc scores ``boost``)."""
+        docs_list = []
+        for t in terms:
+            p = self.term_postings(t)
+            if p is not None:
+                docs_list.append(p["docs"])
+        if not docs_list:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        docs = np.unique(np.concatenate(docs_list))
+        return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
 
     def _eval_phrase(self, q: PhraseQuery, boost: float, need_scores: bool) -> _Scored:
         if not q.terms:
@@ -549,6 +640,22 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
         return PhraseQuery(tuple(clauses))
     if kind == "match_all":
         return MatchAllDocsQuery()
+    if kind == "prefix":
+        return PrefixQuery(clauses[0])
+    if kind == "term_range":
+        return TermRangeQuery(clauses[0], clauses[1])
+    if kind == "term_set":
+        return TermInSetQuery(tuple(clauses))
+    if kind == "dismax":
+        return DisjunctionMaxQuery(tuple(TermQuery(c) for c in clauses))
+    if kind == "constant":
+        return ConstantScoreQuery(TermQuery(clauses[0]))
+    if kind == "range_filter":
+        # clauses = [term, lo, hi]: scored term MUST + docID-range FILTER
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[DocIdRangeQuery(int(clauses[1]), int(clauses[2]))],
+        )
     raise ValueError(f"unknown query kind {kind!r}")
 
 

@@ -13,10 +13,16 @@ import math
 from lucene_go_ray.search.query import (
     BooleanQuery,
     BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    DocIdRangeQuery,
     MatchAllDocsQuery,
     Occur,
     PhraseQuery,
+    PrefixQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
 )
 
 LENGTH_TABLE = list(range(256))
@@ -66,6 +72,36 @@ class NaiveEngine:
             return self._eval(q.query, boost * q.boost, need_scores)
         if isinstance(q, MatchAllDocsQuery):
             return {d: boost for d in range(self.max_doc)}
+        if isinstance(q, ConstantScoreQuery):
+            return {
+                d: boost * q.boost for d in self._eval(q.query, 0.0, False)
+            }
+        if isinstance(q, DocIdRangeQuery):
+            lo, hi = max(0, q.lo), min(self.max_doc - 1, q.hi)
+            return {d: boost for d in range(lo, hi + 1)}
+        if isinstance(q, (TermInSetQuery, PrefixQuery, TermRangeQuery)):
+            if isinstance(q, TermInSetQuery):
+                terms = [t for t in q.terms if t in self.postings]
+            elif isinstance(q, PrefixQuery):
+                terms = [t for t in self.postings if t.startswith(q.prefix)]
+            else:
+                terms = [
+                    t
+                    for t in self.postings
+                    if (q.lower < t or (q.include_lower and t == q.lower))
+                    and (t < q.upper or (q.include_upper and t == q.upper))
+                ]
+            docs = set()
+            for t in terms:
+                docs |= set(self.postings[t])
+            return {d: boost for d in docs}
+        if isinstance(q, DisjunctionMaxQuery):
+            evs = [self._eval(d, boost, need_scores) for d in q.disjuncts]
+            out: dict[int, float] = {}
+            for d in set().union(*[set(e) for e in evs]) if evs else set():
+                ss = [e[d] for e in evs if d in e]
+                out[d] = max(ss) + q.tie_breaker * (sum(ss) - max(ss))
+            return out
         if isinstance(q, PhraseQuery):
             plists = [self.postings.get(t) for t in q.terms]
             if any(p is None for p in plists):

@@ -198,3 +198,47 @@ def test_resume_skips_completed_partitions(built, tmp_path):
     t = _common_terms(oracle, 20, 10**9)[0]
     exp, total = oracle.search(TermQuery(t), 10)
     _assert_rank_identical(s2.search(TermQuery(t), 10), exp, total)
+
+
+def test_multiterm_and_dismax_rank_identical(built):
+    """Prefix / term-range / term-in-set expansion, constant-score,
+    dismax and docID-range filter vs the exhaustive oracle."""
+    from lucene_go_ray.search.query import (
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        DocIdRangeQuery,
+        PrefixQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+    )
+
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    common = _common_terms(oracle, 20, 400)
+    t1, t2 = common[0], common[-1]
+    queries = [
+        PrefixQuery(t1[:2]),
+        TermRangeQuery(t1[:1], t2[:1] + "\U0010ffff"),
+        TermInSetQuery((t1, t2, "no-such-term")),
+        ConstantScoreQuery(TermQuery(t1), boost=2.5),
+        DisjunctionMaxQuery((TermQuery(t1), TermQuery(t2)), tie_breaker=0.3),
+        BooleanQuery.build(must=[TermQuery(t1)], filter=[DocIdRangeQuery(50, 300)]),
+    ]
+    for q in queries:
+        td = s.search(q, 15)
+        expected, total = oracle.search(q, 15)
+        _assert_rank_identical(td, expected, total)
+
+
+def test_search_after_paging(built):
+    """SearchAfter page 2 == slice [k:2k] of a double-size search."""
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    t = _common_terms(oracle, 30, 400)[0]
+    q = TermQuery(t)
+    full = s.search(q, 20)
+    page1 = s.search(q, 10)
+    after = (float(page1.scores[-1]), int(page1.doc_ids[-1]))
+    page2 = s.search_after(q, after, 10)
+    assert page2.doc_ids.tolist() == full.doc_ids[10:20].tolist()
+    assert page2.scores.tolist() == full.scores[10:20].tolist()
