@@ -304,6 +304,12 @@ def entry() -> Any:
     return s.search_batch_dataset(queries, k=10).to_pandas()
 
 
+def _multimodal_features(sf):
+    from lucene_go_ray.pipelines import multimodal
+
+    return multimodal.multimodal_features(sf)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_go_ray.pipelines import ann, dedup, fulltext, textstats
     from lucene_go_ray.search.query import BooleanQuery
@@ -364,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
         "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
+        # --- multimodal plumbing (stubbed decode kernels; rows-only) ---
+        "multimodal_features": _multimodal_features,
     }
 
 

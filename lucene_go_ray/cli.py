@@ -1,0 +1,156 @@
+"""Cluster job entry points — the ``ray job submit`` surface of the engine.
+
+Examples (north-rule run mode):
+
+    ray job submit --working-dir . -- \
+        python -m lucene_go_ray.cli build \
+        --input /data/commoncrawl/*.parquet --index /data/index \
+        --partition-rows 20000
+
+    ray job submit --working-dir . -- \
+        python -m lucene_go_ray.cli search \
+        --index /data/index --kind bool_and --clauses sort merge --k 10
+
+    python -m lucene_go_ray.cli query-batch \
+        --index /data/index --queries queries.jsonl --out results.parquet
+
+Owns its Ray session (guarded init) per the driver contract: library code
+never calls ``ray.init``; this CLI and bench.py do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if "--cluster" in sys.argv else "local",
+                 include_dashboard=False, ignore_reinit_error=True)
+    return ray
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from .index import IndexConfig, build_index
+
+    paths = sorted(p for pat in args.input for p in glob.glob(pat))
+    if not paths:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    cfg = IndexConfig(
+        key_column=args.key_column,
+        text_column=args.text_column,
+        target_partition_rows=args.partition_rows,
+        hot_term_doc_freq=args.hot_term_doc_freq,
+        salt_group_partitions=args.salt_group_partitions,
+        merge_buckets=args.merge_buckets,
+        index_positions=not args.no_positions,
+    )
+    manifest = build_index(paths, args.index, cfg, merge=not args.no_merge)
+    print(
+        json.dumps(
+            {
+                "index": args.index,
+                "partitions": len(manifest.partitions),
+                "max_doc": manifest.max_doc,
+                "merged": manifest.merged,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ensure_ray()
+    from .search import IndexSearcher
+    from .search.searcher import query_from_descriptor
+
+    s = IndexSearcher(args.index)
+    q = query_from_descriptor(args.kind, args.clauses)
+    td = s.search(q, args.k, prune=args.prune, with_keys=args.keys)
+    for i in range(len(td.doc_ids)):
+        row = {
+            "rank": i + 1,
+            "doc_id": int(td.doc_ids[i]),
+            "score": float(td.scores[i]),
+        }
+        if td.keys is not None:
+            row["key"] = td.keys[i]
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_query_batch(args) -> int:
+    _ensure_ray()
+    from .search import IndexSearcher
+
+    with open(args.queries) as f:
+        queries = [json.loads(line) for line in f if line.strip()]
+    s = IndexSearcher(args.index)
+    ds = s.search_batch_dataset(queries, k=args.k, prune=args.prune)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"queries": len(queries), "out": args.out}))
+    else:
+        for row in ds.iter_rows():
+            print(json.dumps({k: (v.item() if hasattr(v, "item") else v)
+                              for k, v in row.items()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_go_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", nargs="+", required=True, help="parquet globs")
+    b.add_argument("--index", required=True)
+    b.add_argument("--key-column", default="url")
+    b.add_argument("--text-column", default="text")
+    b.add_argument("--partition-rows", type=int, default=20000)
+    b.add_argument("--hot-term-doc-freq", type=int, default=500_000)
+    b.add_argument("--salt-group-partitions", type=int, default=8)
+    b.add_argument("--merge-buckets", type=int, default=32)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-merge", action="store_true")
+    b.add_argument("--cluster", action="store_true",
+                   help="ray.init(address='auto') instead of local")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="one query against a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument(
+        "--kind",
+        default="term",
+        choices=["term", "bool_and", "bool_or", "bool_not", "phrase",
+                 "prefix", "term_range", "term_set", "dismax", "constant",
+                 "range_filter", "match_all"],
+    )
+    s.add_argument("--clauses", nargs="*", default=[])
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--prune", action="store_true")
+    s.add_argument("--keys", action="store_true", help="resolve stored keys")
+    s.add_argument("--cluster", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    qb = sub.add_parser("query-batch", help="JSONL query batch -> parquet")
+    qb.add_argument("--index", required=True)
+    qb.add_argument("--queries", required=True, help="jsonl of descriptors")
+    qb.add_argument("--k", type=int, default=10)
+    qb.add_argument("--prune", action="store_true")
+    qb.add_argument("--out", default=None)
+    qb.add_argument("--cluster", action="store_true")
+    qb.set_defaults(fn=cmd_query_batch)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -124,3 +124,67 @@ def decode_images(ds, *, batch_size: int = 64, concurrency=(1, 8), fake: bool = 
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def multimodal_features(sf_dir: str, dim: int = 16):
+    """End-to-end multimodal plumbing over the documents table: text bytes
+    stand in for an opaque binary payload column (the container has no
+    image/audio libs — see module docstring), then the decode + embed
+    actor-pool stages run for real. Output: one metadata + embedding row
+    per document (rows-only gate entry — hash-family features are not
+    SQL-expressible)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": batch["text"].cast(pa.large_binary()),
+                "media_type": pa.array(
+                    ["application/octet-stream"] * batch.num_rows
+                ),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(_payloads, batch_format="pyarrow")
+    )
+    meta = decode_images(ds.drop_columns(["media_type"]), batch_size=64)
+    emb = ds.drop_columns(["media_type"]).map_batches(
+        EmbedStage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        E = np.asarray(batch["embedding"].combine_chunks().flatten()).reshape(
+            batch.num_rows, dim
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "emb_norm": pa.array(
+                    np.round(np.linalg.norm(E.astype(np.float64), axis=1), 6)
+                ),
+            }
+        )
+
+    emb_norm = emb.map_batches(_norm, batch_format="pyarrow")
+    # join the two feature streams on doc_id (both tiny per-doc rows)
+    import pandas as pd
+
+    m = meta.to_pandas().set_index("doc_id")
+    e = emb_norm.to_pandas().set_index("doc_id")
+    out = m.join(e, how="inner").reset_index().sort_values("doc_id")
+    return pa.Table.from_pandas(out[
+        ["doc_id", "width", "height", "mean_luma", "emb_norm"]
+    ], preserve_index=False)
