@@ -520,3 +520,49 @@ def block_metadata(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         np.frombuffer(row["block_max_freq"], dtype=np.uint32),
         np.frombuffer(row["block_min_norm"], dtype=np.uint8),
     )
+
+
+def decode_row_blocks(
+    row: dict, block_ids: np.ndarray, block: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Selectively decode the given FOR blocks of one postings row.
+
+    The lazy half of block-max WAND (searcher._try_pruned): a block's doc
+    deltas are independent of every other block given the PRECEDING block's
+    last doc (``block_last`` metadata), so skipped blocks are never read.
+
+    Returns (docs int64 ascending, freqs int64, norms8 uint8, per-block
+    counts) for the selected blocks, concatenated in ascending block order.
+    """
+    n = int(row["doc_freq"])
+    wdoc = np.frombuffer(row["doc_widths"], dtype=np.uint8).astype(np.int64)
+    wfreq = np.frombuffer(row["freq_widths"], dtype=np.uint8).astype(np.int64)
+    nb = len(wdoc)
+    counts = np.full(nb, block, dtype=np.int64)
+    counts[-1] = n - block * (nb - 1)
+    dbytes = (counts * wdoc + 7) // 8
+    fbytes = (counts * wfreq + 7) // 8
+    doff = np.cumsum(dbytes) - dbytes
+    foff = np.cumsum(fbytes) - fbytes
+    sel = np.unique(np.asarray(block_ids, dtype=np.int64))
+    dbuf = np.frombuffer(row["docs_blob"], dtype=np.uint8)
+    fbuf = np.frombuffer(row["freqs_blob"], dtype=np.uint8)
+    nbuf = np.frombuffer(row["norms_blob"], dtype=np.uint8)
+    scounts = counts[sel]
+    dsel = dbuf[_gather_ranges(doff[sel], dbytes[sel])]
+    fsel = fbuf[_gather_ranges(foff[sel], fbytes[sel])]
+    deltas = _unpack_segments(dsel, scounts, wdoc[sel]).astype(np.int64)
+    last = np.frombuffer(row["block_last"], dtype=np.int64)
+    bases = np.where(sel > 0, last[sel - 1], np.int64(-1))
+    c = np.cumsum(deltas)
+    seg_starts = np.cumsum(scounts) - scounts
+    carry = c[seg_starts] - deltas[seg_starts]
+    docs = c - np.repeat(carry, scounts) + np.repeat(bases, scounts)
+    freqs = _unpack_segments(fsel, scounts, wfreq[sel]).astype(np.int64)
+    norms8 = nbuf[_gather_ranges(sel * block, scounts)]
+    return docs, freqs, norms8, scounts
+
+
+def _gather_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Indices covering [start_i, start_i + len_i) for each i, concatenated."""
+    return np.repeat(starts, lengths) + _seg_local_idx(lengths)

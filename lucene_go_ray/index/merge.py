@@ -11,18 +11,24 @@ multi-segment search with an explicit Ray Data shuffle:
 
 2. the full segment term rows (with packed posting blobs — already
    partial-aggregated, so at most P rows per term) are salted —
-   ``salt = pid // salt_group_partitions`` for hot terms, 0 otherwise —
-   bucketed by ``hash(term, salt)``, and shuffled with
-   ``groupby(bucket).map_groups``; each reduce task concatenates every
+   ``salt = pid // salt_group_partitions`` for hot terms, -1 otherwise —
+   keyed by ``bucket = hash(term, salt)`` and exchanged with an explicit
+   TWO-PHASE FILE SHUFFLE (map: write parquet hive-partitioned by bucket;
+   reduce: one task per bucket reads only its directory) — no in-memory
+   all-to-all, both phases plain parallel map stages over files, which is
+   the shape that survives 100 TB. Each reduce task concatenates every
    (term, salt) group's partitions in docBase order (global docIDs stay
    sorted because salt groups are contiguous pid ranges) and re-encodes
    ALL its groups in one vectorized pass (codec.encode_postings_many) into
    FOR-compressed chunk rows of at most ``chunk_docs`` postings with fresh
-   block-max metadata;
+   block-max metadata, written term-sorted as ``bucket-NNNNN.parquet``;
 
-3. a metadata-only pass over the written files builds the term→(file,
-   row-group) range index — the file-granularity analogue of the FST term
-   dictionary (/root/reference/codecs/simpletext/fieldsreader.go:155-236).
+3. the reduce tasks also return per-row-group (term_min, term_max, bucket)
+   metadata, assembled into the term→(file, row-group) range index — the
+   file-granularity analogue of the FST term dictionary
+   (/root/reference/codecs/simpletext/fieldsreader.go:155-236); lookups
+   probe it by the SAME bucket hash (term_buckets), touching O(1) row
+   groups per term.
 
 The salting bounds the largest reduce group to
 ``salt_group_partitions × target_partition_rows`` postings regardless of how

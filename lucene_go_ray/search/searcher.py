@@ -38,7 +38,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..index.codec import block_metadata, decode_docs_freqs_norms, decode_positions
+from ..index.codec import (
+    block_metadata,
+    decode_docs_freqs_norms,
+    decode_positions,
+    decode_row_blocks,
+)
 from ..index.config import IndexConfig
 from ..index.manifest import load_manifest
 from ..index.merge import term_buckets
@@ -60,10 +65,15 @@ from .query import (
 from .scorer import BM25Scorer, idf
 
 
-# Postings volume below which exhaustive evaluation beats block-max WAND
-# (interval setup is O(total blocks) per query; measured crossover on the
-# synthetic web corpus is in the low hundreds of thousands).
-WAND_MIN_POSTINGS = 200_000
+# Postings volume below which exhaustive evaluation beats block-max WAND.
+# Measured on the synthetic corpus: numpy-vectorized exhaustive scoring of a
+# 700k-posting term costs ~10 ms warm, while the WAND interval bookkeeping
+# (O(total blocks) python-level) costs more — AND the synthetic corpus has
+# near-uniform tf, so block upper bounds are flat and skipping rarely
+# triggers (WAND's worst case). Real web text has Zipf tf skew where
+# block-max pruning wins; the machinery is rank-identity-tested either way
+# (test_pruned_equals_exhaustive) and engages only for monster terms.
+WAND_MIN_POSTINGS = 2_000_000
 
 
 @dataclass
@@ -192,6 +202,7 @@ class IndexSearcher:
         self._docmap_cache: dict[int, pa.Table] = {}
         self._postings_cache: dict[tuple, tuple] = {}
         self._rows_cache: dict[str, list[dict]] = {}
+        self._block_cache: dict[str, dict] = {}  # term -> {flat block -> (docs, scores)}
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
         self._num_buckets = self.cfg.merge_buckets
@@ -508,19 +519,42 @@ class IndexSearcher:
         weights = [
             self.scorer.weight(self.term_statistics(t)[0]) for t in terms
         ]
-        # block bounds per term
-        starts_all, ends_all, ubs_all, owner = [], [], [], []
+        # flat per-term block tables (rows are first_doc-sorted and salt
+        # groups cover disjoint doc ranges, so each term's block starts are
+        # ascending) — decode is LAZY: only blocks whose interval is
+        # actually visited are ever read (codec.decode_row_blocks)
+        term_blocks = []
+        starts_all, ends_all, ubs_all = [], [], []
         for ti, rows in enumerate(rows_per_term):
-            for r in rows:
+            t_starts, t_ends, t_row, t_local = [], [], [], []
+            for ri, r in enumerate(rows):
                 last, maxf, minn = block_metadata(r)
                 first = np.empty(len(last), dtype=np.int64)
                 first[0] = r["first_doc"]
                 first[1:] = last[:-1] + 1
                 ub = self.scorer.max_block_score(weights[ti], maxf, minn)
-                starts_all.append(first)
-                ends_all.append(last)
+                t_starts.append(first)
+                t_ends.append(last)
+                t_row.append(np.full(len(last), ri, dtype=np.int32))
+                t_local.append(np.arange(len(last), dtype=np.int32))
                 ubs_all.append(ub)
-                owner.append(np.full(len(last), ti, dtype=np.int32))
+            ts = np.concatenate(t_starts) if t_starts else np.empty(0, np.int64)
+            te = np.concatenate(t_ends) if t_ends else np.empty(0, np.int64)
+            term_blocks.append(
+                {
+                    "starts": ts,
+                    "ends": te,
+                    "row": np.concatenate(t_row) if t_row else np.empty(0, np.int32),
+                    "local": np.concatenate(t_local)
+                    if t_local
+                    else np.empty(0, np.int32),
+                    "rows": rows,
+                    # per-term block cache persists across queries
+                    "cache": self._block_cache.setdefault(terms[ti], {}),
+                }
+            )
+            starts_all.append(ts)
+            ends_all.append(te)
         starts = np.concatenate(starts_all)
         ends = np.concatenate(ends_all)
         ubs = np.concatenate(ubs_all)
@@ -533,7 +567,6 @@ class IndexSearcher:
         ivl_ub = np.cumsum(diff)[:-1]
         order = np.argsort(-ivl_ub, kind="stable")
 
-        decoded: dict[int, dict] = {}
         total_hits = 0
         heap_docs = np.empty(0, np.int64)
         heap_scores = np.empty(0, np.float64)
@@ -543,24 +576,39 @@ class IndexSearcher:
                 break
             lo = int(ivl_starts[oi])
             hi = int(bps[oi + 1]) - 1
-            # exact scores for docs in [lo, hi]
+            # exact scores for docs in [lo, hi]: decode only the overlapping
+            # blocks of each term, caching per block
             seg_docs, seg_scores = [], []
             for ti in range(len(terms)):
-                d = decoded.get(ti)
-                if d is None:
-                    p = self.term_postings(terms[ti])
-                    d = p if p is not None else {"docs": np.empty(0, np.int64)}
-                    if p is not None:
-                        d = dict(p)
-                        d["scores"] = self.scorer.score(
-                            weights[ti], p["freqs"], p["norms8"]
+                tb = term_blocks[ti]
+                b0 = int(np.searchsorted(tb["ends"], lo))
+                b1 = int(np.searchsorted(tb["starts"], hi, side="right"))
+                if b1 <= b0:
+                    continue
+                missing = [fb for fb in range(b0, b1) if fb not in tb["cache"]]
+                if missing:
+                    by_row: dict[int, list[int]] = {}
+                    for fb in missing:
+                        by_row.setdefault(int(tb["row"][fb]), []).append(fb)
+                    for ri, fbs in by_row.items():
+                        locals_ = tb["local"][fbs]
+                        docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
+                            tb["rows"][ri], locals_, self.cfg.block_size
                         )
-                    decoded[ti] = d
-                dd = d["docs"]
-                a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
-                if b > a:
-                    seg_docs.append(dd[a:b])
-                    seg_scores.append(d["scores"][a:b])
+                        scores_b = self.scorer.score(weights[ti], freqs_b, norms_b)
+                        off = 0
+                        for fb, c in zip(sorted(fbs), cnts):
+                            tb["cache"][fb] = (
+                                docs_b[off : off + c],
+                                scores_b[off : off + c],
+                            )
+                            off += int(c)
+                for fb in range(b0, b1):
+                    dd, ss = tb["cache"][fb]
+                    a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
+                    if b > a:
+                        seg_docs.append(dd[a:b])
+                        seg_scores.append(ss[a:b])
             if not seg_docs:
                 continue
             cat = np.concatenate(seg_docs)
