@@ -487,13 +487,23 @@ def encode_postings(
 def decode_docs_freqs_norms(
     row: dict, block: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode (docs int64, freqs int64, norms8 uint8) from a postings row."""
+    """Decode (docs int64, freqs int64, norms8 uint8) from a postings row.
+
+    One vectorized ``_unpack_segments`` pass per stream (byte-class fast
+    path), not a per-block Python loop."""
     n = int(row["doc_freq"])
-    doc_widths = np.frombuffer(row["doc_widths"], dtype=np.uint8)
-    deltas = _blockwise_unpack(row["docs_blob"], doc_widths, n, block)
-    docs = np.cumsum(deltas.astype(np.int64)) - 1
-    freq_widths = np.frombuffer(row["freq_widths"], dtype=np.uint8)
-    freqs = _blockwise_unpack(row["freqs_blob"], freq_widths, n, block).astype(np.int64)
+    wdoc = np.frombuffer(row["doc_widths"], dtype=np.uint8).astype(np.int64)
+    nb = len(wdoc)
+    counts = np.full(nb, block, dtype=np.int64)
+    counts[-1] = n - block * (nb - 1)
+    deltas = _unpack_segments(
+        np.frombuffer(row["docs_blob"], dtype=np.uint8), counts, wdoc
+    ).astype(np.int64)
+    docs = np.cumsum(deltas) - 1
+    wfreq = np.frombuffer(row["freq_widths"], dtype=np.uint8).astype(np.int64)
+    freqs = _unpack_segments(
+        np.frombuffer(row["freqs_blob"], dtype=np.uint8), counts, wfreq
+    ).astype(np.int64)
     norms8 = np.frombuffer(row["norms_blob"], dtype=np.uint8)
     return docs, freqs, norms8
 

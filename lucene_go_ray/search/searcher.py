@@ -75,6 +75,27 @@ from .scorer import BM25Scorer, idf
 # (test_pruned_equals_exhaustive) and engages only for monster terms.
 WAND_MIN_POSTINGS = 2_000_000
 
+# Merged-postings columns WITHOUT the position stream — position blobs are
+# the dominant bytes of a hot term's row, so non-phrase lookups never read
+# them (parquet column pruning at the row-group read).
+_NO_POS_COLUMNS = [
+    "term",
+    "salt",
+    "chunk_id",
+    "doc_freq",
+    "total_term_freq",
+    "first_doc",
+    "last_doc",
+    "docs_blob",
+    "doc_widths",
+    "freqs_blob",
+    "freq_widths",
+    "norms_blob",
+    "block_last",
+    "block_max_freq",
+    "block_min_norm",
+]
+
 
 @dataclass
 class TopDocs:
@@ -201,7 +222,7 @@ class IndexSearcher:
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
         self._postings_cache: dict[tuple, tuple] = {}
-        self._rows_cache: dict[str, list[dict]] = {}
+        self._rows_cache: dict[tuple, list[dict]] = {}
         self._block_cache: dict[str, dict] = {}  # term -> {flat block -> (docs, scores)}
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
@@ -223,7 +244,9 @@ class IndexSearcher:
         """(doc_freq, total_term_freq): exact global stats = sum of the
         term's merged chunk rows' metadata (column-pruned read; the
         TermStates accumulation of termstates.go:52-93 done at lookup)."""
-        rows = self._rows_cache.get(term)
+        rows = self._rows_cache.get((term, False))
+        if rows is None:
+            rows = self._rows_cache.get((term, True))
         if rows is not None:
             return (
                 sum(r["doc_freq"] for r in rows),
@@ -241,12 +264,24 @@ class IndexSearcher:
             int(pc.sum(t["total_term_freq"]).as_py()),
         )
 
-    def _term_rows(self, term: str) -> list[dict]:
-        rows = self._rows_cache.get(term)
+    def _term_rows(self, term: str, with_positions: bool = False) -> list[dict]:
+        """Chunk rows for a term, cached; position blobs (the dominant bytes
+        for hot terms) are only read when the query actually needs them."""
+        key = (term, True) if with_positions else (term, False)
+        rows = self._rows_cache.get(key)
+        if rows is None and not with_positions:
+            rows = self._rows_cache.get((term, True))  # superset is fine
         if rows is None:
-            t = self.postings.read_term_rows(term, buckets=self._term_buckets(term))
-            rows = sorted(t.to_pylist(), key=lambda r: r["first_doc"]) if t.num_rows else []
-            self._rows_cache[term] = rows
+            cols = None if with_positions else _NO_POS_COLUMNS
+            t = self.postings.read_term_rows(
+                term, columns=cols, buckets=self._term_buckets(term)
+            )
+            rows = (
+                sorted(t.to_pylist(), key=lambda r: r["first_doc"])
+                if t.num_rows
+                else []
+            )
+            self._rows_cache[key] = rows
         return rows
 
     def term_postings(
@@ -255,7 +290,7 @@ class IndexSearcher:
         key = (term, with_positions)
         if key in self._postings_cache:
             return self._postings_cache[key]
-        rows = self._term_rows(term)
+        rows = self._term_rows(term, with_positions=with_positions)
         if not rows:
             self._postings_cache[key] = None
             return None
@@ -649,27 +684,46 @@ class IndexSearcher:
         n = concurrency or max(
             1, min(len(queries), int(ray.cluster_resources().get("CPU", 4)))
         )
-        # Term-affinity routing: batch queries sorted by their clause terms
-        # so queries sharing a (Zipf-hot) term land on the same actor and
-        # its decoded-postings cache — otherwise every actor re-decodes the
-        # same hot posting lists and adding actors adds duplicated work.
-        queries = sorted(queries, key=lambda q: tuple(q.get("clauses", ())))
-        ds = ray.data.from_items(queries)
-        # several batches per actor: term-sorted stream keeps neighbouring
-        # (same-term) queries in one batch, while small batches let the
-        # pool load-balance away from the actor stuck with the hottest term
-        batch_size = max(4, len(queries) // (n * 8))
-        return ds.map_batches(
-            SearcherActor,
-            fn_constructor_kwargs={
-                "index_dir": self.index_dir,
-                "k": k,
-                "prune": prune,
-            },
-            batch_size=batch_size,
-            batch_format="pandas",
-            concurrency=n,
-            num_cpus=1,
+        # Term-affinity routing: hash-partition queries by their primary
+        # term so EVERY query on a given (Zipf-hot) term lands in exactly
+        # one reduce task — the hot posting list is decoded once
+        # cluster-wide instead of once per actor. Workers keep a
+        # module-level searcher cache (Ray reuses worker processes), so
+        # decoded postings persist across groups scheduled on one worker.
+        import zlib
+
+        routed = []
+        n_routes = n * 4  # a few groups per slot for load balancing
+        for q in queries:
+            clauses = [str(c) for c in q.get("clauses", ())]
+            primary = clauses[0] if clauses else ""
+            routed.append(
+                {**q, "_route": zlib.crc32(primary.encode()) % n_routes}
+            )
+        ds = ray.data.from_items(routed)
+
+        index_dir = self.index_dir
+
+        def _search_group(batch):
+            import pandas as pd
+
+            s = _worker_searcher(index_dir)
+            out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+            for _, row in batch.iterrows():
+                q = query_from_descriptor(row["kind"], list(row["clauses"]))
+                kk = int(row["k"]) if "k" in row and not pd.isna(row["k"]) else k
+                td = s.search(q, kk, prune=prune)
+                for rank, (d, sc) in enumerate(
+                    zip(td.doc_ids, td.scores), start=1
+                ):
+                    out["qid"].append(int(row["qid"]))
+                    out["rank"].append(rank)
+                    out["doc_id"].append(int(d))
+                    out["score"].append(float(sc))
+            return pd.DataFrame(out)
+
+        return ds.groupby("_route").map_groups(
+            _search_group, batch_format="pandas", num_cpus=1
         )
 
 
@@ -705,6 +759,20 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
             filter=[DocIdRangeQuery(int(clauses[1]), int(clauses[2]))],
         )
     raise ValueError(f"unknown query kind {kind!r}")
+
+
+_WORKER_SEARCHERS: dict[str, "IndexSearcher"] = {}
+
+
+def _worker_searcher(index_dir: str) -> "IndexSearcher":
+    """Per-worker-process searcher cache for map_groups query tasks: Ray
+    reuses worker processes across tasks, so the loaded range index and
+    decoded-postings caches survive from group to group."""
+    s = _WORKER_SEARCHERS.get(index_dir)
+    if s is None:
+        s = IndexSearcher(index_dir)
+        _WORKER_SEARCHERS[index_dir] = s
+    return s
 
 
 class SearcherActor:
@@ -798,8 +866,20 @@ def _pure_or_terms(q: Query):
 
 
 def _topk(s: _Scored, k: int) -> TopDocs:
+    """Exact top-k, (score desc, docID asc): partition-select the kth score
+    then rank only the O(k) candidates — no full sort of the scored array.
+    docs are ascending, so among kth-score ties the first occurrences are
+    the docID-ascending winners."""
     n = len(s.docs)
     if n == 0:
         return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+    if n > 4 * k:
+        kth = np.partition(s.scores, n - k)[n - k]
+        gt = np.flatnonzero(s.scores > kth)
+        eq = np.flatnonzero(s.scores == kth)[: k - len(gt)]
+        idx = np.concatenate([gt, eq])
+        order = np.lexsort((s.docs[idx], -s.scores[idx]))[:k]
+        idx = idx[order]
+        return TopDocs(s.docs[idx], s.scores[idx], n)
     order = np.lexsort((s.docs, -s.scores))[:k]
     return TopDocs(s.docs[order], s.scores[order], n)
