@@ -36,6 +36,12 @@ import numpy as np
 
 BLOCK_SIZE = 128
 
+# Bump whenever the on-disk index layout changes (codec streams, merged
+# schema, range index, stats.json) so cached indexes are never read by
+# incompatible code (pipelines/fulltext.get_searcher includes this in its
+# cache tag; IndexSearcher checks it against the manifest).
+INDEX_FORMAT_VERSION = 2
+
 _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
 

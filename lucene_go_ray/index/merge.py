@@ -48,6 +48,7 @@ import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
 from .codec import (
+    INDEX_FORMAT_VERSION,
     _seg_local_idx,
     decode_positions_many,
     decode_postings_many,
@@ -293,6 +294,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 "sum_total_term_freq": manifest.sum_total_term_freq,
                 "sum_doc_freq": manifest.sum_doc_freq,
                 "hot_terms": sorted(hot_terms),
+                "format_version": INDEX_FORMAT_VERSION,
             },
             f,
         )

@@ -168,8 +168,10 @@ def get_searcher(sf_dir: str, cfg: IndexConfig = _GATE_CFG) -> IndexSearcher:
     if s is not None:
         return s
     src = _doc_table(sf_dir)
+    from ..index.codec import INDEX_FORMAT_VERSION
+
     tag = hashlib.md5(
-        f"{key}:{os.path.getmtime(src)}:{cfg}".encode()
+        f"{key}:{os.path.getmtime(src)}:{cfg}:v{INDEX_FORMAT_VERSION}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join("/tmp/lgr_gate_index", tag)
     from ..index.manifest import load_manifest

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..index.codec import (
+    INDEX_FORMAT_VERSION,
     block_metadata,
     decode_docs_freqs_norms,
     decode_positions,
@@ -211,6 +212,11 @@ class IndexSearcher:
         gdir = os.path.join(index_dir, "global")
         with open(os.path.join(gdir, "stats.json")) as f:
             self.stats = json.load(f)
+        fv = self.stats.get("format_version", 1)
+        if fv != INDEX_FORMAT_VERSION:
+            raise RuntimeError(
+                f"index format v{fv} != engine v{INDEX_FORMAT_VERSION}; rebuild"
+            )
         self.scorer = BM25Scorer(
             self.stats["doc_count"],
             self.stats["sum_total_term_freq"],
