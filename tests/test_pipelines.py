@@ -1,0 +1,73 @@
+"""Dedup / similarity / multimodal pipelines vs brute-force local oracles
+(the gate checks these against DuckDB; here we check the kernels against
+independent in-process computations)."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lucene_go_ray.analysis import GO_WHITESPACE_CHARS
+from lucene_go_ray.pipelines import dedup, multimodal
+
+
+def _local_shingles(text: str, k: int = 3) -> set:
+    toks = [t.lower() for t in re.split("[" + GO_WHITESPACE_CHARS + "]", text)]
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_jaccard_ngram_pairs_matches_bruteforce(sf_dir):
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    sh = {i: _local_shingles(t) for i, t in zip(ids, docs["text"].to_pylist())}
+    expected = {}
+    for i in ids:
+        for j in ids:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                if inter:
+                    jac = round(inter / (len(sh[i]) + len(sh[j]) - inter), 6)
+                    if jac >= 0.5:
+                        expected[(i, j)] = jac
+    got = {
+        (int(r["a"]), int(r["b"])): r["jaccard"]
+        for r in dedup.jaccard_ngram_pairs(sf_dir, threshold=0.5).take_all()
+    }
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_embedding_near_dup_matches_bruteforce(sf_dir):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    S = np.round(E @ E.T, 6)
+    expected = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.4
+    }
+    got = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.embedding_near_dup(sf_dir, threshold=0.4).take_all()
+    }
+    assert got == expected
+
+
+def test_multimodal_features_shape_and_determinism(sf_dir):
+    t1 = multimodal.multimodal_features(sf_dir)
+    t2 = multimodal.multimodal_features(sf_dir)
+    assert t1.column_names == ["doc_id", "width", "height", "mean_luma", "emb_norm"]
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    assert t1.num_rows == n_docs
+    assert t1.equals(t2)  # deterministic across runs
+    w = t1["width"].to_numpy()
+    assert (w >= 16).all() and (w < 1936).all()
