@@ -133,3 +133,33 @@ def test_batch_encode_matches_single_and_roundtrips():
         lo, hi = offs[t], offs[t + 1]
         assert np.array_equal(dd, docs[lo:hi])
         assert np.array_equal(ff, freqs[lo:hi])
+
+
+def test_decode_row_blocks_matches_full_decode():
+    """Selective (lazy WAND) block decode == slices of the full decode."""
+    import numpy as np
+
+    from lucene_go_ray.index.codec import (
+        decode_docs_freqs_norms,
+        decode_row_blocks,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = np.unique(rng.integers(0, 300_000, 9000)).astype(np.int64)
+    freqs = rng.integers(1, 200, len(docs)).astype(np.int64)
+    norms8 = rng.integers(0, 256, len(docs)).astype(np.uint8)
+    row = encode_postings(docs, freqs, norms8, None, block=128).to_row()
+    row["doc_freq"] = len(docs)
+    fd, ff, fn = decode_docs_freqs_norms(row, 128)
+    assert (fd == docs).all() and (ff == freqs).all() and (fn == norms8).all()
+    nb = (len(docs) + 127) // 128
+    for sel in ([0], [nb - 1], [2, 5, 6], [0, nb - 1], list(range(nb))):
+        d2, f2, n2, cnts = decode_row_blocks(row, np.array(sel), 128)
+        idx = np.concatenate(
+            [np.arange(b * 128, min(len(docs), (b + 1) * 128)) for b in sorted(set(sel))]
+        )
+        assert (d2 == docs[idx]).all()
+        assert (f2 == freqs[idx]).all()
+        assert (n2 == norms8[idx]).all()
+        assert cnts.sum() == len(idx)
