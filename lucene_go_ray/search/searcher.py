@@ -354,6 +354,75 @@ class IndexSearcher:
             s = _Scored(s.docs[keep], s.scores[keep])
         return _topk(s, k)
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score breakdown for one document — the reference's
+        ``Weight.Explain`` surface (/root/reference/core/search/termquery.go,
+        similaritybm25.go Explain methods), as a nested dict:
+        ``{value, description, details: [...]}``; value == 0 with
+        'no matching term' when the doc does not match."""
+        q = query.rewrite()
+        return self._explain(q, 1.0, int(doc_id))
+
+    def _explain(self, q: Query, boost: float, doc: int) -> dict:
+        if isinstance(q, BoostQuery):
+            return self._explain(q.query, boost * q.boost, doc)
+        if isinstance(q, TermQuery):
+            p = self.term_postings(q.term)
+            if p is None:
+                return {"value": 0.0, "description": f"no term {q.term!r}"}
+            i = int(np.searchsorted(p["docs"], doc))
+            if i >= len(p["docs"]) or p["docs"][i] != doc:
+                return {
+                    "value": 0.0,
+                    "description": f"no matching term {q.term!r} in doc {doc}",
+                }
+            df, _ = self.term_statistics(q.term)
+            w = self.scorer.weight(df, boost)
+            freq = float(p["freqs"][i])
+            norm8 = int(p["norms8"][i])
+            val = float(self.scorer.score(w, np.array([freq]), np.array([norm8]))[0])
+            return {
+                "value": val,
+                "description": f"weight(text:{q.term} in {doc}) [BM25]",
+                "details": [
+                    {
+                        "value": boost * 1.0 if boost != 1.0 else 1.0,
+                        "description": f"boost {boost}",
+                    },
+                    {
+                        "value": idf(df, self.scorer.doc_count),
+                        "description": f"idf, n={df}, N={self.scorer.doc_count}",
+                    },
+                    {
+                        "value": freq,
+                        "description": "freq, occurrences of term within document",
+                    },
+                    {
+                        "value": float(norm8),
+                        "description": "norm & 0xFF (doc length, wrapped)",
+                    },
+                    {"value": self.scorer.avgdl, "description": "avgdl"},
+                ],
+            }
+        # generic: evaluate and gather the doc's score; per-clause details
+        ev = self._eval(q, boost, need_scores=True)
+        i = int(np.searchsorted(ev.docs, doc))
+        matched = i < len(ev.docs) and ev.docs[i] == doc
+        out = {
+            "value": float(ev.scores[i]) if matched else 0.0,
+            "description": f"{type(q).__name__}"
+            + ("" if matched else f": no match for doc {doc}"),
+        }
+        if isinstance(q, BooleanQuery):
+            out["details"] = [
+                self._explain(c.query, boost, doc)
+                for c in q.clauses
+                if c.occur in (Occur.MUST, Occur.SHOULD)
+            ]
+        elif isinstance(q, DisjunctionMaxQuery):
+            out["details"] = [self._explain(d, boost, doc) for d in q.disjuncts]
+        return out
+
     def lookup_keys(self, doc_ids: np.ndarray) -> list:
         """Stored-key retrieval: global docID -> (partition, ord) -> docmap row
         (the reader.Document stored-fields visit, SURVEY.md §2.4)."""

@@ -242,3 +242,17 @@ def test_search_after_paging(built):
     page2 = s.search_after(q, after, 10)
     assert page2.doc_ids.tolist() == full.doc_ids[10:20].tolist()
     assert page2.scores.tolist() == full.scores[10:20].tolist()
+
+
+def test_explain_matches_search_scores(built):
+    """explain(query, doc).value == the doc's score in search results."""
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    t1, t2 = _common_terms(oracle, 20, 400)[0], _common_terms(oracle, 20, 400)[-1]
+    for q in (TermQuery(t1), BooleanQuery.build(should=[t1, t2])):
+        td = s.search(q, 5)
+        for d, sc in zip(td.doc_ids, td.scores):
+            ex = s.explain(q, int(d))
+            assert ex["value"] == sc
+    missing = s.explain(TermQuery("no-such-term-xyz"), 0)
+    assert missing["value"] == 0.0
