@@ -310,6 +310,18 @@ def _multimodal_features(sf):
     return multimodal.multimodal_features(sf)
 
 
+def _window_counts(sf):
+    from lucene_go_ray.pipelines import events
+
+    return events.tumbling_window_counts(sf, window_seconds=3600)
+
+
+def _sessions(sf):
+    from lucene_go_ray.pipelines import events
+
+    return events.sessionize(sf, gap_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_go_ray.pipelines import ann, dedup, fulltext, textstats
     from lucene_go_ray.search.query import BooleanQuery
@@ -372,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
         # --- multimodal plumbing (stubbed decode kernels; rows-only) ---
         "multimodal_features": _multimodal_features,
+        # --- event-stream aggregates (training-data extension surface) ---
+        "window_counts": _window_counts,
+        "sessions": _sessions,
     }
 
 
@@ -421,6 +436,34 @@ SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20
 """,
         "jaccard_pairs": _JACCARD_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "window_counts": """
+SELECT user_id,
+       CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessions": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM m
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events, min(us)::BIGINT AS session_start_us
+FROM s GROUP BY 1, 2
+""",
         "term_doc_count": f"""
 WITH {_TOKS}
 SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM toks WHERE term = '{_TERM}'
