@@ -46,14 +46,28 @@ def _doc_table(sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
+_ANALYZER_CACHE: dict[tuple, StandardAnalyzer] = {}
+
+
+def _cached_analyzer(stop_words: tuple, lowercase: bool) -> StandardAnalyzer:
+    """Per-worker-process analyzer cache: analyzer construction is cheap
+    (~1 ms) so these stages run as plain task functions — an actor pool's
+    multi-second spin-up would dominate at gate scale; the cache still
+    gives once-per-worker setup semantics."""
+    key = (stop_words, lowercase)
+    a = _ANALYZER_CACHE.get(key)
+    if a is None:
+        a = StandardAnalyzer(stop_words=frozenset(stop_words), lowercase=lowercase)
+        _ANALYZER_CACHE[key] = a
+    return a
+
+
 class _TokenPartials:
     """map_batches stage: batch of (doc_id, text) -> per-batch partial
-    (term, doc_freq, total_term_freq) rows. Analyzer built once per actor."""
+    (term, doc_freq, total_term_freq) rows."""
 
     def __init__(self, stop_words=None, lowercase=True):
-        self.analyzer = StandardAnalyzer(
-            stop_words=frozenset(stop_words or ()), lowercase=lowercase
-        )
+        self.analyzer = _cached_analyzer(tuple(stop_words or ()), lowercase)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.analyzer.analyze_column(batch["text"])
@@ -82,15 +96,12 @@ def term_stats(sf_dir: str, cfg: IndexConfig = _GATE_CFG):
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(_doc_table(sf_dir), columns=["doc_id", "text"])
-    partial = ds.map_batches(
-        _TokenPartials,
-        fn_constructor_kwargs={
-            "stop_words": list(cfg.stop_words),
-            "lowercase": cfg.lowercase,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    stops, lc = tuple(cfg.stop_words), cfg.lowercase
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        return _TokenPartials(stops, lc)(batch)
+
+    partial = ds.map_batches(_partials, batch_format="pyarrow")
     return partial.groupby("term").aggregate(
         Sum("doc_freq", alias_name="doc_freq"),
         Sum("total_term_freq", alias_name="total_term_freq"),
