@@ -81,11 +81,35 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     )
     gdir = _global_dir(index_dir)
     if os.path.isdir(gdir):
-        shutil.rmtree(gdir)  # merge is cheap relative to build; redo atomically
+        shutil.rmtree(gdir)  # a completed merge is replaced atomically
     tmp_gdir = gdir + ".tmp"
+    # Bucket-level merge resume: the tmp dir survives crashes. A marker
+    # records the merge epoch (segment set + config + format); on re-entry
+    # with the same epoch, the finished shuffle phase and already-written
+    # bucket files are kept and only missing buckets re-run. Any epoch
+    # mismatch wipes tmp and redoes the merge from scratch.
+    epoch = json.dumps(
+        {
+            "segments": [os.path.basename(os.path.dirname(f)) for f in seg_files],
+            "cfg": sorted(
+                (k, str(v)) for k, v in cfg.__dict__.items()
+            ),
+            "format": INDEX_FORMAT_VERSION,
+        },
+        sort_keys=True,
+    )
+    marker = os.path.join(tmp_gdir, "merge_epoch.json")
     if os.path.isdir(tmp_gdir):
-        shutil.rmtree(tmp_gdir)
-    os.makedirs(os.path.join(tmp_gdir, "postings"))
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = f.read()
+        if prev != epoch:
+            shutil.rmtree(tmp_gdir)
+    os.makedirs(os.path.join(tmp_gdir, "postings"), exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(epoch)
 
     # ---- pass 1: hot-term detection by stratified segment sampling ----
     # Salting is a perf-only decision (it never changes merged results), so
@@ -93,7 +117,16 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     # S-of-P segment sample with expected df ~ H*S/P and vanishing variance
     # for the Zipf head. No full-vocab shuffle — exact global term stats are
     # recoverable at query time by summing the merged chunk rows' metadata.
-    hot_terms = _estimate_hot_terms(seg_files, cfg.hot_term_doc_freq)
+    # Hot terms must be stable across resume attempts (they key the bucket
+    # hash), so the first attempt's estimate is persisted with the epoch.
+    hot_path = os.path.join(tmp_gdir, "hot_terms.json")
+    if os.path.exists(hot_path):
+        with open(hot_path) as f:
+            hot_terms = set(json.load(f))
+    else:
+        hot_terms = _estimate_hot_terms(seg_files, cfg.hot_term_doc_freq)
+        with open(hot_path, "w") as f:
+            json.dump(sorted(hot_terms), f)
 
     # ---- pass 2: postings merge shuffle (bucketed, fully vectorized) ----
     # rows are keyed by bucket = hash(term) ^ mix(salt); one reduce task per
@@ -202,10 +235,22 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     #      term-sorted so row-group term ranges are tight for lookup.
     postings_dir = os.path.join(tmp_gdir, "postings")
     shuffle_dir = os.path.join(tmp_gdir, "shuffle")
-    phase_a = ray.data.read_parquet(
-        seg_files, partitioning=None  # don't infer hive col from p=NNNNN dirs
-    ).map_batches(add_salt, batch_format="pyarrow")
-    phase_a.write_parquet(shuffle_dir, partition_cols=["bucket"])
+    shuffle_done = os.path.join(tmp_gdir, "shuffle_COMPLETE")
+    phase_a = None
+    if not os.path.exists(shuffle_done):
+        # a partial shuffle dir cannot be appended to (duplicate rows) —
+        # redo phase A whole, then mark complete
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        phase_a = ray.data.read_parquet(
+            seg_files, partitioning=None  # don't infer hive col from p=NNNNN dirs
+        ).map_batches(add_salt, batch_format="pyarrow")
+        phase_a.write_parquet(shuffle_dir, partition_cols=["bucket"])
+        with open(shuffle_done, "w") as f:
+            f.write("ok")
+
+    # test-only failpoint (read driver-side, captured into the closure so it
+    # reaches workers): buckets >= this id raise, simulating a mid-merge crash
+    fail_bucket = int(os.environ.get("LGR_MERGE_FAIL_BUCKET", "-1"))
 
     def reduce_bucket(batch: pa.Table) -> pa.Table:
         # Writes this bucket's merged postings file AND returns its range-
@@ -217,7 +262,29 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         out: dict[str, list] = {k: [] for k in _RANGE_INDEX_COLS}
         for b in batch["bucket"].to_pylist():
             b = int(b)
+            if 0 <= fail_bucket <= b:
+                raise RuntimeError(f"injected merge failure at bucket {b}")
             t0 = _time.perf_counter()
+            fname = f"bucket-{b:05d}.parquet"
+            fpath = os.path.join(postings_dir, fname)
+            if os.path.exists(fpath):
+                # bucket finished in a previous (crashed) merge attempt of
+                # the same epoch: keep it, rebuild its range-index rows
+                # from the term column (cheap metadata read)
+                pf = pq.ParquetFile(fpath)
+                for rg in range(pf.metadata.num_row_groups):
+                    terms = pf.read_row_group(rg, columns=["term"])["term"]
+                    if len(terms) == 0:
+                        continue
+                    mm = pc.min_max(terms).as_py()
+                    out["file"].append(fname)
+                    out["row_group"].append(rg)
+                    out["term_min"].append(mm["min"])
+                    out["term_max"].append(mm["max"])
+                    out["bucket_min"].append(b)
+                    out["bucket_max"].append(b)
+                    out["num_rows"].append(len(terms))
+                continue
             bdir = os.path.join(shuffle_dir, f"bucket={b}")
             if os.path.isdir(bdir):
                 # one shuffle file per (map task, bucket): read them with an
@@ -239,12 +306,14 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 t1 = _time.perf_counter()
                 merged = _empty_merged_table()
             t2 = _time.perf_counter()
-            fname = f"bucket-{b:05d}.parquet"
+            # tmp + rename: a crash mid-write never leaves a partial bucket
+            # file to be mistaken for a finished one on resume
             pq.write_table(
                 merged,
-                os.path.join(postings_dir, fname),
+                fpath + ".inprogress",
                 row_group_size=POSTINGS_ROW_GROUP_ROWS,
             )
+            os.replace(fpath + ".inprogress", fpath)
             if trace:
                 print(
                     f"[reduce b={b}] read={t1 - t0:.2f}s merge={t2 - t1:.2f}s "
@@ -271,9 +340,13 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     ).map_batches(reduce_bucket, batch_size=1, batch_format="pyarrow", num_cpus=1)
     index_rows = phase_b.take_all()  # one row per postings row group (small)
     if os.environ.get("LGR_MERGE_STATS"):
-        print(phase_a.stats())
+        if phase_a is not None:
+            print(phase_a.stats())
         print(phase_b.stats())
     shutil.rmtree(shuffle_dir)
+    os.remove(shuffle_done)
+    os.remove(os.path.join(tmp_gdir, "hot_terms.json"))
+    os.remove(marker)
 
     # ---- pass 3: term range index from the reduce tasks' metadata ----
     pq.write_table(

@@ -256,3 +256,45 @@ def test_explain_matches_search_scores(built):
             assert ex["value"] == sc
     missing = s.explain(TermQuery("no-such-term-xyz"), 0)
     assert missing["value"] == 0.0
+
+
+def test_merge_resume_skips_completed_buckets(built, tmp_path, monkeypatch):
+    """A crashed merge resumes bucket-by-bucket: finished bucket files are
+    kept byte-identical, only missing buckets re-run, and the resumed
+    index is rank-identical to the oracle."""
+    import glob as _glob
+
+    from lucene_go_ray.index.build import build_index as _build
+    from lucene_go_ray.index.manifest import load_manifest
+    from lucene_go_ray.index.merge import merge_index
+
+    index_dir, manifest, oracle, _ = built
+    crash_dir = str(tmp_path / "mcrash")
+    shutil.copytree(index_dir, crash_dir)
+    shutil.rmtree(os.path.join(crash_dir, "global"))
+    m = load_manifest(crash_dir)
+    from lucene_go_ray.index import IndexConfig
+
+    cfg = IndexConfig(**{**dict(m.config), "stop_words": tuple(m.config["stop_words"])})
+
+    monkeypatch.setenv("LGR_MERGE_FAIL_BUCKET", "2")
+    with pytest.raises(Exception):
+        merge_index(crash_dir, m, cfg)
+    tmp_postings = os.path.join(crash_dir, "global.tmp", "postings")
+    done_before = {
+        os.path.basename(p): os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(tmp_postings, "bucket-*.parquet"))
+    }
+    assert os.path.isdir(os.path.join(crash_dir, "global.tmp"))
+
+    monkeypatch.delenv("LGR_MERGE_FAIL_BUCKET")
+    m = load_manifest(crash_dir)
+    merge_index(crash_dir, m, cfg)
+    final_postings = os.path.join(crash_dir, "global", "postings")
+    for name, mtime in done_before.items():
+        assert os.path.getmtime(os.path.join(final_postings, name)) == mtime
+
+    s2 = IndexSearcher(crash_dir)
+    t = _common_terms(oracle, 20, 10**9)[0]
+    exp, total = oracle.search(TermQuery(t), 10)
+    _assert_rank_identical(s2.search(TermQuery(t), 10), exp, total)
