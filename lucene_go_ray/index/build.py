@@ -327,6 +327,7 @@ def build_index(
     import ray.data
 
     cfg = cfg or IndexConfig()
+    t_start = time.perf_counter()
     if isinstance(input_paths, str):
         input_paths = _expand_paths(input_paths)
     parts = plan_partitions(input_paths, cfg.target_partition_rows)
@@ -350,14 +351,32 @@ def build_index(
             info = PartitionInfo(**json.loads(row["info"]))
             done[info.pid] = info
 
+    t_segments = time.perf_counter()
     manifest = finalize_partitions([done[p.pid] for p in parts])
     manifest.config = asdict(cfg)
+    manifest.metrics = {
+        "segments_wall_seconds": round(t_segments - t_start, 3),
+        "partitions_built_this_run": len(todo),
+        "partitions_resumed": len(parts) - len(todo),
+        "sum_partition_build_seconds": round(
+            sum(p["build_secs"] for p in manifest.partitions), 3
+        ),
+        "input_bytes": int(sum(p["input_bytes"] for p in manifest.partitions)),
+    }
     save_manifest(index_dir, manifest)
 
     if merge:
         from .merge import merge_index
 
+        t_merge = time.perf_counter()
         manifest = merge_index(index_dir, manifest, cfg)
+        manifest.metrics["merge_wall_seconds"] = round(
+            time.perf_counter() - t_merge, 3
+        )
+        manifest.metrics["docs_per_second"] = round(
+            manifest.max_doc / max(1e-9, time.perf_counter() - t_start), 1
+        )
+        save_manifest(index_dir, manifest)
     return manifest
 
 

@@ -42,6 +42,9 @@ class Manifest:
     config: dict = field(default_factory=dict)
     partitions: list = field(default_factory=list)  # list[PartitionInfo dicts]
     merged: bool = False  # global merged index present
+    # aggregate build metrics (wall seconds, docs/s, ...) — per-partition
+    # metrics (build_secs, input_bytes, counts) live on each partition row
+    metrics: dict = field(default_factory=dict)
 
     def doc_bases(self) -> dict:
         return {p["pid"]: p["doc_base"] for p in self.partitions}
