@@ -18,6 +18,14 @@ the modern Lucene (FOR/PForDelta) layout the north star asks for:
   block-max (impact) data that powers WAND pruning, the analogue of
   CompetitiveImpactAccumulator's (freq, norm) frontier
   (/root/reference/core/index/competitiveimpactaccumulator.go:88-132).
+  The ``block_last`` array doubles as the SKIP LIST (the reference's
+  MultiLevelSkipListWriter, codecs/simpletext/skipwriter.go:13-18): a
+  binary search over it seeks to any docID in O(log blocks) without
+  decoding, and ``decode_row_blocks`` then decodes only the target blocks
+  (each block's deltas are anchored on the previous block's last doc, so
+  blocks are independently decodable — the skip-pointer property). A flat
+  sorted array subsumes the reference's multi-level structure: levels
+  exist there only to avoid scanning a linked list on disk.
 
 BLOCK_SIZE is 128 docs (Lucene 8 geometry) — the reference's SimpleText
 codec uses 8 (skipwriter.go:13-18) only because it is a debug codec.
