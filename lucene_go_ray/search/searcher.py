@@ -228,6 +228,9 @@ class IndexSearcher:
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
         self._postings_cache: dict[tuple, tuple] = {}
+        # when set, every leaf evaluation restricts to this inclusive
+        # global-docID range (sharded single-query path, search_sharded)
+        self._doc_range: tuple[int, int] | None = None
         self._rows_cache: dict[tuple, list[dict]] = {}
         self._block_cache: dict[str, dict] = {}  # term -> {flat block -> (docs, scores)}
         # direct bucket probe state (mirror of the merge shuffle keying)
@@ -293,10 +296,15 @@ class IndexSearcher:
     def term_postings(
         self, term: str, with_positions: bool = False
     ) -> dict | None:
-        key = (term, with_positions)
+        key = (term, with_positions, self._doc_range)
         if key in self._postings_cache:
             return self._postings_cache[key]
         rows = self._term_rows(term, with_positions=with_positions)
+        if self._doc_range is not None:
+            # chunk-level pruning: a shard decodes ONLY the chunk rows whose
+            # [first_doc, last_doc] overlaps its doc range
+            lo, hi = self._doc_range
+            rows = [r for r in rows if r["last_doc"] >= lo and r["first_doc"] <= hi]
         if not rows:
             self._postings_cache[key] = None
             return None
@@ -310,6 +318,16 @@ class IndexSearcher:
             out["positions"] = np.concatenate(
                 [decode_positions(r, p[1]) for r, p in zip(rows, parts)]
             )
+        if self._doc_range is not None:
+            lo, hi = self._doc_range
+            a = int(np.searchsorted(out["docs"], lo))
+            b = int(np.searchsorted(out["docs"], hi + 1))
+            if with_positions:
+                poff = np.concatenate([[0], np.cumsum(out["freqs"])])
+                out["positions"] = out["positions"][poff[a] : poff[b]]
+            out["docs"] = out["docs"][a:b]
+            out["freqs"] = out["freqs"][a:b]
+            out["norms8"] = out["norms8"][a:b]
         self._postings_cache[key] = out
         return out
 
@@ -353,6 +371,37 @@ class IndexSearcher:
             keep = (s.scores < a_score) | ((s.scores == a_score) & (s.docs > a_doc))
             s = _Scored(s.docs[keep], s.scores[keep])
         return _topk(s, k)
+
+    def search_sharded(
+        self, query: Query, k: int = 10, num_shards: int = 8
+    ) -> TopDocs:
+        """Single-query evaluation sharded over disjoint global-docID ranges
+        as parallel Ray tasks, then a driver top-k merge — the leaf-slice
+        CollectorManager (/root/reference/core/search/indexsearcher.go:295-361)
+        distributed. This is the scale path for one query whose posting
+        lists exceed one worker: each shard reads + decodes ONLY the chunk
+        rows overlapping its range (chunk-level pruning in term_postings),
+        so per-task memory is bounded by range size, not term df.
+        Rank-identical to ``search`` (asserted in tests)."""
+        import ray
+
+        max_doc = self.manifest.max_doc
+        num_shards = max(1, min(num_shards, max_doc))
+        bounds = np.linspace(0, max_doc, num_shards + 1).astype(np.int64)
+        q = query.rewrite()
+        futs = [
+            _search_shard.remote(self.index_dir, q, int(bounds[i]),
+                                 int(bounds[i + 1]) - 1, k)
+            for i in range(num_shards)
+            if bounds[i + 1] > bounds[i]
+        ]
+        parts = ray.get(futs)
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))  # exact: ranges are disjoint
+        td = _topk(_Scored(docs, scores), k)
+        td.total_hits = total
+        return td
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score breakdown for one document — the reference's
@@ -458,7 +507,9 @@ class IndexSearcher:
         if isinstance(q, BoostQuery):
             return self._eval(q.query, boost * q.boost, need_scores)
         if isinstance(q, MatchAllDocsQuery):
-            docs = np.arange(self.manifest.max_doc, dtype=np.int64)
+            lo, hi = self._doc_range or (0, self.manifest.max_doc - 1)
+            docs = np.arange(max(0, lo), min(self.manifest.max_doc, hi + 1),
+                             dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, ConstantScoreQuery):
             ev = self._eval(q.query, 0.0, False)
@@ -467,9 +518,10 @@ class IndexSearcher:
                 np.full(len(ev.docs), boost * q.boost) if need_scores else None,
             )
         if isinstance(q, DocIdRangeQuery):
-            lo = max(0, int(q.lo))
-            hi = min(self.manifest.max_doc - 1, int(q.hi))
-            docs = np.arange(lo, hi + 1, dtype=np.int64)
+            rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
+            lo = max(0, int(q.lo), rlo)
+            hi = min(self.manifest.max_doc - 1, int(q.hi), rhi)
+            docs = np.arange(lo, max(lo, hi + 1), dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, TermInSetQuery):
             return self._eval_term_union(list(q.terms), boost, need_scores)
@@ -834,6 +886,24 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
             filter=[DocIdRangeQuery(int(clauses[1]), int(clauses[2]))],
         )
     raise ValueError(f"unknown query kind {kind!r}")
+
+
+def _lazy_search_shard(index_dir: str, query, lo: int, hi: int, k: int):
+    """One doc-range shard of a sharded query: top-k within [lo, hi]."""
+    s = _worker_searcher(index_dir)
+    s._doc_range = (lo, hi)  # tasks run one-at-a-time per worker process
+    try:
+        ev = s._eval(query, 1.0, need_scores=True)
+        td = _topk(ev, k)
+    finally:
+        s._doc_range = None
+    return td.doc_ids, td.scores, td.total_hits
+
+
+# decoration does not require an active Ray session; only .remote() does
+import ray as _ray  # noqa: E402
+
+_search_shard = _ray.remote(num_cpus=1)(_lazy_search_shard)
 
 
 _WORKER_SEARCHERS: dict[str, "IndexSearcher"] = {}

@@ -298,3 +298,27 @@ def test_merge_resume_skips_completed_buckets(built, tmp_path, monkeypatch):
     t = _common_terms(oracle, 20, 10**9)[0]
     exp, total = oracle.search(TermQuery(t), 10)
     _assert_rank_identical(s2.search(TermQuery(t), 10), exp, total)
+
+
+def test_search_sharded_rank_identical(built):
+    """Doc-range-sharded parallel evaluation == single-process search."""
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    common = _common_terms(oracle, 20, 400)
+    t1, t2 = common[0], common[-1]
+    from lucene_go_ray.search.query import PhraseQuery as _PQ
+
+    queries = [
+        TermQuery(t1),
+        BooleanQuery.build(should=[t1, t2]),
+        BooleanQuery.build(must=[t1], must_not=[t2]),
+        MatchAllDocsQuery(),
+        _PQ((t1, t2)),
+    ]
+    for q in queries:
+        ref = s.search(q, 12)
+        for shards in (1, 3, 7):
+            got = s.search_sharded(q, 12, num_shards=shards)
+            assert got.doc_ids.tolist() == ref.doc_ids.tolist(), (q, shards)
+            assert got.scores.tolist() == ref.scores.tolist(), (q, shards)
+            assert got.total_hits == ref.total_hits, (q, shards)
