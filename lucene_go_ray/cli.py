@@ -73,7 +73,12 @@ def cmd_search(args) -> int:
 
     s = IndexSearcher(args.index)
     q = query_from_descriptor(args.kind, args.clauses)
-    td = s.search(q, args.k, prune=args.prune, with_keys=args.keys)
+    if args.shards > 1:
+        td = s.search_sharded(q, args.k, num_shards=args.shards)
+        if args.keys:
+            td.keys = s.lookup_keys(td.doc_ids)
+    else:
+        td = s.search(q, args.k, prune=args.prune, with_keys=args.keys)
     for i in range(len(td.doc_ids)):
         row = {
             "rank": i + 1,
@@ -134,6 +139,8 @@ def main(argv=None) -> int:
     )
     s.add_argument("--clauses", nargs="*", default=[])
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--shards", type=int, default=1,
+                   help=">1: doc-range-sharded parallel evaluation")
     s.add_argument("--prune", action="store_true")
     s.add_argument("--keys", action="store_true", help="resolve stored keys")
     s.add_argument("--cluster", action="store_true")
