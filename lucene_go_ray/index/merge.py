@@ -80,8 +80,9 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         if d.startswith("p=")
     )
     gdir = _global_dir(index_dir)
-    if os.path.isdir(gdir):
-        shutil.rmtree(gdir)  # a completed merge is replaced atomically
+    # The live global/ dir (if any) is kept UNTIL the replacement tmp dir is
+    # fully built — a crash mid-merge must leave the previous merged index
+    # searchable. It is swapped out only at the final rename below.
     tmp_gdir = gdir + ".tmp"
     # Bucket-level merge resume: the tmp dir survives crashes. A marker
     # records the merge epoch (segment set + config + format); on re-entry
@@ -371,7 +372,15 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
             },
             f,
         )
+    # swap: retire the old global dir only now that tmp is complete, so the
+    # window with no searchable index is a single rename, not the whole merge
+    old_gdir = gdir + ".old"
+    if os.path.isdir(old_gdir):
+        shutil.rmtree(old_gdir)
+    if os.path.isdir(gdir):
+        os.replace(gdir, old_gdir)
     os.replace(tmp_gdir, gdir)
+    shutil.rmtree(old_gdir, ignore_errors=True)
     manifest.merged = True
     save_manifest(index_dir, manifest)
     return manifest

@@ -170,6 +170,22 @@ def collection_stats(sf_dir: str, cfg: IndexConfig = _GATE_CFG) -> pa.Table:
 # top-k BM25 over the merged index (cached per sf_dir)
 # --------------------------------------------------------------------------
 
+
+def _search_past_rounded_ties(s, q, k: int, round_to: int, margin: int = 200):
+    """Fetch top hits until the LAST fetched rounded score strictly drops
+    below the kth rounded score (or all hits are in hand). Re-ranking in the
+    rounded domain is then exact: no doc outside the fetched window can tie
+    into the top-k, however wide the rounded tie group straddling the
+    cutoff is."""
+    fetch = k + margin
+    while True:
+        td = s.search(q, fetch)
+        scores6 = np.round(td.scores, round_to)
+        n = len(scores6)
+        if n < fetch or n <= k or scores6[-1] < scores6[k - 1]:
+            return td, scores6
+        fetch *= 4
+
 _searcher_cache: dict[str, IndexSearcher] = {}
 
 
@@ -211,8 +227,7 @@ def topk(
     asserted against the exhaustive oracle in pytest instead."""
     s = get_searcher(sf_dir, cfg)
     q = query_from_descriptor(kind, clauses)
-    td = s.search(q, k + 200)
-    scores6 = np.round(td.scores, round_to)
+    td, scores6 = _search_past_rounded_ties(s, q, k, round_to)
     order = np.lexsort((td.doc_ids, -scores6))[:k]
     return pa.table(
         {
@@ -256,8 +271,7 @@ def topk_paged(
     ``IndexSearcher.search_after`` paging is asserted in pytest)."""
     s = get_searcher(sf_dir, cfg)
     q = query_from_descriptor(kind, clauses)
-    td = s.search(q, page * page_size + 400)
-    scores6 = np.round(td.scores, 6)
+    td, scores6 = _search_past_rounded_ties(s, q, page * page_size, 6, margin=400)
     order = np.lexsort((td.doc_ids, -scores6))
     sel = order[(page - 1) * page_size : page * page_size]
     return pa.table(

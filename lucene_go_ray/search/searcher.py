@@ -584,15 +584,18 @@ class IndexSearcher:
         if len(docs) == 0:
             return _Scored(docs, np.empty(0))
         # phrase positions: candidate = pos of term0; survive if pos+i present
-        # in term i's positions for the same doc. Work on (doc, pos) keys.
+        # in term i's positions for the same doc. Keys are packed as
+        # (candidate-local doc ordinal)*BIG + position — NOT global docID —
+        # so the int64 packing never overflows at 10^12-doc scale (ordinals
+        # are bounded by this query's conjunction size, not max_doc).
         BIG = np.int64(1) << 32
-        cand = _doc_pos_keys(plists[0], docs, BIG)  # keys doc*BIG + pos
+        cand = _doc_pos_keys(plists[0], docs, BIG)  # keys ord*BIG + pos
         for i, p in enumerate(plists[1:], start=1):
             keys_i = _doc_pos_keys(p, docs, BIG)
             cand = cand[np.isin(cand + i, keys_i, assume_unique=True)]
             if len(cand) == 0:
                 break
-        match_docs_all = (cand // BIG).astype(np.int64)
+        match_docs_all = docs[(cand // BIG).astype(np.int64)]
         mdocs, freqs = np.unique(match_docs_all, return_counts=True)
         if not need_scores:
             return _Scored(mdocs, None)
@@ -734,7 +737,12 @@ class IndexSearcher:
         heap_scores = np.empty(0, np.float64)
         theta = -np.inf
         for oi in order:
-            if ivl_ub[oi] <= theta and len(heap_docs) >= k:
+            # Strict inequality: an interval whose upper bound EQUALS theta
+            # can still contain a doc scoring exactly theta with a smaller
+            # docID than the current kth hit — under the (score desc, docID
+            # asc) contract that doc belongs in the top-k, so ub==theta
+            # intervals remain competitive and must be evaluated.
+            if ivl_ub[oi] < theta and len(heap_docs) >= k:
                 break
             lo = int(ivl_starts[oi])
             hi = int(bps[oi + 1]) - 1
@@ -979,14 +987,19 @@ def _gather_scores(base: np.ndarray, ev: _Scored) -> np.ndarray:
 
 
 def _doc_pos_keys(p: dict, docs: np.ndarray, BIG: np.int64) -> np.ndarray:
-    """(doc*BIG + position) keys for postings restricted to ``docs``."""
+    """(local_ord*BIG + position) keys for postings restricted to ``docs``.
+
+    The ordinal is the doc's index within ``docs`` (the conjunction
+    candidate set), so the packed key stays well inside int64 regardless of
+    global docID magnitude; callers map ordinals back via ``docs[key//BIG]``.
+    """
     sel = np.searchsorted(p["docs"], docs)
     freqs = p["freqs"]
     starts = np.zeros(len(p["docs"]), dtype=np.int64)
     starts[1:] = np.cumsum(freqs)[:-1]
     # flatten selected docs' position ranges
     reps = freqs[sel]
-    doc_rep = np.repeat(docs, reps)
+    doc_rep = np.repeat(np.arange(len(docs), dtype=np.int64), reps)
     base_rep = np.repeat(starts[sel], reps)
     within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
         np.cumsum(reps) - reps, reps

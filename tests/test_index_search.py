@@ -154,7 +154,12 @@ def test_match_all(built):
     _assert_rank_identical(s.search(MatchAllDocsQuery(), 20), exp, total)
 
 
-def test_pruned_equals_exhaustive(built):
+def test_pruned_equals_exhaustive(built, monkeypatch):
+    """Force the WAND interval body to actually run (the adaptive engage
+    threshold would otherwise bypass it for test-sized corpora)."""
+    import lucene_go_ray.search.searcher as searcher_mod
+
+    monkeypatch.setattr(searcher_mod, "WAND_MIN_POSTINGS", 0)
     index_dir, _, oracle, _ = built
     s = IndexSearcher(index_dir)
     hot = _common_terms(oracle, 50, 10**9)[:3]
@@ -170,6 +175,62 @@ def test_pruned_equals_exhaustive(built):
     b = s.search(q, 10, prune=True)
     assert a.doc_ids.tolist() == b.doc_ids.tolist()
     assert a.scores.tolist() == b.scores.tolist()
+
+
+def test_pruned_tie_heavy_rank_identical(tmp_path, monkeypatch):
+    """Score-tie stress for the pruned path: a corpus where most docs give
+    bit-identical BM25 scores (equal freq, equal norm), so interval upper
+    bounds equal theta everywhere. The pruned top-k must still return the
+    docID-ascending winners among the ties — this is the ub==theta
+    early-exit case (an interval bounded at exactly theta may hold a
+    smaller-docID doc that outranks the current kth hit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import lucene_go_ray.search.searcher as searcher_mod
+
+    monkeypatch.setattr(searcher_mod, "WAND_MIN_POSTINGS", 0)
+
+    n = 400
+    # every doc: "alpha beta" (identical freq/norm => identical scores);
+    # sprinkle a few high-tf docs so the heap fills with a HIGHER score
+    # first and theta lands exactly on the tie plateau afterwards
+    texts = ["alpha beta" for _ in range(n)]
+    for d in (37, 251, 389):
+        texts[d] = "alpha alpha alpha beta"
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(src),
+    )
+    cfg = IndexConfig(
+        target_partition_rows=100,
+        chunk_docs=96,
+        block_size=32,
+        hot_term_doc_freq=10**9,
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index([str(src)], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    oracle = NaiveEngine(
+        texts, StandardAnalyzer(stop_words=cfg.stop_set(), lowercase=cfg.lowercase)
+    )
+    for q in (
+        TermQuery("alpha"),
+        BooleanQuery.build(should=["alpha", "beta"]),
+    ):
+        for k in (1, 5, 10, 50):
+            exp, total = oracle.search(q, k)
+            a = s.search(q, k, prune=False)
+            b = s.search(q, k, prune=True)
+            _assert_rank_identical(a, exp, total)
+            assert a.doc_ids.tolist() == b.doc_ids.tolist(), (q, k)
+            assert a.scores.tolist() == b.scores.tolist(), (q, k)
 
 
 def test_lookup_keys(built):
