@@ -211,6 +211,53 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+def _topk_term_filtered_sql(term: str, k: int, filter_pred: str) -> str:
+    """Scored text-term top-k restricted by a docID predicate (keyword-field
+    FILTER / doc-values range FILTER / tombstone exclusion). BM25 inputs
+    (df, norms, collection stats) stay GLOBAL — filters and deletes never
+    change scoring, matching the engine's collect-time filtering."""
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_score_expr(_idf_expr("dfv.df"), "tf.freq", "n.norm")} AS score
+  FROM tf JOIN norms n ON n.doc_id = tf.doc_id, dfv, stats
+  WHERE {filter_pred}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _field_term_topk_sql(fld: str, value: str, k: int) -> str:
+    """Keyword-field BM25 top-k: freq=1, norm=1, per-FIELD collection stats
+    (doc_count = sum_ttf = docs with a non-null value => avgdl = 1)."""
+    ninv = f"1.0/({K1}*((1-{B}) + {B}*1.0/(fstats.sum_ttf/fstats.doc_count)))"
+    w = f"ln(1 + (fstats.doc_count - dfv.df + 0.5)/(dfv.df + 0.5))"
+    return f"""
+WITH fstats AS (
+  SELECT count(*)::DOUBLE AS doc_count, count(*)::DOUBLE AS sum_ttf
+  FROM documents WHERE {fld} IS NOT NULL
+),
+tf AS (SELECT doc_id FROM documents WHERE {fld} = '{value}'),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id, ({w}) - ({w})/(1 + 1.0 * {ninv}) AS score
+  FROM tf, dfv, fstats
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def _paged_topk_sql(term: str, page: int, page_size: int) -> str:
     lo = (page - 1) * page_size + 1
     hi = page * page_size
@@ -284,6 +331,11 @@ _SET_TERMS = ["spark", "window", "dup"]
 _DISMAX_TERMS = ["spark", "window"]
 _FILTER_TERM, _FILTER_LO, _FILTER_HI = "spark", 100, 400
 _K = 10
+# multi-field / doc-values / delete gate constants
+_KW_FIELD, _KW_VALUE = "lang", "fr"
+_MIX_TERM, _MIX_FIELD, _MIX_VALUE = "spark", "lang", "en"
+_NR_TERM, _NR_FIELD, _NR_LO, _NR_HI = "spark", "n_chars", 150, 350
+_DEL_FIELD, _DEL_VALUE, _DEL_TERM = "lang", "de", "spark"
 
 
 def entry() -> Any:
@@ -366,6 +418,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "topk_paged": lambda sf: fulltext.topk_paged(sf, "term", [_TERM], page=2),
         "sorted_topn_norms": lambda sf: fulltext.sorted_topn_norms(sf, 20),
+        # --- multi-field (keyword fields), doc-values range, deletes ---
+        "topk_field_term": lambda sf: fulltext.topk(
+            sf, "field_term", [_KW_FIELD, _KW_VALUE], _K
+        ),
+        "topk_field_mixed": lambda sf: fulltext.topk(
+            sf, "field_mixed", [_MIX_TERM, _MIX_FIELD, _MIX_VALUE], _K
+        ),
+        "field_term_stats": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
+        "topk_numeric_range": lambda sf: fulltext.topk(
+            sf, "numeric_range", [_NR_TERM, _NR_FIELD, str(_NR_LO), str(_NR_HI)], _K
+        ),
+        "topk_after_delete": lambda sf: fulltext.topk_after_delete(
+            sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
+        ),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(sf),
@@ -429,6 +495,27 @@ SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
             _FILTER_TERM, _FILTER_LO, _FILTER_HI, _K
         ),
         "topk_paged": _paged_topk_sql(_TERM, 2, 10),
+        "topk_field_term": _field_term_topk_sql(_KW_FIELD, _KW_VALUE, _K),
+        "topk_field_mixed": _topk_term_filtered_sql(
+            _MIX_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_MIX_FIELD} = '{_MIX_VALUE}')",
+        ),
+        "field_term_stats": f"""
+SELECT {_KW_FIELD}::VARCHAR AS term, count(*)::BIGINT AS doc_freq,
+       count(*)::BIGINT AS total_term_freq
+FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
+""",
+        "topk_numeric_range": _topk_term_filtered_sql(
+            _NR_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_NR_FIELD} BETWEEN {_NR_LO} AND {_NR_HI})",
+        ),
+        "topk_after_delete": _topk_term_filtered_sql(
+            _DEL_TERM,
+            _K,
+            f"tf.doc_id NOT IN (SELECT doc_id FROM documents WHERE {_DEL_FIELD} = '{_DEL_VALUE}')",
+        ),
         "sorted_topn_norms": f"""
 WITH {_TOKS}, {_NORMS}
 SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20

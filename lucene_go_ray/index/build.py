@@ -32,6 +32,7 @@ from dataclasses import asdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis import StandardAnalyzer
@@ -41,6 +42,7 @@ from .manifest import (
     Manifest,
     PartitionInfo,
     finalize_partitions,
+    load_manifest,
     save_manifest,
 )
 
@@ -143,6 +145,9 @@ class SegmentIndexer:
         cfg = self.cfg
         pf = pq.ParquetFile(part["path"])
         cols = [cfg.key_column, cfg.text_column]
+        for extra in tuple(cfg.keyword_fields) + tuple(cfg.docvalue_fields):
+            if extra not in cols:
+                cols.append(extra)
         table = pf.read_row_groups(list(part["row_groups"]), columns=cols)
         if part["row_start"] or len(table) != part["num_docs"]:
             table = table.slice(part["row_start"], part["num_docs"])
@@ -207,8 +212,35 @@ class SegmentIndexer:
         else:
             enc = None
 
-        # ---- write segment (tmp dir + atomic rename) ----
+        # ---- keyword fields: StringField semantics (stringfield.go:20-41)
+        # one verbatim term per non-null doc, freq 1, position 0, norm 1 —
+        # same postings codec under the (field, term) key
         pid = int(part["pid"])
+        field_tables = [_enc_to_terms_table(enc, cfg.text_column, sorted_vocab, pid)]
+        field_stats: dict = {}
+        for kf in sorted(cfg.keyword_fields):
+            kt, kstats = self._keyword_field_table(table, kf, pid)
+            field_tables.append(kt)
+            field_stats[kf] = kstats
+        # fields sorted by name, terms sorted within => rows ordered by the
+        # combined (field, term) posting key
+        field_tables.sort(key=lambda t: t["field"][0].as_py() if len(t) else "")
+
+        # ---- doc-values columns + zone maps ----
+        dv_cols: dict[str, pa.Array] = {}
+        dv_ranges: dict = {}
+        for dvf in cfg.docvalue_fields:
+            col = table[dvf].combine_chunks()
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())  # epoch micros
+            else:
+                col = col.cast(pa.int64())
+            dv_cols[f"dv_{dvf}"] = col
+            mm = pc.min_max(col).as_py()
+            if mm["min"] is not None:
+                dv_ranges[dvf] = [int(mm["min"]), int(mm["max"])]
+
+        # ---- write segment (tmp dir + atomic rename) ----
         final_dir = segment_path(self.index_dir, pid)
         tmp_dir = os.path.join(
             self.index_dir, SEGMENT_DIR, f".tmp-p={pid:05d}-{os.getpid()}"
@@ -219,10 +251,11 @@ class SegmentIndexer:
                 "ord": pa.array(np.arange(n_docs, dtype=np.int64)),
                 "key": table[cfg.key_column],
                 "norm": pa.array(norms),
+                **dv_cols,
             }
         )
         pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
-        terms_table = _enc_to_terms_table(enc, sorted_vocab, pid)
+        terms_table = pa.concat_tables(field_tables)
         pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
 
         info = PartitionInfo(
@@ -237,6 +270,8 @@ class SegmentIndexer:
             doc_count=int((norms > 0).sum()),
             build_secs=time.perf_counter() - t0,
             input_bytes=int(part.get("input_bytes", 0)),
+            field_stats=field_stats,
+            dv_ranges=dv_ranges,
         )
         with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
             json.dump(asdict(info), f)
@@ -248,6 +283,55 @@ class SegmentIndexer:
             os.replace(tmp_dir, final_dir)
         return asdict(info)
 
+    def _keyword_field_table(
+        self, table: pa.Table, kf: str, pid: int
+    ) -> tuple[pa.Table, dict]:
+        """Postings rows + stats partial for one keyword field: each non-null
+        doc contributes exactly one (value, doc) posting with freq 1 and
+        norm 1 (single-token doc ⇒ per-field avgdl == 1)."""
+        cfg = self.cfg
+        arr = table[kf].combine_chunks().cast(pa.string())
+        de = arr.dictionary_encode()
+        codes = de.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vocab = de.dictionary.to_pylist()
+        order = np.argsort(np.asarray(vocab, dtype=object), kind="stable")
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[order] = np.arange(len(vocab))
+        sorted_vocab = [vocab[i] for i in order]
+        valid = np.flatnonzero(codes >= 0)
+        n_valid = len(valid)
+        if n_valid:
+            ranks = rank[codes[valid]]
+            perm = np.argsort(ranks, kind="stable")  # docs ascend within term
+            post_doc = valid[perm].astype(np.int64)
+            r_sorted = ranks[perm]
+            tchange = np.empty(n_valid, dtype=bool)
+            tchange[0] = True
+            tchange[1:] = r_sorted[1:] != r_sorted[:-1]
+            tstarts = np.flatnonzero(tchange)
+            term_offsets = np.append(tstarts, n_valid).astype(np.int64)
+            used_vocab = [sorted_vocab[r] for r in r_sorted[tstarts]]
+            enc = encode_postings_many(
+                post_doc,
+                np.ones(n_valid, dtype=np.int64),
+                np.ones(n_valid, dtype=np.uint8),
+                term_offsets,
+                np.zeros(n_valid, dtype=np.int64)
+                if cfg.index_positions
+                else None,
+                block=cfg.block_size,
+            )
+        else:
+            enc, used_vocab = None, []
+        stats = {
+            "doc_count": int(n_valid),
+            "sum_total_term_freq": int(n_valid),
+            "sum_doc_freq": int(n_valid),
+        }
+        return _enc_to_terms_table(enc, kf, used_vocab, pid), stats
+
     def __call__(self, batch: dict) -> dict:
         out: list[dict] = []
         n = len(batch["pid"])
@@ -258,12 +342,14 @@ class SegmentIndexer:
 
 
 def _enc_to_terms_table(
-    enc: dict | None, sorted_vocab: list[str], pid: int
+    enc: dict | None, fld: str, sorted_vocab: list[str], pid: int
 ) -> pa.Table:
     n = len(sorted_vocab) if enc is not None else 0
     cols: dict[str, pa.Array] = {}
     for name, t in _TERMS_SCHEMA:
-        if name == "term":
+        if name == "field":
+            cols[name] = pa.array([fld] * n, type=t)
+        elif name == "term":
             cols[name] = pa.array(sorted_vocab[:n], type=t)
         elif name == "pid":
             cols[name] = pa.array(np.full(n, pid, dtype=np.int32), type=t)
@@ -274,6 +360,7 @@ def _enc_to_terms_table(
 
 
 _TERMS_SCHEMA = [
+    ("field", pa.string()),
     ("term", pa.large_string()),
     ("pid", pa.int32()),
     ("doc_freq", pa.int64()),
@@ -336,19 +423,7 @@ def build_index(
     os.makedirs(os.path.join(index_dir, SEGMENT_DIR), exist_ok=True)
 
     if todo:
-        n_actors = concurrency or max(
-            1, min(len(todo), int(ray.cluster_resources().get("CPU", 4)))
-        )
-        ds = ray.data.from_items([asdict(p) for p in todo])
-        infos = ds.map_batches(
-            SegmentIndexer,
-            fn_constructor_kwargs={"index_dir": index_dir, "cfg_dict": asdict(cfg)},
-            batch_size=1,
-            concurrency=n_actors,
-            num_cpus=1,
-        ).take_all()
-        for row in infos:
-            info = PartitionInfo(**json.loads(row["info"]))
+        for info in _run_segment_builds(index_dir, cfg, todo, concurrency):
             done[info.pid] = info
 
     t_segments = time.perf_counter()
@@ -378,6 +453,93 @@ def build_index(
         )
         save_manifest(index_dir, manifest)
     return manifest
+
+
+def _run_segment_builds(
+    index_dir: str,
+    cfg: IndexConfig,
+    todo: list[PartitionInfo],
+    concurrency: int | None,
+) -> list[PartitionInfo]:
+    import ray
+    import ray.data
+
+    n_actors = concurrency or max(
+        1, min(len(todo), int(ray.cluster_resources().get("CPU", 4)))
+    )
+    ds = ray.data.from_items([asdict(p) for p in todo])
+    infos = ds.map_batches(
+        SegmentIndexer,
+        fn_constructor_kwargs={"index_dir": index_dir, "cfg_dict": asdict(cfg)},
+        batch_size=1,
+        concurrency=n_actors,
+        num_cpus=1,
+    ).take_all()
+    return [PartitionInfo(**json.loads(row["info"])) for row in infos]
+
+
+def add_documents(
+    index_dir: str,
+    new_paths: list[str] | str,
+    *,
+    concurrency: int | None = None,
+) -> Manifest:
+    """Append documents to an existing index — the IndexWriter.AddDocuments
+    + Commit surface (/root/reference/core/index/indexwriter.go:424-447) for
+    an already-committed index.
+
+    New input files are planned into fresh partitions numbered AFTER every
+    existing pid, so existing partitions keep their docBases (tombstones
+    stay valid) and new docs get globally larger docIDs — exactly the
+    reference's monotone docID assignment across commits. The global merge
+    re-runs with a new epoch (segment set changed)."""
+    from .merge import merge_index
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}; build first")
+    cfgd = dict(manifest.config)
+    cfgd["stop_words"] = tuple(cfgd.get("stop_words", ()))
+    for k in ("keyword_fields", "docvalue_fields"):
+        cfgd[k] = tuple(cfgd.get(k, ()))
+    cfg = IndexConfig(**cfgd)
+    if isinstance(new_paths, str):
+        new_paths = _expand_paths(new_paths)
+    existing = [PartitionInfo(**p) for p in manifest.partitions]
+    offset = 1 + max((p.pid for p in existing), default=-1)
+    new_parts = plan_partitions(new_paths, cfg.target_partition_rows)
+    for p in new_parts:
+        p.pid += offset
+    done = _completed_pids(index_dir)
+    todo = [p for p in new_parts if p.pid not in done]
+    built = {p.pid: p for p in existing}
+    built.update({p.pid: done[p.pid] for p in new_parts if p.pid in done})
+    for info in _run_segment_builds(index_dir, cfg, todo, concurrency):
+        built[info.pid] = info
+    manifest = finalize_partitions(list(built.values()))
+    manifest.config = asdict(cfg)
+    save_manifest(index_dir, manifest)
+    manifest = merge_index(index_dir, manifest, cfg)
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
+def update_documents(
+    index_dir: str,
+    delete_query,
+    new_paths: list[str] | str,
+    *,
+    concurrency: int | None = None,
+) -> Manifest:
+    """Atomic-intent delete+add — IndexWriter.UpdateDocument semantics
+    (/root/reference/core/index/indexwriter.go:399-422): tombstone every doc
+    matching ``delete_query``, then append the replacement documents.
+    Collection statistics keep counting tombstoned docs (liveDocs
+    semantics) until their partitions are rebuilt."""
+    from .deletes import delete_by_query
+
+    delete_by_query(index_dir, delete_query)
+    return add_documents(index_dir, new_paths, concurrency=concurrency)
 
 
 def _expand_paths(path: str) -> list[str]:

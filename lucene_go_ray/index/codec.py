@@ -48,7 +48,19 @@ BLOCK_SIZE = 128
 # schema, range index, stats.json) so cached indexes are never read by
 # incompatible code (pipelines/fulltext.get_searcher includes this in its
 # cache tag; IndexSearcher checks it against the manifest).
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
+
+# Separator for the composite (field, term) posting key. \x1f sorts below
+# every printable character and never appears in a field NAME, so combined
+# keys order exactly like (field, term) tuples and each field's terms form
+# one contiguous key range — the per-field terms-dictionary layout of the
+# reference (fieldsreader.go builds one FST per field).
+KEY_SEP = "\x1f"
+
+
+def posting_key(fld: str, term: str) -> str:
+    return fld + KEY_SEP + term
+
 
 _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 

@@ -8,9 +8,20 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class IndexConfig:
-    # --- schema ---
+    # --- schema (the FieldInfos registry analogue,
+    # /root/reference/core/index/fieldinfos.go:33 + document/field.go:119-237;
+    # field name == source column name, field number == registry order) ---
     text_column: str = "text"  # TextField: tokenized, DOCS_AND_FREQS_AND_POSITIONS
     key_column: str = "doc_id"  # stored key (url or doc_id) kept in the docmap
+    # StringField-semantics columns (core/document/stringfield.go:20-41):
+    # indexed untokenized — one verbatim term per doc, freq 1, position 0,
+    # norm 1 — under the posting key (field, term). Null values index nothing.
+    keyword_fields: tuple = ()
+    # Numeric doc-values columns (int64-castable; timestamps → epoch micros)
+    # stored per-doc in the docmap with per-segment min/max zone maps — the
+    # value store behind NumericRangeQuery (the BKD PointRangeQuery analogue,
+    # /root/reference/core/search/pointrangequery.go).
+    docvalue_fields: tuple = ()
     # --- analysis ---
     stop_words: tuple = tuple(
         sorted(

@@ -29,6 +29,12 @@ class PartitionInfo:
     doc_count: int = 0  # docs with >= 1 posting
     build_secs: float = 0.0
     input_bytes: int = 0
+    # per-field CollectionStatistics partials for NON-default fields:
+    # {field: {"doc_count": n, "sum_total_term_freq": n, "sum_doc_freq": n}}
+    # (the default text field's stats are the legacy columns above)
+    field_stats: dict = field(default_factory=dict)
+    # doc-values zone maps: {field: [min, max]} over this segment's values
+    dv_ranges: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -41,6 +47,10 @@ class Manifest:
     sum_doc_freq: int = 0
     config: dict = field(default_factory=dict)
     partitions: list = field(default_factory=list)  # list[PartitionInfo dicts]
+    # global per-field stats for non-default fields (sum of partition rows),
+    # keyed by field name — the per-field CollectionStatistics of
+    # indexsearcher.go:438-481
+    field_stats: dict = field(default_factory=dict)
     merged: bool = False  # global merged index present
     # aggregate build metrics (wall seconds, docs/s, ...) — per-partition
     # metrics (build_secs, input_bytes, counts) live on each partition row
@@ -85,6 +95,15 @@ def finalize_partitions(parts: list[PartitionInfo]) -> Manifest:
     for p in parts:
         p.doc_base = base
         base += p.num_docs
+    field_stats: dict = {}
+    for p in parts:
+        for f_name, fs in (p.field_stats or {}).items():
+            acc = field_stats.setdefault(
+                f_name,
+                {"doc_count": 0, "sum_total_term_freq": 0, "sum_doc_freq": 0},
+            )
+            for k in acc:
+                acc[k] += int(fs.get(k, 0))
     return Manifest(
         num_partitions=len(parts),
         max_doc=base,
@@ -92,4 +111,5 @@ def finalize_partitions(parts: list[PartitionInfo]) -> Manifest:
         sum_total_term_freq=sum(p.sum_total_term_freq for p in parts),
         sum_doc_freq=sum(p.sum_doc_freq for p in parts),
         partitions=[asdict(p) for p in parts],
+        field_stats=field_stats,
     )

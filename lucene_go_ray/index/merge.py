@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 
 from .codec import (
     INDEX_FORMAT_VERSION,
+    KEY_SEP,
     _seg_local_idx,
     decode_positions_many,
     decode_postings_many,
@@ -151,14 +152,15 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     def add_salt(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
         pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fkeys = _fkey_column(batch)
         if hot:
             is_hot = pc.is_in(
-                batch["term"], value_set=pa.array(hot, type=pa.large_string())
+                fkeys, value_set=pa.array(hot, type=pa.large_string())
             ).to_numpy(zero_copy_only=False)
         else:
             is_hot = np.zeros(len(batch), dtype=bool)
         salt = np.where(is_hot, pids // group_size, -1).astype(np.int32)
-        bucket = term_buckets(batch["term"].to_pylist(), salt, num_buckets)
+        bucket = term_buckets(fkeys.to_pylist(), salt, num_buckets)
         return batch.append_column(
             "salt", pa.array(salt, type=pa.int32())
         ).append_column("bucket", pa.array(bucket, type=pa.int32()))
@@ -170,11 +172,17 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         bases = ray.get(bases_ref)
         pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
         salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
+        # group key = combined (field, term) posting key — one inverted list
+        # per (field, term, salt); output stays key-sorted so row-group key
+        # ranges are tight for the lookup index
+        fkeys = np.asarray(_fkey_column(group).to_pylist(), dtype=object)
+        fields = np.asarray(group["field"].to_pylist(), dtype=object)
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        _, term_code = np.unique(terms, return_inverse=True)
+        _, term_code = np.unique(fkeys, return_inverse=True)
         order = np.lexsort((pids, salts, term_code))
         group = group.take(pa.array(order))
-        pids, salts, terms = pids[order], salts[order], terms[order]
+        pids, salts = pids[order], salts[order]
+        fields, terms = fields[order], terms[order]
         term_code = term_code[order]
         doc_freqs = group["doc_freq"].to_numpy(zero_copy_only=False).astype(np.int64)
         docs, freqs, norms8, offs = decode_postings_many(
@@ -211,8 +219,10 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
             docs, freqs, norms8, chunk_offsets, pos, block=block
         )
         chunk_terms = terms[grp_row_starts][ct]
+        chunk_fields = fields[grp_row_starts][ct]
         chunk_salts = salts[grp_row_starts][ct]
         cols = {
+            "field": pa.array(chunk_fields.tolist(), type=pa.string()),
             "term": pa.array(chunk_terms.tolist(), type=pa.large_string()),
             "salt": pa.array(chunk_salts, type=pa.int32()),
             "bucket": pa.array(
@@ -271,20 +281,22 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
             if os.path.exists(fpath):
                 # bucket finished in a previous (crashed) merge attempt of
                 # the same epoch: keep it, rebuild its range-index rows
-                # from the term column (cheap metadata read)
+                # from the key columns (cheap metadata read)
                 pf = pq.ParquetFile(fpath)
                 for rg in range(pf.metadata.num_row_groups):
-                    terms = pf.read_row_group(rg, columns=["term"])["term"]
-                    if len(terms) == 0:
+                    keys = _fkey_column(
+                        pf.read_row_group(rg, columns=["field", "term"])
+                    )
+                    if len(keys) == 0:
                         continue
-                    mm = pc.min_max(terms).as_py()
+                    mm = pc.min_max(keys).as_py()
                     out["file"].append(fname)
                     out["row_group"].append(rg)
-                    out["term_min"].append(mm["min"])
-                    out["term_max"].append(mm["max"])
+                    out["key_min"].append(mm["min"])
+                    out["key_max"].append(mm["max"])
                     out["bucket_min"].append(b)
                     out["bucket_max"].append(b)
-                    out["num_rows"].append(len(terms))
+                    out["num_rows"].append(len(keys))
                 continue
             bdir = os.path.join(shuffle_dir, f"bucket={b}")
             if os.path.isdir(bdir):
@@ -321,14 +333,14 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                     f"write={_time.perf_counter() - t2:.2f}s rows={merged.num_rows}",
                     flush=True,
                 )
-            terms = merged["term"]
+            keys = _fkey_column(merged)
             for rg_start in range(0, merged.num_rows, POSTINGS_ROW_GROUP_ROWS):
-                sl = terms.slice(rg_start, POSTINGS_ROW_GROUP_ROWS)
+                sl = keys.slice(rg_start, POSTINGS_ROW_GROUP_ROWS)
                 mm = pc.min_max(sl).as_py()
                 out["file"].append(fname)
                 out["row_group"].append(rg_start // POSTINGS_ROW_GROUP_ROWS)
-                out["term_min"].append(mm["min"])
-                out["term_max"].append(mm["max"])
+                out["key_min"].append(mm["min"])
+                out["key_max"].append(mm["max"])
                 out["bucket_min"].append(b)
                 out["bucket_max"].append(b)
                 out["num_rows"].append(len(sl))
@@ -367,7 +379,9 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 "doc_count": manifest.doc_count,
                 "sum_total_term_freq": manifest.sum_total_term_freq,
                 "sum_doc_freq": manifest.sum_doc_freq,
-                "hot_terms": sorted(hot_terms),
+                # per-field CollectionStatistics for non-default fields
+                "field_stats": manifest.field_stats,
+                "hot_terms": sorted(hot_terms),  # combined (field,term) keys
                 "format_version": INDEX_FORMAT_VERSION,
             },
             f,
@@ -387,6 +401,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
 
 
 _MERGED_SCHEMA = [
+    ("field", pa.string()),
     ("term", pa.large_string()),
     ("salt", pa.int32()),
     ("bucket", pa.int32()),
@@ -436,14 +451,24 @@ def term_buckets(
 _HOT_SAMPLE_SEGMENTS = 64
 
 
-def _estimate_hot_terms(seg_files: list[str], hot_doc_freq: int) -> set[str]:
-    """Estimated set of terms with global doc_freq > ``hot_doc_freq``.
+def _fkey_column(t: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Combined (field, term) posting-key column (codec.KEY_SEP joined)."""
+    return pc.binary_join_element_wise(
+        t["field"].cast(pa.large_string()),
+        t["term"].cast(pa.large_string()),
+        pa.scalar(KEY_SEP, type=pa.large_string()),
+    )
 
-    Reads (term, doc_freq) from an evenly-strided sample of at most
+
+def _estimate_hot_terms(seg_files: list[str], hot_doc_freq: int) -> set[str]:
+    """Estimated set of posting keys with global doc_freq > ``hot_doc_freq``.
+
+    Reads (field, term, doc_freq) from an evenly-strided sample of at most
     ``_HOT_SAMPLE_SEGMENTS`` segment term tables and scales by P/S. A missed
-    hot term only costs merge balance, never correctness; a false positive
-    only adds a few extra (term, salt) groups. At cluster scale this read
-    is one small column off S files — independent of P."""
+    hot key only costs merge balance, never correctness; a false positive
+    only adds a few extra (key, salt) groups. At cluster scale this read
+    is one small column off S files — independent of P. Keyword-field keys
+    (e.g. lang=en over a web corpus) salt exactly like hot text terms."""
     P = len(seg_files)
     if P == 0:
         return set()
@@ -453,20 +478,24 @@ def _estimate_hot_terms(seg_files: list[str], hot_doc_freq: int) -> set[str]:
 
     with ThreadPoolExecutor(max_workers=min(16, len(sample))) as ex:
         parts = list(
-            ex.map(lambda f: pq.read_table(f, columns=["term", "doc_freq"]), sample)
+            ex.map(
+                lambda f: pq.read_table(
+                    f, columns=["field", "term", "doc_freq"]
+                ),
+                sample,
+            )
         )
+    tbl = pa.concat_tables(parts)
     agg = (
-        pa.concat_tables(parts)
-        .group_by("term")
+        pa.table({"fkey": _fkey_column(tbl), "doc_freq": tbl["doc_freq"]})
+        .group_by("fkey")
         .aggregate([("doc_freq", "sum")])
     )
     scale = P / len(sample)
     # 2x margin on the scaled estimate to absorb sampling noise
     thresh = max(1.0, hot_doc_freq / (2.0 * scale))
-    import pyarrow.compute as _pc
-
-    mask = _pc.greater(agg["doc_freq_sum"], int(thresh))
-    return set(agg.filter(mask)["term"].to_pylist())
+    mask = pc.greater(agg["doc_freq_sum"], int(thresh))
+    return set(agg.filter(mask)["fkey"].to_pylist())
 
 
 def _empty_merged_table() -> pa.Table:
@@ -476,8 +505,8 @@ def _empty_merged_table() -> pa.Table:
 _RANGE_INDEX_SCHEMA = [
     ("file", pa.string()),
     ("row_group", pa.int32()),
-    ("term_min", pa.large_string()),
-    ("term_max", pa.large_string()),
+    ("key_min", pa.large_string()),  # combined (field, term) posting keys
+    ("key_max", pa.large_string()),
     ("bucket_min", pa.int32()),
     ("bucket_max", pa.int32()),
     ("num_rows", pa.int64()),

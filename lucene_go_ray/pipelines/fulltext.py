@@ -30,6 +30,8 @@ _GATE_CFG = IndexConfig(
     target_partition_rows=2000,
     hot_term_doc_freq=100_000,
     chunk_docs=131_072,
+    keyword_fields=("lang", "source"),
+    docvalue_fields=("n_chars",),
 )
 
 
@@ -228,6 +230,67 @@ def topk(
     s = get_searcher(sf_dir, cfg)
     q = query_from_descriptor(kind, clauses)
     td, scores6 = _search_past_rounded_ties(s, q, k, round_to)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
+def field_term_stats(
+    sf_dir: str, field: str = "lang", cfg: IndexConfig = _GATE_CFG
+) -> pa.Table:
+    """Per-term stats of one keyword field: the per-field terms dictionary
+    walk (expand over the field's key range) + TermStates accumulation —
+    multi-field parity surface (fieldinfos.go / per-field FSTs)."""
+    s = get_searcher(sf_dir, cfg)
+    terms = s.postings.expand_terms(field, "", "\U0010ffff")
+    stats = [s.term_statistics(t, fld=field) for t in terms]
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_freq": pa.array([d for d, _ in stats], type=pa.int64()),
+            "total_term_freq": pa.array([t for _, t in stats], type=pa.int64()),
+        }
+    )
+
+
+def topk_after_delete(
+    sf_dir: str,
+    kind: str,
+    clauses: list[str],
+    k: int = 10,
+    *,
+    del_field: str = "lang",
+    del_value: str = "de",
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Delete-by-term then top-k: tombstones filter hits at collect time
+    while collection statistics still count the deleted docs (liveDocs
+    semantics, indexwriter.go:399-422 + index/deletes.py). The deleted
+    index is a cached copy of the gate index, so the base index stays
+    pristine for every other entry."""
+    import shutil
+
+    from ..index.deletes import delete_by_term
+
+    base = get_searcher(sf_dir, cfg)
+    ddir = base.index_dir + f"_del_{del_field}_{del_value}"
+    s = _searcher_cache.get(ddir)
+    if s is None:
+        if not os.path.isdir(ddir):
+            tmp = ddir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(base.index_dir, tmp)
+            delete_by_term(tmp, del_value, fld=del_field)
+            os.replace(tmp, ddir)
+        s = IndexSearcher(ddir)
+        _searcher_cache[ddir] = s
+    q = query_from_descriptor(kind, clauses)
+    td, scores6 = _search_past_rounded_ties(s, q, k, 6)
     order = np.lexsort((td.doc_ids, -scores6))[:k]
     return pa.table(
         {

@@ -38,7 +38,7 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str
-    field: str = "text"
+    field: str | None = None  # None = the index default (text) field
 
 
 @dataclass(frozen=True)
@@ -88,7 +88,7 @@ class TermInSetQuery(Query):
     scored as a constant)."""
 
     terms: tuple
-    field: str = "text"
+    field: str | None = None  # None = the index default (text) field
 
     def __post_init__(self):
         object.__setattr__(self, "terms", tuple(sorted(set(self.terms))))
@@ -102,7 +102,7 @@ class PrefixQuery(Query):
     searcher against the merged term dictionary."""
 
     prefix: str
-    field: str = "text"
+    field: str | None = None  # None = the index default (text) field
 
 
 @dataclass(frozen=True)
@@ -114,7 +114,20 @@ class TermRangeQuery(Query):
     upper: str
     include_lower: bool = True
     include_upper: bool = True
-    field: str = "text"
+    field: str | None = None  # None = the index default (text) field
+
+
+@dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """Matches docs whose doc-values field lies in [lo, hi] (inclusive,
+    null never matches) — the value-backed PointRangeQuery
+    (/root/reference/core/search/pointrangequery.go:1-445). Evaluated
+    against the docmap doc-values column with per-segment min/max zone-map
+    pruning; constant-scored (typically a FILTER clause)."""
+
+    field: str
+    lo: int
+    hi: int
 
 
 @dataclass(frozen=True)
@@ -131,7 +144,7 @@ class DocIdRangeQuery(Query):
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     terms: tuple
-    field: str = "text"
+    field: str | None = None  # None = the index default (text) field
 
     def __post_init__(self):
         object.__setattr__(self, "terms", tuple(self.terms))

@@ -40,10 +40,12 @@ import pyarrow.parquet as pq
 
 from ..index.codec import (
     INDEX_FORMAT_VERSION,
+    KEY_SEP,
     block_metadata,
     decode_docs_freqs_norms,
     decode_positions,
     decode_row_blocks,
+    posting_key,
 )
 from ..index.config import IndexConfig
 from ..index.manifest import load_manifest
@@ -55,6 +57,7 @@ from .query import (
     DisjunctionMaxQuery,
     DocIdRangeQuery,
     MatchAllDocsQuery,
+    NumericRangeQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -80,6 +83,7 @@ WAND_MIN_POSTINGS = 2_000_000
 # the dominant bytes of a hot term's row, so non-phrase lookups never read
 # them (parquet column pruning at the row-group read).
 _NO_POS_COLUMNS = [
+    "field",
     "term",
     "salt",
     "chunk_id",
@@ -125,31 +129,32 @@ class _Scored:
 
 
 class _RangeIndex:
-    """term -> candidate (file, row_group) lookup over the merged postings.
+    """(field, term) -> candidate (file, row_group) lookup over the merged
+    postings.
 
-    Two pruning predicates per row group: the term range [term_min,
-    term_max] AND the merge-bucket range [bucket_min, bucket_max]. The
-    caller passes the term's possible bucket ids (computable from
-    crc32(term) x its possible salts, index/merge.py:term_buckets), so a
-    lookup touches O(1) row groups — the FST seek of the reference
-    (/root/reference/codecs/simpletext/fieldsreader.go:290) at row-group
-    granularity, with no driver-side vocabulary."""
+    Two pruning predicates per row group: the combined posting-key range
+    [key_min, key_max] AND the merge-bucket range [bucket_min, bucket_max].
+    The caller passes the key's possible bucket ids (computable from
+    crc32(key) x its possible salts, index/merge.py:term_buckets), so a
+    lookup touches O(1) row groups — the per-field FST seek of the
+    reference (/root/reference/codecs/simpletext/fieldsreader.go:290) at
+    row-group granularity, with no driver-side vocabulary."""
 
     def __init__(self, dir_path: str):
         t = pq.read_table(dir_path + "_index.parquet")
         self.files = t["file"].to_pylist()
         self.row_groups = t["row_group"].to_numpy(zero_copy_only=False)
-        self.term_min = np.asarray(t["term_min"].to_pylist(), dtype=object)
-        self.term_max = np.asarray(t["term_max"].to_pylist(), dtype=object)
+        self.key_min = np.asarray(t["key_min"].to_pylist(), dtype=object)
+        self.key_max = np.asarray(t["key_max"].to_pylist(), dtype=object)
         self.bucket_min = t["bucket_min"].to_numpy(zero_copy_only=False)
         self.bucket_max = t["bucket_max"].to_numpy(zero_copy_only=False)
         self.dir_path = dir_path
         self._pf_cache: dict[str, pq.ParquetFile] = {}
 
     def candidates(
-        self, term: str, buckets: list[int] | None = None
+        self, key: str, buckets: list[int] | None = None
     ) -> list[tuple[str, int]]:
-        mask = (self.term_min <= term) & (term <= self.term_max)
+        mask = (self.key_min <= key) & (key <= self.key_max)
         if buckets is not None:
             bmask = np.zeros(len(mask), dtype=bool)
             for b in buckets:
@@ -159,38 +164,45 @@ class _RangeIndex:
             (self.files[i], int(self.row_groups[i])) for i in np.flatnonzero(mask)
         ]
 
-    def expand_terms(self, lo: str, hi: str) -> list[str]:
-        """All dictionary terms in [lo, hi] (byte order): the MultiTermQuery
-        expansion seek. Reads ONLY the term column of overlapping row
-        groups; bucket files are hash-scattered so a range scan touches
-        many row groups, but the term column alone is a tiny fraction of
-        each (postings blobs are never read)."""
-        mask = (self.term_min <= hi) & (lo <= self.term_max)
+    def _file(self, fname: str) -> pq.ParquetFile:
+        pf = self._pf_cache.get(fname)
+        if pf is None:
+            pf = pq.ParquetFile(os.path.join(self.dir_path, fname))
+            self._pf_cache[fname] = pf
+        return pf
+
+    def expand_terms(self, fld: str, lo: str, hi: str) -> list[str]:
+        """All of ``fld``'s dictionary terms in [lo, hi] (byte order): the
+        MultiTermQuery expansion seek. Reads ONLY the field+term columns of
+        overlapping row groups; bucket files are hash-scattered so a range
+        scan touches many row groups, but those columns alone are a tiny
+        fraction of each (postings blobs are never read)."""
+        klo, khi = posting_key(fld, lo), posting_key(fld, hi)
+        mask = (self.key_min <= khi) & (klo <= self.key_max)
         terms: set[str] = set()
         for i in np.flatnonzero(mask):
-            pf = self._pf_cache.get(self.files[i])
-            if pf is None:
-                pf = pq.ParquetFile(os.path.join(self.dir_path, self.files[i]))
-                self._pf_cache[self.files[i]] = pf
-            col = pf.read_row_group(int(self.row_groups[i]), columns=["term"])["term"]
-            arr = col.to_pylist()
-            terms.update(t for t in arr if lo <= t <= hi)
+            t = self._file(self.files[i]).read_row_group(
+                int(self.row_groups[i]), columns=["field", "term"]
+            )
+            t = t.filter(pc.equal(t["field"], fld))
+            terms.update(
+                x for x in t["term"].to_pylist() if lo <= x <= hi
+            )
         return sorted(terms)
 
     def read_term_rows(
         self,
+        fld: str,
         term: str,
         columns: list[str] | None = None,
         buckets: list[int] | None = None,
     ) -> pa.Table:
         tables = []
-        for fname, rg in self.candidates(term, buckets):
-            pf = self._pf_cache.get(fname)
-            if pf is None:
-                pf = pq.ParquetFile(os.path.join(self.dir_path, fname))
-                self._pf_cache[fname] = pf
-            t = pf.read_row_group(rg, columns=columns)
-            t = t.filter(pc.equal(t["term"], term))
+        for fname, rg in self.candidates(posting_key(fld, term), buckets):
+            t = self._file(fname).read_row_group(rg, columns=columns)
+            t = t.filter(
+                pc.and_(pc.equal(t["field"], fld), pc.equal(t["term"], term))
+            )
             if len(t):
                 tables.append(t)
         if not tables:
@@ -207,7 +219,8 @@ class IndexSearcher:
         if not self.manifest.merged:
             raise RuntimeError("index not merged; run merge_index / build_index(merge=True)")
         cfgd = dict(self.manifest.config)
-        cfgd["stop_words"] = tuple(cfgd.get("stop_words", ()))
+        for k in ("stop_words", "keyword_fields", "docvalue_fields"):
+            cfgd[k] = tuple(cfgd.get(k, ()))
         self.cfg = IndexConfig(**cfgd)
         gdir = os.path.join(index_dir, "global")
         with open(os.path.join(gdir, "stats.json")) as f:
@@ -217,12 +230,24 @@ class IndexSearcher:
             raise RuntimeError(
                 f"index format v{fv} != engine v{INDEX_FORMAT_VERSION}; rebuild"
             )
+        # per-field scorers: each indexed field has its own
+        # CollectionStatistics (doc_count, avgdl) exactly as
+        # indexsearcher.go:438-481 computes them per field name
+        self.default_field = self.cfg.text_column
         self.scorer = BM25Scorer(
             self.stats["doc_count"],
             self.stats["sum_total_term_freq"],
             k1=self.cfg.k1,
             b=self.cfg.b,
         )
+        self._scorers = {self.default_field: self.scorer}
+        for f_name, fs in self.stats.get("field_stats", {}).items():
+            self._scorers[f_name] = BM25Scorer(
+                fs["doc_count"],
+                fs["sum_total_term_freq"],
+                k1=self.cfg.k1,
+                b=self.cfg.b,
+            )
         self.postings = _RangeIndex(os.path.join(gdir, "postings"))
         self._doc_bases = [int(p["doc_base"]) for p in self.manifest.partitions]
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
@@ -233,6 +258,15 @@ class IndexSearcher:
         self._doc_range: tuple[int, int] | None = None
         self._rows_cache: dict[tuple, list[dict]] = {}
         self._block_cache: dict[str, dict] = {}  # term -> {flat block -> (docs, scores)}
+        self._dv_cache: dict[tuple, tuple] = {}  # (pid, field) -> (vals, valid)
+        # tombstone overlay (liveDocs): sorted deleted global docIDs,
+        # applied ONCE at collect time (root of the evaluation) — never
+        # inside clause evaluation, so boolean set algebra is unaffected
+        # and stats keep counting deleted docs exactly like the reference
+        # until segments are rewritten (index/deletes.py).
+        from ..index.deletes import load_deleted
+
+        self.deleted = load_deleted(index_dir)
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
         self._num_buckets = self.cfg.merge_buckets
@@ -240,31 +274,43 @@ class IndexSearcher:
             {pid // self.cfg.salt_group_partitions for pid in self._pids}
         )
 
-    def _term_buckets(self, term: str) -> list[int]:
-        """The only merge buckets that can hold this term's chunk rows."""
-        salts = self._hot_salts if term in self._hot_set else [-1]
+    def scorer_for(self, fld: str | None) -> BM25Scorer:
+        f_name = fld or self.default_field
+        s = self._scorers.get(f_name)
+        if s is None:  # unindexed field: empty stats => zero scores
+            s = BM25Scorer(0, 0, k1=self.cfg.k1, b=self.cfg.b)
+            self._scorers[f_name] = s
+        return s
+
+    def _term_buckets(self, fkey: str) -> list[int]:
+        """The only merge buckets that can hold this posting key's rows."""
+        salts = self._hot_salts if fkey in self._hot_set else [-1]
         return sorted(
-            set(term_buckets([term] * len(salts), salts, self._num_buckets).tolist())
+            set(term_buckets([fkey] * len(salts), salts, self._num_buckets).tolist())
         )
 
     # ---------------- term access ----------------
 
-    def term_statistics(self, term: str) -> tuple[int, int]:
+    def term_statistics(
+        self, term: str, fld: str | None = None
+    ) -> tuple[int, int]:
         """(doc_freq, total_term_freq): exact global stats = sum of the
         term's merged chunk rows' metadata (column-pruned read; the
         TermStates accumulation of termstates.go:52-93 done at lookup)."""
-        rows = self._rows_cache.get((term, False))
+        f_name = fld or self.default_field
+        rows = self._rows_cache.get((f_name, term, False))
         if rows is None:
-            rows = self._rows_cache.get((term, True))
+            rows = self._rows_cache.get((f_name, term, True))
         if rows is not None:
             return (
                 sum(r["doc_freq"] for r in rows),
                 sum(r["total_term_freq"] for r in rows),
             )
         t = self.postings.read_term_rows(
+            f_name,
             term,
-            columns=["term", "doc_freq", "total_term_freq"],
-            buckets=self._term_buckets(term),
+            columns=["field", "term", "doc_freq", "total_term_freq"],
+            buckets=self._term_buckets(posting_key(f_name, term)),
         )
         if t.num_rows == 0:
             return 0, 0
@@ -273,17 +319,23 @@ class IndexSearcher:
             int(pc.sum(t["total_term_freq"]).as_py()),
         )
 
-    def _term_rows(self, term: str, with_positions: bool = False) -> list[dict]:
+    def _term_rows(
+        self, term: str, fld: str | None = None, with_positions: bool = False
+    ) -> list[dict]:
         """Chunk rows for a term, cached; position blobs (the dominant bytes
         for hot terms) are only read when the query actually needs them."""
-        key = (term, True) if with_positions else (term, False)
+        f_name = fld or self.default_field
+        key = (f_name, term, with_positions)
         rows = self._rows_cache.get(key)
         if rows is None and not with_positions:
-            rows = self._rows_cache.get((term, True))  # superset is fine
+            rows = self._rows_cache.get((f_name, term, True))  # superset ok
         if rows is None:
             cols = None if with_positions else _NO_POS_COLUMNS
             t = self.postings.read_term_rows(
-                term, columns=cols, buckets=self._term_buckets(term)
+                f_name,
+                term,
+                columns=cols,
+                buckets=self._term_buckets(posting_key(f_name, term)),
             )
             rows = (
                 sorted(t.to_pylist(), key=lambda r: r["first_doc"])
@@ -294,12 +346,12 @@ class IndexSearcher:
         return rows
 
     def term_postings(
-        self, term: str, with_positions: bool = False
+        self, term: str, fld: str | None = None, with_positions: bool = False
     ) -> dict | None:
-        key = (term, with_positions, self._doc_range)
+        key = (fld or self.default_field, term, with_positions, self._doc_range)
         if key in self._postings_cache:
             return self._postings_cache[key]
-        rows = self._term_rows(term, with_positions=with_positions)
+        rows = self._term_rows(term, fld=fld, with_positions=with_positions)
         if self._doc_range is not None:
             # chunk-level pruning: a shard decodes ONLY the chunk rows whose
             # [first_doc, last_doc] overlaps its doc range
@@ -333,9 +385,23 @@ class IndexSearcher:
 
     # ---------------- public API ----------------
 
+    def _apply_live_docs(self, docs: np.ndarray) -> np.ndarray:
+        """Drop tombstoned docIDs (both arrays sorted)."""
+        if len(self.deleted) == 0 or len(docs) == 0:
+            return docs
+        return docs[~_membership(docs, self.deleted).astype(bool)]
+
+    def _apply_live(self, s: _Scored) -> _Scored:
+        if len(self.deleted) == 0 or len(s.docs) == 0:
+            return s
+        keep = ~_membership(s.docs, self.deleted).astype(bool)
+        return _Scored(
+            s.docs[keep], s.scores[keep] if s.scores is not None else None
+        )
+
     def count(self, query: Query) -> int:
         s = self._eval(query.rewrite(), 1.0, need_scores=False)
-        return len(s.docs)
+        return len(self._apply_live_docs(s.docs))
 
     def search(
         self,
@@ -352,7 +418,7 @@ class IndexSearcher:
                 if with_keys:
                     pruned.keys = self.lookup_keys(pruned.doc_ids)
                 return pruned
-        s = self._eval(query, 1.0, need_scores=True)
+        s = self._apply_live(self._eval(query, 1.0, need_scores=True))
         td = _topk(s, k)
         if with_keys:
             td.keys = self.lookup_keys(td.doc_ids)
@@ -365,7 +431,7 @@ class IndexSearcher:
         (score desc, docID asc) order — PagingTopScoreDocCollector
         (/root/reference/core/search/topscoredoccollector.go:235+,
         indexsearcher.go:223-262)."""
-        s = self._eval(query.rewrite(), 1.0, need_scores=True)
+        s = self._apply_live(self._eval(query.rewrite(), 1.0, need_scores=True))
         if after is not None:
             a_score, a_doc = after
             keep = (s.scores < a_score) | ((s.scores == a_score) & (s.docs > a_doc))
@@ -416,7 +482,8 @@ class IndexSearcher:
         if isinstance(q, BoostQuery):
             return self._explain(q.query, boost * q.boost, doc)
         if isinstance(q, TermQuery):
-            p = self.term_postings(q.term)
+            p = self.term_postings(q.term, fld=q.field)
+            f_name = q.field or self.default_field
             if p is None:
                 return {"value": 0.0, "description": f"no term {q.term!r}"}
             i = int(np.searchsorted(p["docs"], doc))
@@ -425,22 +492,23 @@ class IndexSearcher:
                     "value": 0.0,
                     "description": f"no matching term {q.term!r} in doc {doc}",
                 }
-            df, _ = self.term_statistics(q.term)
-            w = self.scorer.weight(df, boost)
+            df, _ = self.term_statistics(q.term, fld=q.field)
+            scorer = self.scorer_for(q.field)
+            w = scorer.weight(df, boost)
             freq = float(p["freqs"][i])
             norm8 = int(p["norms8"][i])
-            val = float(self.scorer.score(w, np.array([freq]), np.array([norm8]))[0])
+            val = float(scorer.score(w, np.array([freq]), np.array([norm8]))[0])
             return {
                 "value": val,
-                "description": f"weight(text:{q.term} in {doc}) [BM25]",
+                "description": f"weight({f_name}:{q.term} in {doc}) [BM25]",
                 "details": [
                     {
                         "value": boost * 1.0 if boost != 1.0 else 1.0,
                         "description": f"boost {boost}",
                     },
                     {
-                        "value": idf(df, self.scorer.doc_count),
-                        "description": f"idf, n={df}, N={self.scorer.doc_count}",
+                        "value": idf(df, scorer.doc_count),
+                        "description": f"idf, n={df}, N={scorer.doc_count}",
                     },
                     {
                         "value": freq,
@@ -450,7 +518,7 @@ class IndexSearcher:
                         "value": float(norm8),
                         "description": "norm & 0xFF (doc length, wrapped)",
                     },
-                    {"value": self.scorer.avgdl, "description": "avgdl"},
+                    {"value": scorer.avgdl, "description": "avgdl"},
                 ],
             }
         # generic: evaluate and gather the doc's score; per-clause details
@@ -492,18 +560,72 @@ class IndexSearcher:
             keys.append(dm["key"][d - self._doc_bases[i]].as_py())
         return keys
 
+    # ---------------- doc-values range evaluation --------------------------
+
+    def _dv_column(self, pid: int, fld: str) -> tuple[np.ndarray, np.ndarray]:
+        """(values:int64, valid:bool) for one segment's doc-values column,
+        cached per (pid, field)."""
+        key = (pid, fld)
+        cached = self._dv_cache.get(key)
+        if cached is None:
+            t = pq.read_table(
+                os.path.join(
+                    self.index_dir, "segments", f"p={pid:05d}", "docmap.parquet"
+                ),
+                columns=[f"dv_{fld}"],
+            )
+            arr = t[f"dv_{fld}"].combine_chunks()
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cached = (vals, valid)
+            self._dv_cache[key] = cached
+        return cached
+
+    def _numeric_range_docs(self, fld: str, lo: int, hi: int) -> np.ndarray:
+        """Sorted global docIDs whose doc-values ``fld`` ∈ [lo, hi].
+
+        Two pruning levels before any value is read: the sharded doc range
+        (search_sharded) and the per-segment min/max zone map recorded at
+        build (manifest dv_ranges) — the BKD cell-level skip of
+        pointrangequery.go, at segment granularity. Only overlapping
+        segments' docmap columns are read (and cached)."""
+        rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
+        out = []
+        for p in self.manifest.partitions:
+            base, n = int(p["doc_base"]), int(p["num_docs"])
+            if base + n - 1 < rlo or base > rhi:
+                continue
+            zr = (p.get("dv_ranges") or {}).get(fld)
+            if zr is None or zr[1] < lo or zr[0] > hi:
+                continue
+            vals, valid = self._dv_column(int(p["pid"]), fld)
+            mask = valid & (vals >= lo) & (vals <= hi)
+            a = max(0, rlo - base)
+            b = min(n, rhi - base + 1)
+            if a > 0 or b < n:
+                m2 = np.zeros(n, dtype=bool)
+                m2[a:b] = mask[a:b]
+                mask = m2
+            ords = np.flatnonzero(mask)
+            if len(ords):
+                out.append(base + ords.astype(np.int64))
+        if not out:
+            return np.empty(0, np.int64)
+        return np.concatenate(out)  # pid-ordered bases => globally sorted
+
     # ---------------- evaluation (exhaustive, rank-authoritative) ----------
 
     def _eval(self, q: Query, boost: float, need_scores: bool) -> _Scored:
         if isinstance(q, TermQuery):
-            p = self.term_postings(q.term)
+            p = self.term_postings(q.term, fld=q.field)
             if p is None:
                 return _Scored(np.empty(0, np.int64), np.empty(0))
             if not need_scores:
                 return _Scored(p["docs"], None)
-            df, _ = self.term_statistics(q.term)
-            w = self.scorer.weight(df, boost)
-            return _Scored(p["docs"], self.scorer.score(w, p["freqs"], p["norms8"]))
+            df, _ = self.term_statistics(q.term, fld=q.field)
+            scorer = self.scorer_for(q.field)
+            w = scorer.weight(df, boost)
+            return _Scored(p["docs"], scorer.score(w, p["freqs"], p["norms8"]))
         if isinstance(q, BoostQuery):
             return self._eval(q.query, boost * q.boost, need_scores)
         if isinstance(q, MatchAllDocsQuery):
@@ -517,6 +639,9 @@ class IndexSearcher:
                 ev.docs,
                 np.full(len(ev.docs), boost * q.boost) if need_scores else None,
             )
+        if isinstance(q, NumericRangeQuery):
+            docs = self._numeric_range_docs(q.field, int(q.lo), int(q.hi))
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, DocIdRangeQuery):
             rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
             lo = max(0, int(q.lo), rlo)
@@ -524,17 +649,21 @@ class IndexSearcher:
             docs = np.arange(lo, max(lo, hi + 1), dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, TermInSetQuery):
-            return self._eval_term_union(list(q.terms), boost, need_scores)
+            return self._eval_term_union(list(q.terms), q.field, boost, need_scores)
         if isinstance(q, PrefixQuery):
-            terms = self.postings.expand_terms(q.prefix, q.prefix + "\U0010ffff")
-            return self._eval_term_union(terms, boost, need_scores)
+            f_name = q.field or self.default_field
+            terms = self.postings.expand_terms(
+                f_name, q.prefix, q.prefix + "\U0010ffff"
+            )
+            return self._eval_term_union(terms, q.field, boost, need_scores)
         if isinstance(q, TermRangeQuery):
-            terms = self.postings.expand_terms(q.lower, q.upper)
+            f_name = q.field or self.default_field
+            terms = self.postings.expand_terms(f_name, q.lower, q.upper)
             if not q.include_lower:
                 terms = [t for t in terms if t != q.lower]
             if not q.include_upper:
                 terms = [t for t in terms if t != q.upper]
-            return self._eval_term_union(terms, boost, need_scores)
+            return self._eval_term_union(terms, q.field, boost, need_scores)
         if isinstance(q, DisjunctionMaxQuery):
             evs = [self._eval(d, boost, need_scores) for d in q.disjuncts]
             evs = [e for e in evs if len(e.docs)]
@@ -557,13 +686,13 @@ class IndexSearcher:
         raise TypeError(f"unsupported query: {q!r}")
 
     def _eval_term_union(
-        self, terms: list[str], boost: float, need_scores: bool
+        self, terms: list[str], fld: str | None, boost: float, need_scores: bool
     ) -> _Scored:
         """Constant-score union of the terms' postings (MultiTermQuery
         CONSTANT_SCORE_REWRITE — every matching doc scores ``boost``)."""
         docs_list = []
         for t in terms:
-            p = self.term_postings(t)
+            p = self.term_postings(t, fld=fld)
             if p is not None:
                 docs_list.append(p["docs"])
         if not docs_list:
@@ -574,7 +703,10 @@ class IndexSearcher:
     def _eval_phrase(self, q: PhraseQuery, boost: float, need_scores: bool) -> _Scored:
         if not q.terms:
             return _Scored(np.empty(0, np.int64), np.empty(0))
-        plists = [self.term_postings(t, with_positions=True) for t in q.terms]
+        plists = [
+            self.term_postings(t, fld=q.field, with_positions=True)
+            for t in q.terms
+        ]
         if any(p is None for p in plists):
             return _Scored(np.empty(0, np.int64), np.empty(0))
         # conjunction on docs
@@ -600,13 +732,17 @@ class IndexSearcher:
         if not need_scores:
             return _Scored(mdocs, None)
         # weight: boost * sum of per-term idfs (IdfExplainV1 semantics)
+        scorer = self.scorer_for(q.field)
         w = boost * float(
-            sum(idf(self.term_statistics(t)[0], self.scorer.doc_count) for t in q.terms)
+            sum(
+                idf(self.term_statistics(t, fld=q.field)[0], scorer.doc_count)
+                for t in q.terms
+            )
         )
         # norms from the first term's postings at the matching docs
         p0 = plists[0]
         norms8 = p0["norms8"][np.searchsorted(p0["docs"], mdocs)]
-        return _Scored(mdocs, self.scorer.score(w, freqs.astype(np.float64), norms8))
+        return _Scored(mdocs, scorer.score(w, freqs.astype(np.float64), norms8))
 
     def _eval_bool(self, q: BooleanQuery, boost: float, need_scores: bool) -> _Scored:
         must = [c.query for c in q.clauses if c.occur is Occur.MUST]
@@ -669,10 +805,11 @@ class IndexSearcher:
         visited in descending bound order and evaluation stops when the
         bound cannot beat the current kth score. Skipped work never changes
         the result (upper-bound pruning only)."""
-        terms = _pure_or_terms(q)
-        if terms is None:
+        tqs = _pure_or_terms(q)
+        if tqs is None:
             return None
-        rows_per_term = [self._term_rows(t) for t in terms]
+        terms = [tq.term for tq in tqs]
+        rows_per_term = [self._term_rows(tq.term, fld=tq.field) for tq in tqs]
         if all(not r for r in rows_per_term):
             return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
         # Adaptive engage: the interval bookkeeping costs O(total blocks)
@@ -681,8 +818,10 @@ class IndexSearcher:
         total_df = sum(r["doc_freq"] for rows in rows_per_term for r in rows)
         if total_df < WAND_MIN_POSTINGS:
             return None
+        scorers = [self.scorer_for(tq.field) for tq in tqs]
         weights = [
-            self.scorer.weight(self.term_statistics(t)[0]) for t in terms
+            sc.weight(self.term_statistics(tq.term, fld=tq.field)[0])
+            for sc, tq in zip(scorers, tqs)
         ]
         # flat per-term block tables (rows are first_doc-sorted and salt
         # groups cover disjoint doc ranges, so each term's block starts are
@@ -697,7 +836,7 @@ class IndexSearcher:
                 first = np.empty(len(last), dtype=np.int64)
                 first[0] = r["first_doc"]
                 first[1:] = last[:-1] + 1
-                ub = self.scorer.max_block_score(weights[ti], maxf, minn)
+                ub = scorers[ti].max_block_score(weights[ti], maxf, minn)
                 t_starts.append(first)
                 t_ends.append(last)
                 t_row.append(np.full(len(last), ri, dtype=np.int32))
@@ -715,7 +854,10 @@ class IndexSearcher:
                     else np.empty(0, np.int32),
                     "rows": rows,
                     # per-term block cache persists across queries
-                    "cache": self._block_cache.setdefault(terms[ti], {}),
+                    "cache": self._block_cache.setdefault(
+                        posting_key(tqs[ti].field or self.default_field, terms[ti]),
+                        {},
+                    ),
                 }
             )
             starts_all.append(ts)
@@ -765,7 +907,7 @@ class IndexSearcher:
                         docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
                             tb["rows"][ri], locals_, self.cfg.block_size
                         )
-                        scores_b = self.scorer.score(weights[ti], freqs_b, norms_b)
+                        scores_b = scorers[ti].score(weights[ti], freqs_b, norms_b)
                         off = 0
                         for fb, c in zip(sorted(fbs), cnts):
                             tb["cache"][fb] = (
@@ -785,6 +927,9 @@ class IndexSearcher:
             udocs, inv = np.unique(cat, return_inverse=True)
             sc = np.zeros(len(udocs), dtype=np.float64)
             np.add.at(sc, inv, np.concatenate(seg_scores))
+            if len(self.deleted):
+                keep = ~_membership(udocs, self.deleted).astype(bool)
+                udocs, sc = udocs[keep], sc[keep]
             total_hits += len(udocs)
             heap_docs = np.concatenate([heap_docs, udocs])
             heap_scores = np.concatenate([heap_scores, sc])
@@ -893,6 +1038,23 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
             must=[TermQuery(clauses[0])],
             filter=[DocIdRangeQuery(int(clauses[1]), int(clauses[2]))],
         )
+    if kind == "field_term":
+        # clauses = [field, term]: keyword-field term query
+        return TermQuery(clauses[1], field=clauses[0])
+    if kind == "field_mixed":
+        # clauses = [text_term, field, value]: scored text MUST + keyword FILTER
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[TermQuery(clauses[2], field=clauses[1])],
+        )
+    if kind == "numeric_range":
+        # clauses = [term, field, lo, hi]: scored MUST + doc-values FILTER
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[
+                NumericRangeQuery(clauses[1], int(clauses[2]), int(clauses[3]))
+            ],
+        )
     raise ValueError(f"unknown query kind {kind!r}")
 
 
@@ -901,7 +1063,7 @@ def _lazy_search_shard(index_dir: str, query, lo: int, hi: int, k: int):
     s = _worker_searcher(index_dir)
     s._doc_range = (lo, hi)  # tasks run one-at-a-time per worker process
     try:
-        ev = s._eval(query, 1.0, need_scores=True)
+        ev = s._apply_live(s._eval(query, 1.0, need_scores=True))
         td = _topk(ev, k)
     finally:
         s._doc_range = None
@@ -1009,17 +1171,18 @@ def _doc_pos_keys(p: dict, docs: np.ndarray, BIG: np.int64) -> np.ndarray:
 
 
 def _pure_or_terms(q: Query):
+    """TermQuery list for a pure-OR (or single-term) query, else None."""
     if isinstance(q, TermQuery):
-        return [q.term]
+        return [q]
     if isinstance(q, BooleanQuery):
         if q.minimum_should_match > 1:
             return None
-        terms = []
+        tqs = []
         for c in q.clauses:
             if c.occur is not Occur.SHOULD or not isinstance(c.query, TermQuery):
                 return None
-            terms.append(c.query.term)
-        return terms or None
+            tqs.append(c.query)
+        return tqs or None
     return None
 
 

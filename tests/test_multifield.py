@@ -1,0 +1,275 @@
+"""Multi-field indexing, numeric doc-values ranges, tombstone deletes and
+incremental add/update — round-2 surfaces checked against independently
+computed expectations (raw pandas over the source table + the NaiveEngine
+text oracle)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import StandardAnalyzer
+from lucene_go_ray.index import IndexConfig, build_index
+from lucene_go_ray.index.build import add_documents, update_documents
+from lucene_go_ray.index.deletes import delete_by_term, load_deleted
+from lucene_go_ray.search import (
+    BooleanQuery,
+    IndexSearcher,
+    NumericRangeQuery,
+    PrefixQuery,
+    TermQuery,
+)
+from lucene_go_ray.search.scorer import BM25Scorer
+
+from .naive_oracle import NaiveEngine
+
+CFG = IndexConfig(
+    target_partition_rows=100,
+    chunk_docs=96,
+    block_size=32,
+    hot_term_doc_freq=80,  # lang=en is hot => exercises keyword salting
+    salt_group_partitions=2,
+    keyword_fields=("lang", "source"),
+    docvalue_fields=("n_chars",),
+)
+
+
+@pytest.fixture(scope="module")
+def mf(tmp_path_factory, sf_dir):
+    index_dir = str(tmp_path_factory.mktemp("mfidx"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    manifest = build_index([src], index_dir, CFG)
+    raw = pq.read_table(src).to_pandas()
+    oracle = NaiveEngine(
+        raw["text"].tolist(),
+        StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase),
+    )
+    return index_dir, manifest, raw, oracle
+
+
+def _text_term(oracle, lo=20, hi=200):
+    return sorted(
+        t for t, pl in oracle.postings.items() if lo <= len(pl) <= hi and t
+    )[0]
+
+
+def test_keyword_term_statistics(mf):
+    index_dir, _, raw, _ = mf
+    s = IndexSearcher(index_dir)
+    for fld in ("lang", "source"):
+        for val, cnt in raw[fld].value_counts().items():
+            assert s.term_statistics(str(val), fld=fld) == (cnt, cnt), (fld, val)
+    assert s.term_statistics("zz", fld="lang") == (0, 0)
+    assert s.term_statistics("en", fld="nosuchfield") == (0, 0)
+
+
+def test_per_field_collection_stats(mf):
+    index_dir, manifest, raw, _ = mf
+    for fld in ("lang", "source"):
+        n = int(raw[fld].notna().sum())
+        fs = manifest.field_stats[fld]
+        assert fs == {
+            "doc_count": n,
+            "sum_total_term_freq": n,
+            "sum_doc_freq": n,
+        }
+    s = IndexSearcher(index_dir)
+    assert s.scorer_for("lang").doc_count == int(raw["lang"].notna().sum())
+    assert s.scorer_for("lang").avgdl == 1.0
+
+
+def test_keyword_topk_scores_and_ties(mf):
+    """All matches of one keyword term score identically (freq=1, norm=1,
+    per-field stats) and rank by docID asc."""
+    index_dir, _, raw, _ = mf
+    s = IndexSearcher(index_dir)
+    val = raw["lang"].value_counts().index[-1]  # least common value
+    expect_docs = raw.index[raw["lang"] == val].tolist()
+    df = len(expect_docs)
+    sc = BM25Scorer(int(raw["lang"].notna().sum()), int(raw["lang"].notna().sum()),
+                    k1=CFG.k1, b=CFG.b)
+    w = sc.weight(df)
+    expected_score = float(
+        sc.score(w, np.array([1.0]), np.array([1], dtype=np.int64))[0]
+    )
+    td = s.search(TermQuery(str(val), field="lang"), 10)
+    assert td.total_hits == df
+    assert td.doc_ids.tolist() == expect_docs[:10]
+    assert all(x == expected_score for x in td.scores.tolist())
+
+
+def test_mixed_field_boolean(mf):
+    """text MUST + lang FILTER == oracle text scores restricted to the
+    lang doc set (scores from GLOBAL text stats, untouched by the filter)."""
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    t = _text_term(oracle)
+    val = str(raw["lang"].value_counts().index[0])
+    lang_docs = set(raw.index[raw["lang"] == val].tolist())
+    q = BooleanQuery.build(
+        must=[TermQuery(t)], filter=[TermQuery(val, field="lang")]
+    )
+    ranked, _ = oracle.search(TermQuery(t), len(raw))
+    exp = [(d, sc) for d, sc in ranked if d in lang_docs][:10]
+    td = s.search(q, 10)
+    assert td.doc_ids.tolist() == [d for d, _ in exp]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
+
+
+def test_keyword_prefix_expansion(mf):
+    index_dir, _, raw, _ = mf
+    s = IndexSearcher(index_dir)
+    td = s.search(PrefixQuery("", field="lang"), len(raw))
+    assert td.total_hits == int(raw["lang"].notna().sum())
+    terms = s.postings.expand_terms("lang", "", "\U0010ffff")
+    assert terms == sorted(raw["lang"].dropna().unique().tolist())
+
+
+def test_numeric_range_filter(mf):
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    lo, hi = int(raw["n_chars"].quantile(0.25)), int(raw["n_chars"].quantile(0.75))
+    in_range = set(
+        raw.index[(raw["n_chars"] >= lo) & (raw["n_chars"] <= hi)].tolist()
+    )
+    t = _text_term(oracle)
+    q = BooleanQuery.build(
+        must=[TermQuery(t)], filter=[NumericRangeQuery("n_chars", lo, hi)]
+    )
+    ranked, _ = oracle.search(TermQuery(t), len(raw))
+    exp = [(d, sc) for d, sc in ranked if d in in_range][:10]
+    td = s.search(q, 10)
+    assert td.doc_ids.tolist() == [d for d, _ in exp]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
+    # empty + full ranges
+    assert s.count(NumericRangeQuery("n_chars", 10**9, 2 * 10**9)) == 0
+    assert s.count(NumericRangeQuery("n_chars", 0, 10**9)) == len(raw)
+
+
+def test_numeric_range_sharded(mf):
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    lo, hi = int(raw["n_chars"].quantile(0.4)), int(raw["n_chars"].quantile(0.9))
+    t = _text_term(oracle)
+    q = BooleanQuery.build(
+        must=[TermQuery(t)], filter=[NumericRangeQuery("n_chars", lo, hi)]
+    )
+    ref = s.search(q, 12)
+    got = s.search_sharded(q, 12, num_shards=3)
+    assert got.doc_ids.tolist() == ref.doc_ids.tolist()
+    assert got.scores.tolist() == ref.scores.tolist()
+
+
+@pytest.fixture()
+def del_index(mf, tmp_path):
+    """A private copy of the multi-field index for destructive tests."""
+    index_dir, _, raw, oracle = mf
+    d = str(tmp_path / "delidx")
+    shutil.copytree(index_dir, d)
+    return d, raw, oracle
+
+
+def test_delete_by_keyword_term(del_index):
+    d, raw, oracle = del_index
+    val = str(raw["lang"].value_counts().index[-1])
+    gone = set(raw.index[raw["lang"] == val].tolist())
+    n = delete_by_term(d, val, fld="lang")
+    assert n == len(gone)
+    assert delete_by_term(d, val, fld="lang") == 0  # idempotent
+    s = IndexSearcher(d)
+    t = _text_term(oracle)
+    # scores keep using FULL (pre-delete) stats — liveDocs semantics
+    ranked, total = oracle.search(TermQuery(t), len(raw))
+    exp = [(doc, sc) for doc, sc in ranked if doc not in gone]
+    td = s.search(TermQuery(t), 10)
+    assert td.doc_ids.tolist() == [doc for doc, _ in exp[:10]]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp[:10]], rel=1e-12)
+    assert s.count(TermQuery(t)) == len(exp)
+    assert s.count(TermQuery(val, field="lang")) == 0
+
+
+def test_deletes_survive_remerge(del_index):
+    from lucene_go_ray.index.manifest import load_manifest
+    from lucene_go_ray.index.merge import merge_index
+
+    d, raw, oracle = del_index
+    val = str(raw["lang"].value_counts().index[-1])
+    delete_by_term(d, val, fld="lang")
+    before = load_deleted(d)
+    shutil.rmtree(os.path.join(d, "global"))
+    m = load_manifest(d)
+    cfgd = dict(m.config)
+    for k in ("stop_words", "keyword_fields", "docvalue_fields"):
+        cfgd[k] = tuple(cfgd.get(k, ()))
+    merge_index(d, m, IndexConfig(**cfgd))
+    after = load_deleted(d)
+    assert np.array_equal(before, after)
+    s = IndexSearcher(d)
+    assert s.count(TermQuery(val, field="lang")) == 0
+
+
+def _write_extra_docs(path: str, start_id: int, texts: list[str]):
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(start_id, start_id + n), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["xx"] * n),
+                "source": pa.array(["appended"] * n),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
+def test_add_documents(del_index, tmp_path):
+    d, raw, _ = del_index
+    texts = [f"appended fresh document number {i} searchterm" for i in range(25)]
+    extra = str(tmp_path / "extra.parquet")
+    _write_extra_docs(extra, 10_000, texts)
+    m2 = add_documents(d, [extra])
+    assert m2.max_doc == len(raw) + 25
+    s = IndexSearcher(d)
+    # new docs searchable, docIDs appended after all old docs
+    td = s.search(TermQuery("searchterm"), 30)
+    assert td.total_hits == 25
+    assert td.doc_ids.min() >= len(raw)
+    # combined-corpus oracle: stats now include the appended docs
+    an = StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    oracle2 = NaiveEngine(raw["text"].tolist() + texts, an)
+    t = _text_term(oracle2)
+    exp, total = oracle2.search(TermQuery(t), 10)
+    td = s.search(TermQuery(t), 10)
+    assert td.doc_ids.tolist() == [doc for doc, _ in exp]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
+    assert td.total_hits == total
+    # appended keyword values are indexed too
+    assert s.count(TermQuery("appended", field="source")) == 25
+
+
+def test_update_documents(del_index, tmp_path):
+    """UpdateDocument semantics: tombstone matches, append replacements;
+    stats include BOTH old (tombstoned) and new docs until rebuild."""
+    d, raw, _ = del_index
+    val = str(raw["lang"].value_counts().index[-1])
+    gone = set(raw.index[raw["lang"] == val].tolist())
+    texts = [f"replacement doc {i} for {val}" for i in range(len(gone))]
+    extra = str(tmp_path / "upd.parquet")
+    _write_extra_docs(extra, 20_000, texts)
+    update_documents(d, TermQuery(val, field="lang"), [extra])
+    s = IndexSearcher(d)
+    assert s.count(TermQuery(val, field="lang")) == 0
+    assert s.count(TermQuery("replacement")) == len(gone)
+    an = StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    oracle2 = NaiveEngine(raw["text"].tolist() + texts, an)
+    t = _text_term(oracle2)
+    ranked, _ = oracle2.search(TermQuery(t), len(raw) + len(texts))
+    exp = [(doc, sc) for doc, sc in ranked if doc not in gone][:10]
+    td = s.search(TermQuery(t), 10)
+    assert td.doc_ids.tolist() == [doc for doc, _ in exp]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
