@@ -285,11 +285,18 @@ WITH raw AS (
          generate_subscripts(string_split_regex(text, '{_WS}'), 1) AS idx
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
   FROM raw t0
   JOIN raw t1 ON t1.doc_id = t0.doc_id AND t1.idx = t0.idx + 1
   JOIN raw t2 ON t2.doc_id = t0.doc_id AND t2.idx = t0.idx + 2
+),
+-- hot-shingle cap (df <= 256), mirroring the engine's max_shingle_df:
+-- Jaccard is computed over the capped shingle space on BOTH sides
+sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 256) k
+  USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
 inter AS (

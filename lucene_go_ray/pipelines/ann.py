@@ -3,9 +3,11 @@
 - ``brute_force_topk``: exact cosine top-k — per-batch numpy matmul against
   a broadcast query matrix (``ray.put`` once, read per task), then a tiny
   driver-side merge of per-block top-k. The baseline and the oracle.
-- ``lsh_bucketed_topk``: scale path — random-hyperplane LSH bucketing; only
-  buckets sharing a code with the query (within Hamming radius) are scored.
-  Approximate; recall controlled by (n_planes, radius).
+- ``build_lsh_index`` / ``lsh_probe_topk``: scale path — a PERSISTED
+  multi-table random-hyperplane LSH index (hive-partitioned by
+  (table, code)); per query only the Hamming-ball partitions of each table
+  are read. Approximate; recall measured by ``lsh_recall_at_k`` and
+  controlled by (n_tables, n_planes, radius).
 """
 
 from __future__ import annotations
@@ -78,57 +80,158 @@ def brute_force_topk(
     )
 
 
-def lsh_bucketed_topk(
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def _codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    return ((m @ planes) > 0).astype(np.int64) @ (
+        1 << np.arange(planes.shape[1], dtype=np.int64)
+    )
+
+
+def build_lsh_index(
     sf_dir: str,
-    query_vec: np.ndarray | None = None,
+    index_dir: str,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_tables: int = 12,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> str:
+    """Build stage (run ONCE, then probed per query): MULTI-TABLE
+    random-hyperplane LSH. Each vector is written once per table, parquet
+    hive-partitioned by (tbl, bucket=code), plus a meta.json with the
+    plane spec; storage is n_tables x data — the classic LSH recall/space
+    tradeoff. A probe reads ONLY the Hamming-ball partitions of each table
+    (the persisted, partition-pruned form of LSH bucketing; the per-query
+    full scan this replaces read everything every time).
+
+    Parameter note (measured on the synthetic embeddings, where true
+    top-10 neighbors sit at cosine ~0.3-0.4 — a HARD regime for hyperplane
+    LSH): defaults (12 tables x 10 bits, radius-2 probe) give recall@10
+    ~0.95 while touching ~half the corpus. Corpora with genuine near-dup
+    clusters (cosine >= 0.7) prune far harder at the same recall; tune
+    (n_tables, n_planes, radius) per corpus with lsh_recall_at_k.
+    Atomic: built in a tmp dir, renamed on completion; an existing
+    complete index is reused."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        return index_dir
+    first = pq.ParquetFile(path).read_row_group(0, columns=[col])
+    dim = len(first[col][0])
+    planes = [
+        _planes(dim, n_planes, seed + ti) for ti in range(n_tables)
+    ]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, col)
+        parts = []
+        for ti in range(n_tables):
+            codes = _codes(m, planes[ti])
+            parts.append(
+                batch.append_column(
+                    "tbl", pa.array(np.full(len(m), ti, dtype=np.int32))
+                ).append_column("bucket", pa.array(codes, type=pa.int64()))
+            )
+        return pa.concat_tables(parts)
+
+    tmp = index_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds = ray.data.read_parquet(path, columns=[key, col])
+    ds.map_batches(_bucket, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "buckets"), partition_cols=["tbl", "bucket"]
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {"n_tables": n_tables, "n_planes": n_planes, "seed": seed, "dim": dim},
+            f,
+        )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def _hamming_ball(code: int, n_bits: int, radius: int) -> list[int]:
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_bits), r):
+            c = code
+            for b in bits:
+                c ^= 1 << b
+            out.append(c)
+    return out
+
+
+def lsh_probe_topk(
+    index_dir: str,
+    query_vec: np.ndarray,
     k: int = 10,
     *,
     key: str = "vec_id",
     col: str = "embedding",
-    n_planes: int = 12,
     radius: int = 2,
-    seed: int = 42,
-    query_vec_id: int = 0,
 ):
-    """Approximate cosine top-k: score only vectors whose random-hyperplane
-    code is within ``radius`` bits of the query's code."""
-    import ray
+    """Approximate cosine top-k against a persisted multi-table LSH index:
+    reads ONLY the bucket partitions within ``radius`` bits of the query's
+    per-table code (n_tables x sum_{i<=r} C(n_planes, i) directories out
+    of n_tables x 2^n_planes); a vector surfacing from several tables is
+    deduplicated at the merge."""
+    import json
+
     import ray.data
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    import pyarrow.parquet as pq
-
-    if query_vec is None:
-        t = pq.read_table(path, columns=[key, col])
-        idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
-        query_vec = np.asarray(t[col][idx].as_py(), dtype=np.float64)
-    dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    q = query_vec / np.linalg.norm(query_vec)
-    q_code = (q @ planes > 0).astype(np.uint32) @ (1 << np.arange(n_planes))
-    refs = ray.put((q, planes, int(q_code)))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    dirs = []
+    for ti in range(meta["n_tables"]):
+        planes = _planes(meta["dim"], meta["n_planes"], meta["seed"] + ti)
+        qc = int(_codes(q[None, :], planes)[0])
+        tdir = os.path.join(index_dir, "buckets", f"tbl={ti}")
+        for c in _hamming_ball(qc, meta["n_planes"], radius):
+            d = os.path.join(tdir, f"bucket={c}")
+            if os.path.isdir(d):
+                dirs.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+    if not dirs:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()), key: pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
 
     def _score(batch: pa.Table) -> pa.Table:
-        qv, pl, qc = ray.get(refs)
         m = _emb_matrix(batch, col)
-        codes = ((m @ pl) > 0).astype(np.uint32) @ (1 << np.arange(pl.shape[1]))
-        pop = np.array(
-            [bin(i).count("1") for i in range(1 << pl.shape[1])], dtype=np.int8
-        )
-        ham = pop[(codes ^ qc).astype(np.int64)]
-        sel = ham <= radius
-        m = m[sel]
-        ids = batch[key].to_numpy(zero_copy_only=False)[sel]
         norms = np.linalg.norm(m, axis=1)
-        sims = (m @ qv) / np.maximum(norms, 1e-30)
+        sims = (m @ q) / np.maximum(norms, 1e-30)
+        ids = batch[key].to_numpy(zero_copy_only=False)
         if len(sims) > k:
             part = np.lexsort((ids, -sims))[:k]
             ids, sims = ids[part], sims[part]
         return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
 
-    ds = ray.data.read_parquet(path, columns=[key, col])
-    top = ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    top = (
+        ray.data.read_parquet(dirs, columns=[key, col])
+        .map_batches(_score, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(subset=[key])  # same vec from several tables
+    )
     order = np.lexsort((top[key].to_numpy(), -top["sim"].to_numpy()))[:k]
     out = top.iloc[order].reset_index(drop=True)
     return pa.table(
@@ -138,3 +241,84 @@ def lsh_bucketed_topk(
             "sim": pa.array(out["sim"].to_numpy()),
         }
     )
+
+
+def _cached_lsh_index(
+    sf_dir: str, *, n_tables: int = 12, n_planes: int = 10, seed: int = 42
+) -> str:
+    import hashlib
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:"
+        f"{n_tables}:{n_planes}:{seed}".encode()
+    ).hexdigest()[:16]
+    return build_lsh_index(
+        sf_dir, os.path.join("/tmp/lgr_lsh_index", tag),
+        n_tables=n_tables, n_planes=n_planes, seed=seed,
+    )
+
+
+def lsh_bucketed_topk(
+    sf_dir: str,
+    query_vec: np.ndarray | None = None,
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_tables: int = 12,
+    n_planes: int = 10,
+    radius: int = 2,
+    seed: int = 42,
+    query_vec_id: int = 0,
+):
+    """Approximate cosine top-k via the persisted code-partitioned index
+    (built once per corpus, cached) + Hamming-ball partition probe."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if query_vec is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=[key, col])
+        idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
+        query_vec = np.asarray(t[col][idx].as_py(), dtype=np.float64)
+    index_dir = _cached_lsh_index(
+        sf_dir, n_tables=n_tables, n_planes=n_planes, seed=seed
+    )
+    return lsh_probe_topk(
+        index_dir, query_vec, k, key=key, col=col, radius=radius
+    )
+
+
+def lsh_recall_at_k(
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_tables: int = 12,
+    n_planes: int = 10,
+    radius: int = 2,
+    seed: int = 42,
+) -> float:
+    """Measured recall@k of the LSH probe vs exact cosine top-k over the
+    first ``n_queries`` vectors as queries (diagnostic — the exact side is
+    computed locally; production recall sampling would run the brute-force
+    Dataset oracle per sampled query)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=[key, col])
+    E = np.array(t[col].to_pylist(), dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    index_dir = _cached_lsh_index(
+        sf_dir, n_tables=n_tables, n_planes=n_planes, seed=seed
+    )
+    hits = total = 0
+    for qi in range(min(n_queries, len(ids))):
+        sims = np.round(En @ En[qi], 6)
+        exact = set(ids[np.lexsort((ids, -sims))[:k]].tolist())
+        got = lsh_probe_topk(index_dir, E[qi], k, key=key, col=col, radius=radius)
+        hits += len(exact & set(got[key].to_pylist()))
+        total += len(exact)
+    return hits / max(1, total)

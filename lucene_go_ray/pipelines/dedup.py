@@ -200,6 +200,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_bucket: int = 1024,
 ):
     """Near-duplicate pairs via MinHash-LSH banding + exact verification.
 
@@ -237,29 +238,34 @@ def minhash_lsh_pairs(
 
     def _pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard_est": pa.array([], pa.float64())}
+        )
         if n < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard_est": pa.array([], pa.float64())}
-            )
-        keys = group[key].to_numpy(zero_copy_only=False)
+            return empty
+        keys = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = np.stack(group["sig"].to_numpy(zero_copy_only=False))
-        out_a, out_b, out_j = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if keys[i] == keys[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    a, b = sorted((int(keys[i]), int(keys[j])))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(est)
+        if n > max_bucket:
+            # spill policy for a pathological bucket (a >max_bucket-doc
+            # near-dup cluster landing in one band bucket): keep the
+            # max_bucket smallest keys — deterministic, and cluster
+            # membership is still recoverable downstream because every kept
+            # doc pairs with the cluster's minimum key. Bounds the task at
+            # O(max_bucket^2) instead of O(cluster^2).
+            order = np.argsort(keys, kind="stable")[:max_bucket]
+            keys, sigs, n = keys[order], sigs[order], max_bucket
+        ai, bi = np.triu_indices(n, 1)
+        est = (sigs[ai] == sigs[bi]).mean(axis=1)  # vectorized verify
+        mask = (est >= threshold) & (keys[ai] != keys[bi])
+        if not mask.any():
+            return empty
+        ka, kb = keys[ai[mask]], keys[bi[mask]]
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard_est": pa.array(out_j, pa.float64()),
+                "a": pa.array(np.minimum(ka, kb)),
+                "b": pa.array(np.maximum(ka, kb)),
+                "jaccard_est": pa.array(est[mask], pa.float64()),
             }
         )
 
@@ -303,18 +309,25 @@ def jaccard_ngram_pairs(
     text: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 256,
+    join_partitions: int = 8,
 ):
     """Exact token-k-gram Jaccard near-dup pairs via a shingle inverted join.
 
     Shingles are the raw whitespace tokens (lowercased, empties kept — the
     tokenizer semantics of analysis/analyzer.py) joined with single spaces,
     so a DuckDB oracle can reproduce them exactly. Pipeline shape (all
-    Dataset-native, scales as an inverted join, not an all-pairs scan):
+    Dataset-native; NOTHING is materialized on the driver):
 
-      map_batches: doc -> DISTINCT shingles      (vectorized)
-      groupby(shingle).map_groups: co-occurring docs -> candidate pairs
-      groupby(pair): intersection counts
-      join per-doc shingle-set sizes (tiny side, collected once) -> Jaccard
+      map_batches: doc -> DISTINCT shingles                   (vectorized)
+      groupby(shingle).map_groups: one pass emits BOTH candidate pairs and
+        per-doc kept-shingle contributions; shingles shared by more than
+        ``max_shingle_df`` docs are dropped WHOLE (pairs and sizes), so one
+        stopword-like shingle can never explode to O(n^2) pairs — Jaccard
+        is computed over the capped shingle space on both sides (the SQL
+        oracle applies the identical cap)
+      groupby(pair) / groupby(doc): intersection counts and set sizes
+      two Dataset hash joins attach |A| and |B| to each pair -> Jaccard
 
     At web scale the shingle strings would be 64-bit hashes (rows-only
     check); the string form is kept here for SQL verifiability.
@@ -363,35 +376,63 @@ def jaccard_ngram_pairs(
             }
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
+    def _pairs_and_sizes(group: pa.Table) -> pa.Table:
+        """One shingle group -> pair rows (a, b) plus per-doc size
+        contributions encoded as (doc, -1); groups over the df cap emit
+        nothing at all (dropped from the shingle space)."""
         docs = np.unique(group[key].to_numpy(zero_copy_only=False))
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+        if len(docs) > max_shingle_df:
+            return empty
+        size_rows = pa.table(
+            {
+                "a": pa.array(docs),
+                "b": pa.array(np.full(len(docs), -1, dtype=np.int64)),
+            }
+        )
         if len(docs) < 2:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-            )
+            return size_rows
         ai, bi = np.triu_indices(len(docs), 1)
-        return pa.table({"a": pa.array(docs[ai]), "b": pa.array(docs[bi])})
+        pair_rows = pa.table({"a": pa.array(docs[ai]), "b": pa.array(docs[bi])})
+        return pa.concat_tables([pair_rows, size_rows])
 
     sh = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
     ).map_batches(_shingles, batch_format="pyarrow")
-    sizes = {
-        int(r[key]): int(r["count()"])
-        for r in sh.groupby(key).aggregate(Count()).take_all()
-    }
-    inter = (
+    # ONE composite groupby counts pair co-occurrences AND per-doc kept-
+    # shingle sizes in the same exchange ((doc, -1) rows are the size
+    # stream). The aggregate — one row per distinct candidate pair / doc,
+    # orders of magnitude smaller than the raw shingle stream — is
+    # materialized because two join inputs branch from it (Ray re-executes
+    # shared lineage per consumer otherwise).
+    agg = (
         sh.groupby("shingle")
-        .map_groups(_pairs, batch_format="pyarrow")
+        .map_groups(_pairs_and_sizes, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
+        .aggregate(Count(alias_name="cnt"))
+        .materialize()
     )
+    inter = agg.filter(expr="b >= 0").rename_columns({"cnt": "inter"})
+    sizes = (
+        agg.filter(expr="b < 0")
+        .rename_columns({"a": "doc", "cnt": "n"})
+        .drop_columns(["b"])
+    )
+    j1 = inter.join(
+        sizes, "inner", join_partitions, on=("a",), right_on=("doc",)
+    ).rename_columns({"n": "na"})
+    j2 = j1.join(
+        sizes, "inner", join_partitions, on=("b",), right_on=("doc",)
+    ).rename_columns({"n": "nb"})
 
     def _jaccard(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         c = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
-        nb = np.array([sizes[int(x)] for x in b], dtype=np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = np.round(c / (na + nb - c), 6)
         keep = j >= threshold
         return pa.table(
@@ -402,7 +443,29 @@ def jaccard_ngram_pairs(
             }
         )
 
-    return inter.map_batches(_jaccard, batch_format="pyarrow")
+    return j2.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def _read_rows(path: str, columns: list[str], lo: int, hi: int) -> pa.Table:
+    """Read rows [lo, hi) of a parquet file touching only the overlapping
+    row groups (column-pruned)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    rg_lo = 0
+    rgs, base = [], 0
+    for rg in range(md.num_row_groups):
+        n = md.row_group(rg).num_rows
+        if base + n > lo and base < hi:
+            if not rgs:
+                rg_lo = base
+            rgs.append(rg)
+        base += n
+        if base >= hi:
+            break
+    t = pf.read_row_groups(rgs, columns=columns)
+    return t.slice(lo - rg_lo, hi - lo)
 
 
 def embedding_near_dup(
@@ -410,43 +473,64 @@ def embedding_near_dup(
     key: str = "vec_id",
     col: str = "embedding",
     threshold: float = 0.4,
+    block_rows: int = 4096,
 ):
-    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
+    EXACT, as a blocked self-join.
 
-    map_batches computes each batch's similarities against the full
-    normalized matrix broadcast ONCE via ray.put (numpy matmul per batch —
-    the brute-force O(N^2/batches) baseline; the LSH-bucketed variant in
-    pipelines/ann.py is the scale path for the same kernel)."""
+    The driver plans O((N/block)^2 / 2) block-pair descriptors from parquet
+    METADATA only; each Ray task reads its two row ranges (row-group-pruned),
+    normalizes, and emits the thresholded pairs of one block x block matmul.
+    Nothing is materialized on the driver and no full-matrix broadcast
+    exists — per-task memory is O(block_rows x dim), and total flops are the
+    unavoidable exact-N^2, spread across the cluster. For the approximate
+    sub-quadratic path see the banded MinHash/SimHash pipelines and the
+    persisted LSH index in pipelines/ann.py."""
     import os
 
-    import ray
+    import pyarrow.parquet as pq
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    bounds = list(range(0, n_rows, block_rows)) + [n_rows]
+    blocks = list(zip(bounds[:-1], bounds[1:]))
+    tasks = [
+        {"alo": a[0], "ahi": a[1], "blo": b[0], "bhi": b[1]}
+        for i, a in enumerate(blocks)
+        for b in blocks[i:]
+    ]
 
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=[key, col])
-    E = np.array(t[col].to_pylist(), dtype=np.float64)
-    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-    ref = ray.put((E, ids))
+    def _load_norm(lo: int, hi: int):
+        t = _read_rows(path, [key, col], lo, hi)
+        E = np.array(t[col].to_pylist(), dtype=np.float64)
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return E, ids
 
     def _pairs(batch: pa.Table) -> pa.Table:
-        Eall, ids_all = ray.get(ref)
-        eb = np.array(batch[col].to_pylist(), dtype=np.float64)
-        eb /= np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-12)
-        ib = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        S = eb @ Eall.T
-        S6 = np.round(S, 6)
-        ri, ci = np.nonzero((S6 >= threshold) & (ib[:, None] < ids_all[None, :]))
+        out_a, out_b, out_s = [], [], []
+        for row in batch.to_pylist():
+            Ea, ia = _load_norm(int(row["alo"]), int(row["ahi"]))
+            if (row["alo"], row["ahi"]) == (row["blo"], row["bhi"]):
+                Eb, ib = Ea, ia
+            else:
+                Eb, ib = _load_norm(int(row["blo"]), int(row["bhi"]))
+            S6 = np.round(Ea @ Eb.T, 6)
+            ri, ci = np.nonzero((S6 >= threshold) & (ia[:, None] < ib[None, :]))
+            out_a.append(ia[ri])
+            out_b.append(ib[ci])
+            out_s.append(S6[ri, ci])
         return pa.table(
             {
-                "a": pa.array(ib[ri]),
-                "b": pa.array(ids_all[ci]),
-                "sim": pa.array(S6[ri, ci], type=pa.float64()),
+                "a": pa.array(np.concatenate(out_a) if out_a else []),
+                "b": pa.array(np.concatenate(out_b) if out_b else []),
+                "sim": pa.array(
+                    np.concatenate(out_s) if out_s else [], type=pa.float64()
+                ),
             }
         )
 
-    ds = ray.data.read_parquet(path, columns=[key, col])
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    return ray.data.from_items(tasks).map_batches(
+        _pairs, batch_format="pyarrow", batch_size=1
+    )

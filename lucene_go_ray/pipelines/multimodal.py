@@ -31,18 +31,46 @@ IMAGE_SCHEMA = pa.schema(
 
 
 def _payload_hashes(payloads: pa.Array) -> np.ndarray:
-    """Deterministic uint64 per payload from (length, first/last 8 bytes)."""
+    """Deterministic uint64 per payload from (length, first/last 8 bytes).
+
+    Fully vectorized over the Arrow binary buffers (offsets + one
+    frombuffer view of the value bytes) — zero Python-object rows, the
+    same pattern dedup._token_hashes uses for strings. Byte order matches
+    the scalar definition: FNV-fold over b[:8] then b[-8:] (short payloads
+    fold their bytes twice, exactly like the slice concatenation)."""
     if isinstance(payloads, pa.ChunkedArray):
         payloads = payloads.combine_chunks()
-    out = np.zeros(len(payloads), dtype=np.uint64)
-    for i, v in enumerate(payloads):
-        b = v.as_py() or b""
-        h = np.uint64(len(b))
-        for byte in b[:8] + b[-8:]:
-            with np.errstate(over="ignore"):
-                h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return _mix(out, np.uint64(5))
+    payloads = payloads.cast(pa.large_binary())
+    n = len(payloads)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = payloads.buffers()
+    data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        payloads.offset : payloads.offset + n + 1
+    ]
+    lens = np.diff(offs)
+    if bufs[0] is not None:  # nulls hash like empty payloads
+        valid = np.unpackbits(
+            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+        )[payloads.offset : payloads.offset + n].astype(bool)
+        lens = np.where(valid, lens, 0)
+    h = lens.astype(np.uint64)
+    head = np.minimum(lens, 8)  # bytes taken from each end
+    with np.errstate(over="ignore"):
+        for j in range(8):  # b[:8] fold
+            live = head > j
+            idx = offs[:-1][live] + j
+            h[live] = (h[live] ^ data[idx].astype(np.uint64)) * np.uint64(
+                0x100000001B3
+            )
+        for j in range(8):  # b[-8:] fold
+            live = head > j
+            idx = offs[1:][live] - head[live] + j
+            h[live] = (h[live] ^ data[idx].astype(np.uint64)) * np.uint64(
+                0x100000001B3
+            )
+    return _mix(h, np.uint64(5))
 
 
 class ImageDecodeStage:
@@ -126,16 +154,53 @@ def decode_images(ds, *, batch_size: int = 64, concurrency=(1, 8), fake: bool = 
     )
 
 
+class FeatureStage:
+    """Fused decode + embed actor stage: ONE pass over each payload batch
+    produces all per-doc features (width/height/luma from the decode
+    kernel, embedding norm from the embed kernel). Fusing removes the
+    doc_id join between two full per-doc streams — the payload bytes are
+    read once and never re-shuffled. Real kernels would load PIL + the
+    model once here in __init__."""
+
+    def __init__(self, payload_col: str = "payload", dim: int = 16, fake: bool = True):
+        self.decode = ImageDecodeStage(payload_col=payload_col, fake=fake)
+        self.embed = EmbedStage(payload_col=payload_col, dim=dim, fake=fake)
+        self.payload_col = payload_col
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _payload_hashes(batch[self.payload_col])
+        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int32)
+        height = ((h >> np.uint64(11)) % np.uint64(1080) + np.uint64(16)).astype(
+            np.int32
+        )
+        luma = ((h >> np.uint64(22)) % np.uint64(256)).astype(np.float64)
+        mat = np.empty((len(h), self.dim), dtype=np.float64)
+        for j in range(self.dim):
+            mat[:, j] = (
+                _mix(h, np.uint64(j + 11)).astype(np.float64) / 2**64 - 0.5
+            ).astype(np.float32)
+        emb_norm = np.round(np.linalg.norm(mat, axis=1), 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "mean_luma": pa.array(luma),
+                "emb_norm": pa.array(emb_norm, type=pa.float64()),
+            }
+        )
+
+
 def multimodal_features(sf_dir: str, dim: int = 16):
     """End-to-end multimodal plumbing over the documents table: text bytes
     stand in for an opaque binary payload column (the container has no
-    image/audio libs — see module docstring), then the decode + embed
-    actor-pool stages run for real. Output: one metadata + embedding row
-    per document (rows-only gate entry — hash-family features are not
-    SQL-expressible)."""
+    image/audio libs — see module docstring), then the fused decode+embed
+    actor-pool stage runs for real. Output: one feature row per document
+    (rows-only gate entry — hash-family features are not SQL-expressible).
+    Fully streaming: no driver-side join or materialization."""
     import os
 
-    import pyarrow.compute as pc
     import ray.data
 
     def _payloads(batch: pa.Table) -> pa.Table:
@@ -143,48 +208,20 @@ def multimodal_features(sf_dir: str, dim: int = 16):
             {
                 "doc_id": batch["doc_id"],
                 "payload": batch["text"].cast(pa.large_binary()),
-                "media_type": pa.array(
-                    ["application/octet-stream"] * batch.num_rows
-                ),
             }
         )
 
-    ds = (
+    return (
         ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         .map_batches(_payloads, batch_format="pyarrow")
-    )
-    meta = decode_images(ds.drop_columns(["media_type"]), batch_size=64)
-    emb = ds.drop_columns(["media_type"]).map_batches(
-        EmbedStage,
-        fn_constructor_kwargs={"dim": dim},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
-
-    def _norm(batch: pa.Table) -> pa.Table:
-        E = np.asarray(batch["embedding"].combine_chunks().flatten()).reshape(
-            batch.num_rows, dim
+        .map_batches(
+            FeatureStage,
+            fn_constructor_kwargs={"dim": dim},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 8),
+            num_cpus=1,
         )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "emb_norm": pa.array(
-                    np.round(np.linalg.norm(E.astype(np.float64), axis=1), 6)
-                ),
-            }
-        )
-
-    emb_norm = emb.map_batches(_norm, batch_format="pyarrow")
-    # join the two feature streams on doc_id (both tiny per-doc rows)
-    import pandas as pd
-
-    m = meta.to_pandas().set_index("doc_id")
-    e = emb_norm.to_pandas().set_index("doc_id")
-    out = m.join(e, how="inner").reset_index().sort_values("doc_id")
-    return pa.Table.from_pandas(out[
-        ["doc_id", "width", "height", "mean_luma", "emb_norm"]
-    ], preserve_index=False)
+    )

