@@ -439,7 +439,13 @@ class IndexSearcher:
         return _topk(s, k)
 
     def search_sharded(
-        self, query: Query, k: int = 10, num_shards: int = 8
+        self,
+        query: Query,
+        k: int = 10,
+        num_shards: int = 8,
+        *,
+        prune: bool = False,
+        wand_min_postings: int | None = None,
     ) -> TopDocs:
         """Single-query evaluation sharded over disjoint global-docID ranges
         as parallel Ray tasks, then a driver top-k merge — the leaf-slice
@@ -455,9 +461,17 @@ class IndexSearcher:
         num_shards = max(1, min(num_shards, max_doc))
         bounds = np.linspace(0, max_doc, num_shards + 1).astype(np.int64)
         q = query.rewrite()
+        # shared min-competitive accumulator across shards (perf-only,
+        # rank-preserving: shards drop only docs STRICTLY below the global
+        # kth-best-so-far — maxscoreaccumulator.go distributed)
+        theta_handle = (
+            _ThetaAccumulator.remote() if prune and num_shards > 1 else None
+        )
         futs = [
-            _search_shard.remote(self.index_dir, q, int(bounds[i]),
-                                 int(bounds[i + 1]) - 1, k)
+            _search_shard.remote(
+                self.index_dir, q, int(bounds[i]), int(bounds[i + 1]) - 1, k,
+                prune, wand_min_postings, theta_handle,
+            )
             for i in range(num_shards)
             if bounds[i + 1] > bounds[i]
         ]
@@ -672,12 +686,19 @@ class IndexSearcher:
             base = np.unique(np.concatenate([e.docs for e in evs]))
             if not need_scores:
                 return _Scored(base, None)
-            per = np.zeros((len(evs), len(base)), dtype=np.float64)
-            for i, e in enumerate(evs):
+            # running max + sum per doc (O(sum of clause postings) memory,
+            # not a dense n_disjuncts x n_docs matrix — a hot-term dismax
+            # would otherwise allocate n_clauses x the posting list)
+            mx = np.full(len(base), -np.inf)
+            sm = np.zeros(len(base), dtype=np.float64)
+            matched = np.zeros(len(base), dtype=bool)
+            for e in evs:
                 pos = np.searchsorted(base, e.docs)
-                per[i, pos] = e.scores
-            mx = per.max(axis=0)
-            scores = mx + q.tie_breaker * (per.sum(axis=0) - mx)
+                np.maximum.at(mx, pos, e.scores)
+                sm[pos] += e.scores
+                matched[pos] = True
+            mx[~matched] = 0.0
+            scores = mx + q.tie_breaker * (sm - mx)
             return _Scored(base, scores)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, boost, need_scores)
@@ -797,26 +818,52 @@ class IndexSearcher:
 
     # ---------------- block-max pruned path (perf; rank-identical) ---------
 
-    def _try_pruned(self, q: Query, k: int) -> TopDocs | None:
-        """Block-max WAND for TermQuery and pure-OR BooleanQuery of terms.
+    def _try_pruned(
+        self,
+        q: Query,
+        k: int,
+        *,
+        min_postings: int | None = None,
+        theta_get=None,
+        theta_put=None,
+    ) -> TopDocs | None:
+        """Block-max pruned top-k for TermQuery, pure-OR and pure-AND
+        BooleanQuery of terms.
 
         Interval-at-a-time variant: elementary doc intervals get an upper
-        bound from the overlapping per-term block maxima; intervals are
-        visited in descending bound order and evaluation stops when the
-        bound cannot beat the current kth score. Skipped work never changes
-        the result (upper-bound pruning only)."""
+        bound from the overlapping per-term block maxima (summed — the
+        WANDScorer/BlockMaxConjunctionScorer bound,
+        /root/reference/core/search/blockmaxconjunctionscorer.go); intervals
+        are visited in descending bound order and evaluation stops when the
+        bound cannot beat the current kth score. For AND, intervals not
+        covered by EVERY term are skipped outright (no conjunction match can
+        exist there), and in-interval evaluation is a sorted intersection.
+        Skipped work never changes the result (upper-bound pruning only).
+
+        ``theta_get``/``theta_put`` plug in a cross-shard min-competitive
+        accumulator (maxscoreaccumulator.go semantics): a shard may adopt a
+        LARGER theta published by other shards (docs strictly below it can
+        never reach the global top-k) and publishes its own improvements.
+        Per-call ``self.last_prune_stats`` records measured skipping."""
+        mode = "or"
         tqs = _pure_or_terms(q)
+        if tqs is None:
+            tqs = _pure_and_terms(q)
+            mode = "and"
         if tqs is None:
             return None
         terms = [tq.term for tq in tqs]
         rows_per_term = [self._term_rows(tq.term, fld=tq.field) for tq in tqs]
-        if all(not r for r in rows_per_term):
+        if all(not r for r in rows_per_term) or (
+            mode == "and" and any(not r for r in rows_per_term)
+        ):
             return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
         # Adaptive engage: the interval bookkeeping costs O(total blocks)
         # per query up front, so pruning only pays off once the candidate
         # postings volume is large (exactly when it matters at web scale).
         total_df = sum(r["doc_freq"] for rows in rows_per_term for r in rows)
-        if total_df < WAND_MIN_POSTINGS:
+        floor = WAND_MIN_POSTINGS if min_postings is None else min_postings
+        if total_df < floor:
             return None
         scorers = [self.scorer_for(tq.field) for tq in tqs]
         weights = [
@@ -827,6 +874,7 @@ class IndexSearcher:
         # groups cover disjoint doc ranges, so each term's block starts are
         # ascending) — decode is LAZY: only blocks whose interval is
         # actually visited are ever read (codec.decode_row_blocks)
+        rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
         term_blocks = []
         starts_all, ends_all, ubs_all = [], [], []
         for ti, rows in enumerate(rows_per_term):
@@ -837,11 +885,15 @@ class IndexSearcher:
                 first[0] = r["first_doc"]
                 first[1:] = last[:-1] + 1
                 ub = scorers[ti].max_block_score(weights[ti], maxf, minn)
-                t_starts.append(first)
-                t_ends.append(last)
-                t_row.append(np.full(len(last), ri, dtype=np.int32))
-                t_local.append(np.arange(len(last), dtype=np.int32))
-                ubs_all.append(ub)
+                keep = (last >= rlo) & (first <= rhi)  # shard doc-range prune
+                if not keep.any():
+                    continue
+                lidx = np.flatnonzero(keep).astype(np.int32)
+                t_starts.append(np.maximum(first[keep], rlo))
+                t_ends.append(np.minimum(last[keep], rhi))
+                t_row.append(np.full(len(lidx), ri, dtype=np.int32))
+                t_local.append(lidx)
+                ubs_all.append(ub[keep])
             ts = np.concatenate(t_starts) if t_starts else np.empty(0, np.int64)
             te = np.concatenate(t_ends) if t_ends else np.empty(0, np.int64)
             term_blocks.append(
@@ -872,61 +924,123 @@ class IndexSearcher:
         np.add.at(diff, np.searchsorted(bps, starts), ubs)
         np.add.at(diff, np.searchsorted(bps, ends + 1), -ubs)
         ivl_ub = np.cumsum(diff)[:-1]
-        order = np.argsort(-ivl_ub, kind="stable")
+        if mode == "and":
+            # coverage pruning: a conjunction can only match where EVERY
+            # term has a block (per-term block spans are disjoint, so each
+            # term contributes coverage exactly once per interval)
+            covd = np.zeros(len(bps), dtype=np.int64)
+            for tb in term_blocks:
+                np.add.at(covd, np.searchsorted(bps, tb["starts"]), 1)
+                np.add.at(covd, np.searchsorted(bps, tb["ends"] + 1), -1)
+            eligible = np.flatnonzero(np.cumsum(covd)[:-1] == len(tqs))
+        else:
+            eligible = np.arange(len(ivl_ub))
+        order = eligible[np.argsort(-ivl_ub[eligible], kind="stable")]
 
+        n_terms = len(terms)
+        visited_blocks = [set() for _ in range(n_terms)]
         total_hits = 0
         heap_docs = np.empty(0, np.int64)
         heap_scores = np.empty(0, np.float64)
         theta = -np.inf
-        for oi in order:
+        have_global_theta = False
+        intervals_visited = 0
+        for step, oi in enumerate(order):
+            if theta_get is not None and (step & 31) == 0:
+                g = float(theta_get())
+                if g > theta:
+                    theta = g
+                    have_global_theta = True
             # Strict inequality: an interval whose upper bound EQUALS theta
             # can still contain a doc scoring exactly theta with a smaller
             # docID than the current kth hit — under the (score desc, docID
             # asc) contract that doc belongs in the top-k, so ub==theta
             # intervals remain competitive and must be evaluated.
-            if ivl_ub[oi] < theta and len(heap_docs) >= k:
+            if ivl_ub[oi] < theta and (
+                len(heap_docs) >= k or have_global_theta
+            ):
                 break
+            intervals_visited += 1
             lo = int(ivl_starts[oi])
             hi = int(bps[oi + 1]) - 1
             # exact scores for docs in [lo, hi]: decode only the overlapping
             # blocks of each term, caching per block
-            seg_docs, seg_scores = [], []
-            for ti in range(len(terms)):
+            per_term: list[tuple[list, list]] = []
+            for ti in range(n_terms):
                 tb = term_blocks[ti]
                 b0 = int(np.searchsorted(tb["ends"], lo))
                 b1 = int(np.searchsorted(tb["starts"], hi, side="right"))
-                if b1 <= b0:
-                    continue
-                missing = [fb for fb in range(b0, b1) if fb not in tb["cache"]]
-                if missing:
-                    by_row: dict[int, list[int]] = {}
-                    for fb in missing:
-                        by_row.setdefault(int(tb["row"][fb]), []).append(fb)
-                    for ri, fbs in by_row.items():
-                        locals_ = tb["local"][fbs]
-                        docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
-                            tb["rows"][ri], locals_, self.cfg.block_size
-                        )
-                        scores_b = scorers[ti].score(weights[ti], freqs_b, norms_b)
-                        off = 0
-                        for fb, c in zip(sorted(fbs), cnts):
-                            tb["cache"][fb] = (
-                                docs_b[off : off + c],
-                                scores_b[off : off + c],
+                t_docs: list = []
+                t_scores: list = []
+                if b1 > b0:
+                    visited_blocks[ti].update(
+                        (int(tb["row"][fb]), int(tb["local"][fb]))
+                        for fb in range(b0, b1)
+                    )
+                    # cache keys are (row, local block) — stable across
+                    # queries AND shard doc-ranges (flat indices are not:
+                    # range pruning renumbers them per query)
+                    missing = [
+                        fb
+                        for fb in range(b0, b1)
+                        if (int(tb["row"][fb]), int(tb["local"][fb]))
+                        not in tb["cache"]
+                    ]
+                    if missing:
+                        by_row: dict[int, list[int]] = {}
+                        for fb in missing:
+                            by_row.setdefault(int(tb["row"][fb]), []).append(fb)
+                        for ri, fbs in by_row.items():
+                            fbs = sorted(fbs)
+                            locals_ = tb["local"][fbs]
+                            docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
+                                tb["rows"][ri], locals_, self.cfg.block_size
                             )
-                            off += int(c)
-                for fb in range(b0, b1):
-                    dd, ss = tb["cache"][fb]
-                    a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
-                    if b > a:
-                        seg_docs.append(dd[a:b])
-                        seg_scores.append(ss[a:b])
-            if not seg_docs:
-                continue
-            cat = np.concatenate(seg_docs)
-            udocs, inv = np.unique(cat, return_inverse=True)
-            sc = np.zeros(len(udocs), dtype=np.float64)
-            np.add.at(sc, inv, np.concatenate(seg_scores))
+                            scores_b = scorers[ti].score(
+                                weights[ti], freqs_b, norms_b
+                            )
+                            off = 0
+                            for fb, c in zip(fbs, cnts):
+                                tb["cache"][
+                                    (ri, int(tb["local"][fb]))
+                                ] = (
+                                    docs_b[off : off + c],
+                                    scores_b[off : off + c],
+                                )
+                                off += int(c)
+                    for fb in range(b0, b1):
+                        dd, ss = tb["cache"][
+                            (int(tb["row"][fb]), int(tb["local"][fb]))
+                        ]
+                        a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
+                        if b > a:
+                            t_docs.append(dd[a:b])
+                            t_scores.append(ss[a:b])
+                per_term.append((t_docs, t_scores))
+            if mode == "and":
+                if any(not td for td, _ in per_term):
+                    continue
+                tdocs = [np.concatenate(td) for td, _ in per_term]
+                tscores = [np.concatenate(ts) for _, ts in per_term]
+                udocs = tdocs[0]
+                for d in tdocs[1:]:
+                    udocs = _intersect_sorted(udocs, d)
+                    if len(udocs) == 0:
+                        break
+                if len(udocs) == 0:
+                    continue
+                sc = np.zeros(len(udocs), dtype=np.float64)
+                for d, s in zip(tdocs, tscores):
+                    sc += s[np.searchsorted(d, udocs)]
+            else:
+                seg_docs = [x for td, _ in per_term for x in td]
+                seg_scores = [x for _, ts in per_term for x in ts]
+                if not seg_docs:
+                    continue
+                cat = np.concatenate(seg_docs)
+                udocs, inv = np.unique(cat, return_inverse=True)
+                sc = np.zeros(len(udocs), dtype=np.float64)
+                np.add.at(sc, inv, np.concatenate(seg_scores))
             if len(self.deleted):
                 keep = ~_membership(udocs, self.deleted).astype(bool)
                 udocs, sc = udocs[keep], sc[keep]
@@ -937,7 +1051,21 @@ class IndexSearcher:
                 ordk = np.lexsort((heap_docs, -heap_scores))[:k]
                 heap_docs, heap_scores = heap_docs[ordk], heap_scores[ordk]
             if len(heap_docs) >= k:
-                theta = float(heap_scores.min())
+                local_theta = float(heap_scores.min())
+                if local_theta > theta:
+                    theta = local_theta
+                    if theta_put is not None:
+                        theta_put(theta)
+        self.last_prune_stats = {
+            "mode": mode,
+            "blocks_total": int(len(starts)),
+            "blocks_touched": int(sum(len(v) for v in visited_blocks)),
+            "blocks_skipped": int(
+                len(starts) - sum(len(v) for v in visited_blocks)
+            ),
+            "intervals_total": int(len(order)),
+            "intervals_visited": int(intervals_visited),
+        }
         ordf = np.lexsort((heap_docs, -heap_scores))
         # NOTE: total_hits under pruning is a lower bound (GREATER_THAN_OR_EQUAL
         # relation, as in the reference collector under early termination).
@@ -984,26 +1112,38 @@ class IndexSearcher:
 
         index_dir = self.index_dir
 
-        def _search_group(batch):
-            import pandas as pd
-
+        def _search_group(batch: pa.Table) -> pa.Table:
+            # Arrow in, Arrow out: per-QUERY python dispatch (the work unit),
+            # per-HIT output assembled as numpy arrays — no pandas rows.
             s = _worker_searcher(index_dir)
-            out = {"qid": [], "rank": [], "doc_id": [], "score": []}
-            for _, row in batch.iterrows():
+            qids, ranks, docs, scores = [], [], [], []
+            for row in batch.to_pylist():
                 q = query_from_descriptor(row["kind"], list(row["clauses"]))
-                kk = int(row["k"]) if "k" in row and not pd.isna(row["k"]) else k
+                kk = int(row["k"]) if row.get("k") is not None else k
                 td = s.search(q, kk, prune=prune)
-                for rank, (d, sc) in enumerate(
-                    zip(td.doc_ids, td.scores), start=1
-                ):
-                    out["qid"].append(int(row["qid"]))
-                    out["rank"].append(rank)
-                    out["doc_id"].append(int(d))
-                    out["score"].append(float(sc))
-            return pd.DataFrame(out)
+                m = len(td.doc_ids)
+                qids.append(np.full(m, int(row["qid"]), dtype=np.int64))
+                ranks.append(np.arange(1, m + 1, dtype=np.int64))
+                docs.append(td.doc_ids)
+                scores.append(td.scores)
+            if not qids:
+                qids = [np.empty(0, np.int64)]
+                ranks = [np.empty(0, np.int64)]
+                docs = [np.empty(0, np.int64)]
+                scores = [np.empty(0, np.float64)]
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(qids)),
+                    "rank": pa.array(np.concatenate(ranks)),
+                    "doc_id": pa.array(np.concatenate(docs).astype(np.int64)),
+                    "score": pa.array(
+                        np.concatenate(scores).astype(np.float64)
+                    ),
+                }
+            )
 
         return ds.groupby("_route").map_groups(
-            _search_group, batch_format="pandas", num_cpus=1
+            _search_group, batch_format="pyarrow", num_cpus=1
         )
 
 
@@ -1058,13 +1198,42 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
     raise ValueError(f"unknown query kind {kind!r}")
 
 
-def _lazy_search_shard(index_dir: str, query, lo: int, hi: int, k: int):
-    """One doc-range shard of a sharded query: top-k within [lo, hi]."""
+def _lazy_search_shard(
+    index_dir: str,
+    query,
+    lo: int,
+    hi: int,
+    k: int,
+    prune: bool = False,
+    wand_min_postings: int | None = None,
+    theta_handle=None,
+):
+    """One doc-range shard of a sharded query: top-k within [lo, hi].
+
+    With ``prune``, the block-max path runs per shard; a shared
+    ``_ThetaAccumulator`` lets every shard adopt the best kth-score seen
+    anywhere (total_hits then becomes a lower bound, as under any
+    early-terminating collector)."""
+    import ray as _r
+
     s = _worker_searcher(index_dir)
     s._doc_range = (lo, hi)  # tasks run one-at-a-time per worker process
     try:
-        ev = s._apply_live(s._eval(query, 1.0, need_scores=True))
-        td = _topk(ev, k)
+        td = None
+        if prune:
+            theta_get = theta_put = None
+            if theta_handle is not None:
+                theta_get = lambda: _r.get(theta_handle.get.remote())  # noqa: E731
+                theta_put = lambda v: theta_handle.update.remote(v)  # noqa: E731
+            td = s._try_pruned(
+                query, k,
+                min_postings=wand_min_postings,
+                theta_get=theta_get,
+                theta_put=theta_put,
+            )
+        if td is None:
+            ev = s._apply_live(s._eval(query, 1.0, need_scores=True))
+            td = _topk(ev, k)
     finally:
         s._doc_range = None
     return td.doc_ids, td.scores, td.total_hits
@@ -1074,6 +1243,24 @@ def _lazy_search_shard(index_dir: str, query, lo: int, hi: int, k: int):
 import ray as _ray  # noqa: E402
 
 _search_shard = _ray.remote(num_cpus=1)(_lazy_search_shard)
+
+
+@_ray.remote(num_cpus=0)
+class _ThetaAccumulator:
+    """Cross-shard min-competitive score accumulator (the distributed
+    MaxScoreAccumulator, /root/reference/core/search/maxscoreaccumulator.go):
+    monotonically keeps the best kth-score published by any shard."""
+
+    def __init__(self):
+        self.theta = -float("inf")
+
+    def update(self, v: float) -> float:
+        if v > self.theta:
+            self.theta = v
+        return self.theta
+
+    def get(self) -> float:
+        return self.theta
 
 
 _WORKER_SEARCHERS: dict[str, "IndexSearcher"] = {}
@@ -1099,20 +1286,30 @@ class SearcherActor:
         self.k = k
         self.prune = prune
 
-    def __call__(self, batch):
-        import pandas as pd
-
-        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
-        for _, row in batch.iterrows():
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for row in batch.to_pylist():
             q = query_from_descriptor(row["kind"], list(row["clauses"]))
-            k = int(row["k"]) if "k" in row and not pd.isna(row["k"]) else self.k
+            k = int(row["k"]) if row.get("k") is not None else self.k
             td = self.searcher.search(q, k, prune=self.prune)
-            for rank, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
-                out["qid"].append(int(row["qid"]))
-                out["rank"].append(rank)
-                out["doc_id"].append(int(d))
-                out["score"].append(float(s))
-        return pd.DataFrame(out)
+            m = len(td.doc_ids)
+            qids.append(np.full(m, int(row["qid"]), dtype=np.int64))
+            ranks.append(np.arange(1, m + 1, dtype=np.int64))
+            docs.append(td.doc_ids)
+            scores.append(td.scores)
+        if not qids:
+            qids = [np.empty(0, np.int64)]
+            ranks = [np.empty(0, np.int64)]
+            docs = [np.empty(0, np.int64)]
+            scores = [np.empty(0, np.float64)]
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qids)),
+                "rank": pa.array(np.concatenate(ranks)),
+                "doc_id": pa.array(np.concatenate(docs).astype(np.int64)),
+                "score": pa.array(np.concatenate(scores).astype(np.float64)),
+            }
+        )
 
 
 # ---------------- sorted-array algebra helpers ----------------
@@ -1168,6 +1365,19 @@ def _doc_pos_keys(p: dict, docs: np.ndarray, BIG: np.int64) -> np.ndarray:
     )
     pos = p["positions"][base_rep + within]
     return doc_rep * BIG + pos
+
+
+def _pure_and_terms(q: Query):
+    """TermQuery list for a pure-AND (all-MUST) query of >=2 terms, else
+    None (single MUST rewrites to TermQuery and takes the OR path)."""
+    if isinstance(q, BooleanQuery):
+        tqs = []
+        for c in q.clauses:
+            if c.occur is not Occur.MUST or not isinstance(c.query, TermQuery):
+                return None
+            tqs.append(c.query)
+        return tqs if len(tqs) >= 2 else None
+    return None
 
 
 def _pure_or_terms(q: Query):

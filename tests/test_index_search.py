@@ -175,6 +175,45 @@ def test_pruned_equals_exhaustive(built, monkeypatch):
     b = s.search(q, 10, prune=True)
     assert a.doc_ids.tolist() == b.doc_ids.tolist()
     assert a.scores.tolist() == b.scores.tolist()
+    # block-max AND: pure conjunctions take the pruned path too
+    and_cases = [
+        BooleanQuery.build(must=[hot[0], hot[1]]),
+        BooleanQuery.build(must=[hot[0], mid[0]]),
+        BooleanQuery.build(must=[hot[0], hot[1], hot[2]]),
+        BooleanQuery.build(must=[hot[0], "zzz-absent"]),
+    ]
+    for q in and_cases:
+        for k in (1, 5, 20):
+            a = s.search(q, k, prune=False)
+            b = s.search(q, k, prune=True)
+            assert a.doc_ids.tolist() == b.doc_ids.tolist(), q
+            assert a.scores.tolist() == b.scores.tolist(), q
+    stats = s.last_prune_stats
+    assert stats["mode"] == "and"
+    assert stats["blocks_total"] > 0
+    assert stats["blocks_touched"] + stats["blocks_skipped"] == stats["blocks_total"]
+
+
+def test_sharded_pruned_with_shared_theta(built, monkeypatch):
+    """search_sharded(prune=True) with the cross-shard theta accumulator is
+    rank-identical to exhaustive search for OR and AND queries."""
+    index_dir, _, oracle, _ = built
+    s = IndexSearcher(index_dir)
+    hot = _common_terms(oracle, 50, 10**9)[:3]
+    mid = _common_terms(oracle, 5, 30)[:2]
+    queries = [
+        TermQuery(hot[0]),
+        BooleanQuery.build(should=hot + mid),
+        BooleanQuery.build(must=[hot[0], hot[1]]),
+    ]
+    for q in queries:
+        ref = s.search(q, 10)
+        for shards in (2, 5):
+            got = s.search_sharded(
+                q, 10, num_shards=shards, prune=True, wand_min_postings=0
+            )
+            assert got.doc_ids.tolist() == ref.doc_ids.tolist(), (q, shards)
+            assert got.scores.tolist() == ref.scores.tolist(), (q, shards)
 
 
 def test_pruned_tie_heavy_rank_identical(tmp_path, monkeypatch):
