@@ -82,6 +82,67 @@ class AnalyzedDoc:
     norm: int  # length - num_overlap (== length here)
 
 
+def _token_byte_offsets(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-raw-token byte offsets (actual UTF-8 positions within
+    each doc, empties included): one numpy scan of the concatenated string
+    buffer finds every whitespace delimiter (Go unicode.IsSpace set spelled
+    as explicit UTF-8 patterns), token boundaries follow from delimiter
+    spans. Returns flattened (starts, token_byte_lens, counts_per_doc)."""
+    n = len(texts)
+    bufs = texts.buffers()
+    data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+    doc_offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        texts.offset : texts.offset + n + 1
+    ]
+    m = len(data)
+    b0 = data
+    b1 = np.empty(m, dtype=np.uint8)
+    b2 = np.empty(m, dtype=np.uint8)
+    b1[: m - 1] = data[1:] if m else b1[:0]
+    b1[m - 1 :] = 0
+    b2[: m - 2] = data[2:] if m > 1 else b2[:0]
+    b2[m - 2 :] = 0
+    is1 = np.isin(b0, np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8))
+    is2 = (b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0))
+    is3 = (
+        ((b0 == 0xE1) & (b1 == 0x9A) & (b2 == 0x80))
+        | (
+            (b0 == 0xE2)
+            & (b1 == 0x80)
+            & (((b2 >= 0x80) & (b2 <= 0x8A)) | (b2 == 0xA8) | (b2 == 0xA9) | (b2 == 0xAF))
+        )
+        | ((b0 == 0xE2) & (b1 == 0x81) & (b2 == 0x9F))
+        | ((b0 == 0xE3) & (b1 == 0x80) & (b2 == 0x80))
+    )
+    dstart = np.flatnonzero(is1 | is2 | is3)
+    dlen = np.where(is1[dstart], 1, np.where(is2[dstart], 2, 3)).astype(np.int64)
+    dend = dstart + dlen
+    # delimiters per doc (delimiter spans never straddle doc boundaries)
+    d_per_doc = np.searchsorted(dstart, doc_offs[1:]) - np.searchsorted(
+        dstart, doc_offs[:-1]
+    )
+    counts = d_per_doc + 1  # tokens per doc == delimiters + 1
+    total = int(counts.sum())
+    tok_bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_bounds[1:])
+    starts = np.empty(total, dtype=np.int64)
+    ends = np.empty(total, dtype=np.int64)
+    first_idx = tok_bounds[:-1]
+    last_idx = tok_bounds[1:] - 1
+    # token j>0 starts where delimiter j-1 ends; token 0 starts at doc start
+    not_first = np.ones(total, dtype=bool)
+    not_first[first_idx] = False
+    starts[first_idx] = doc_offs[:-1]
+    starts[not_first] = dend  # delimiters are in (doc, position) order
+    # token j<last ends where delimiter j starts; last token ends at doc end
+    not_last = np.ones(total, dtype=bool)
+    not_last[last_idx] = False
+    ends[last_idx] = doc_offs[1:]
+    ends[not_last] = dstart
+    rel_starts = starts - np.repeat(doc_offs[:-1], counts)
+    return rel_starts, ends - starts, counts
+
+
 @dataclass(frozen=True)
 class StandardAnalyzer:
     """tokenize -> lowercase -> stopword-drop with position accumulation."""
@@ -124,7 +185,9 @@ class StandardAnalyzer:
 
     # ---------------- vectorized batch path (the hot path) -----------------
 
-    def analyze_column(self, texts: pa.Array | pa.ChunkedArray) -> dict:
+    def analyze_column(
+        self, texts: pa.Array | pa.ChunkedArray, emit_offsets: bool = False
+    ) -> dict:
         """Vectorized analysis of a column of documents.
 
         Returns flattened arrays over all *kept* tokens plus per-doc norms:
@@ -133,6 +196,10 @@ class StandardAnalyzer:
         - ``terms``     pa.LargeStringArray — analyzed term per token
         - ``positions`` int32 — full-stream position per token
         - ``norms``     int64 — per-doc kept-token count (len == batch rows)
+        - with ``emit_offsets``: ``starts``/``ends`` int32 byte offsets per
+          kept token, replicating the reference's slow/fast counter quirk
+          (start of token i = actual byte offset + i; tokenizer.go:168-170)
+          — computed by the vectorized buffer scan, exact vs ``analyze``.
 
         Null text rows produce no tokens and norm 0 (field absent).
         """
@@ -145,6 +212,9 @@ class StandardAnalyzer:
             "positions": np.empty(0, np.int32),
             "norms": np.zeros(n_docs, np.int64),
         }
+        if emit_offsets:
+            empty["starts"] = np.empty(0, np.int32)
+            empty["ends"] = np.empty(0, np.int32)
         if n_docs == 0:
             return empty
         texts = texts.cast(pa.large_string())
@@ -163,6 +233,13 @@ class StandardAnalyzer:
         positions = (
             np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
         ).astype(np.int32)
+        starts = ends = None
+        if emit_offsets:
+            rel_starts, tok_bytes, off_counts = _token_byte_offsets(texts)
+            assert np.array_equal(off_counts, counts), "scanner disagreement"
+            # slow/fast quirk: +1 per preceding delimiter == + token index
+            starts = (rel_starts + positions.astype(np.int64)).astype(np.int32)
+            ends = (starts + tok_bytes).astype(np.int32)
         keep = None
         if has_null:
             keep = ~null_mask[doc_idx]
@@ -174,13 +251,20 @@ class StandardAnalyzer:
             doc_idx = doc_idx[keep]
             positions = positions[keep]
             flat = flat.filter(pa.array(keep))
+            if emit_offsets:
+                starts = starts[keep]
+                ends = ends[keep]
         norms = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
-        return {
+        out = {
             "doc_idx": doc_idx,
             "terms": flat,
             "positions": positions,
             "norms": norms,
         }
+        if emit_offsets:
+            out["starts"] = starts
+            out["ends"] = ends
+        return out
 
 
 @dataclass(frozen=True)

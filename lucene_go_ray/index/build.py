@@ -153,7 +153,9 @@ class SegmentIndexer:
             table = table.slice(part["row_start"], part["num_docs"])
         n_docs = len(table)
 
-        tok = self.analyzer.analyze_column(table[cfg.text_column])
+        tok = self.analyzer.analyze_column(
+            table[cfg.text_column], emit_offsets=cfg.index_offsets
+        )
         norms = tok["norms"]  # int64 per doc
         doc_idx = tok["doc_idx"].astype(np.int64)
         positions = tok["positions"].astype(np.int64)
@@ -257,6 +259,35 @@ class SegmentIndexer:
         pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
         terms_table = pa.concat_tables(field_tables)
         pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+        if cfg.index_offsets and len(t_sorted):
+            # segment-local offsets side table (one row per (term, ord)
+            # posting, occurrence offsets as list columns, term-sorted so
+            # parquet row-group stats prune term lookups). Never shuffled:
+            # highlighting resolves global docID -> (segment, ord) first.
+            occ_offsets = np.zeros(len(post_doc) + 1, dtype=np.int64)
+            np.cumsum(freqs_all, out=occ_offsets[1:])
+            s_sorted = tok["starts"].astype(np.int32)[perm]
+            e_sorted = tok["ends"].astype(np.int32)[perm]
+            vocab_arr = np.asarray(sorted_vocab, dtype=object)
+            off_table = pa.table(
+                {
+                    "term": pa.array(
+                        vocab_arr[post_term].tolist(), type=pa.large_string()
+                    ),
+                    "ord": pa.array(post_doc.astype(np.int32)),
+                    "starts": pa.LargeListArray.from_arrays(
+                        occ_offsets, pa.array(s_sorted, type=pa.int32())
+                    ),
+                    "ends": pa.LargeListArray.from_arrays(
+                        occ_offsets, pa.array(e_sorted, type=pa.int32())
+                    ),
+                }
+            )
+            pq.write_table(
+                off_table,
+                os.path.join(tmp_dir, "offsets.parquet"),
+                row_group_size=65536,
+            )
 
         info = PartitionInfo(
             pid=pid,

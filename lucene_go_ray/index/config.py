@@ -36,6 +36,11 @@ class IndexConfig:
     # --- physical layout ---
     block_size: int = 128  # postings docs per FOR block
     index_positions: bool = True
+    # optional per-occurrence byte-offset stream (highlighting parity,
+    # fieldswriter.go:204-247 offsets lines). OFF by default: offsets are
+    # the widest per-token stream and only highlighters read them. Stored
+    # as a segment-local side table (offsets.parquet), never shuffled.
+    index_offsets: bool = False
     target_partition_rows: int = 25_000  # docs per build partition (segment)
     chunk_docs: int = 131_072  # max postings per merged-index row (term chunk)
     # --- merge-shuffle skew handling ---

@@ -574,6 +574,29 @@ class IndexSearcher:
             keys.append(dm["key"][d - self._doc_bases[i]].as_py())
         return keys
 
+    def term_offsets(self, term: str, doc_id: int) -> tuple[list, list]:
+        """(starts, ends) byte offsets of ``term``'s occurrences in one doc
+        (highlighting surface; requires an index built with
+        ``index_offsets=True``). Reads only the doc's segment's offsets
+        side table, term-pruned by parquet row-group statistics."""
+        d = int(doc_id)
+        i = bisect.bisect_right(self._doc_bases, d) - 1
+        pid = self._pids[i]
+        ord_ = d - self._doc_bases[i]
+        path = os.path.join(
+            self.index_dir, "segments", f"p={pid:05d}", "offsets.parquet"
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "offsets stream absent — build with IndexConfig(index_offsets=True)"
+            )
+        t = pq.read_table(
+            path, filters=[("term", "=", term), ("ord", "=", ord_)]
+        )
+        if t.num_rows == 0:
+            return [], []
+        return t["starts"][0].as_py(), t["ends"][0].as_py()
+
     # ---------------- doc-values range evaluation --------------------------
 
     def _dv_column(self, pid: int, fld: str) -> tuple[np.ndarray, np.ndarray]:

@@ -273,3 +273,32 @@ def test_update_documents(del_index, tmp_path):
     td = s.search(TermQuery(t), 10)
     assert td.doc_ids.tolist() == [doc for doc, _ in exp]
     assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
+
+
+def test_offsets_roundtrip(tmp_path, sf_dir):
+    """index_offsets=True stores the per-occurrence byte-offset stream;
+    retrieved offsets are exactly the analyzer's quirk-faithful offsets
+    (slow/fast counters incl. the +1-per-delimiter drift)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    cfg = IndexConfig(
+        target_partition_rows=100, index_offsets=True, hot_term_doc_freq=10**9
+    )
+    index_dir = str(tmp_path / "offidx")
+    build_index([src], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    raw = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    an = StandardAnalyzer(stop_words=cfg.stop_set(), lowercase=cfg.lowercase)
+    checked = 0
+    for d in range(0, len(raw), 37):
+        doc = an.analyze(raw["text"][d])
+        if not doc.terms:
+            continue
+        term = doc.terms[len(doc.terms) // 2]
+        sel = [j for j, t in enumerate(doc.terms) if t == term]
+        starts, ends = s.term_offsets(term, int(raw["doc_id"][d]))
+        assert starts == [int(doc.starts[j]) for j in sel], (d, term)
+        assert ends == [int(doc.ends[j]) for j in sel], (d, term)
+        checked += 1
+    assert checked > 5
+    # absent term / absent stream behavior
+    assert s.term_offsets("zz-absent-term", int(raw["doc_id"][0])) == ([], [])
