@@ -60,10 +60,25 @@ from .manifest import Manifest, save_manifest
 
 GLOBAL_DIR = "global"
 
-# Rows per row group in merged postings files: the unit of a term lookup
-# read. Small enough that one probe reads a few MB at most, large enough
-# that footer/metadata overhead stays negligible at web-scale vocab sizes.
+# Row-group sizing for merged postings files: the row group is the unit of
+# a term-lookup read, so its BYTE size is what bounds lookup read
+# amplification — a fixed row count lets dense corpora blow a "few-MB"
+# budget by 10x (measured: 4096 rows x ~6 KB/term = ~24 MB per probe on an
+# 800k-doc corpus, which flattened query-path scaling). Cap both.
 POSTINGS_ROW_GROUP_ROWS = 4096
+POSTINGS_ROW_GROUP_BYTES = 2 << 20
+
+
+def _postings_rg_rows(table: pa.Table) -> int:
+    """Rows per row group targeting POSTINGS_ROW_GROUP_BYTES (positions
+    included in the estimate; lookups that skip the pos columns read even
+    less), clamped to [64, POSTINGS_ROW_GROUP_ROWS]."""
+    if table.num_rows == 0:
+        return POSTINGS_ROW_GROUP_ROWS
+    avg = max(1, table.nbytes // table.num_rows)
+    return int(
+        np.clip(POSTINGS_ROW_GROUP_BYTES // avg, 64, POSTINGS_ROW_GROUP_ROWS)
+    )
 
 
 def _global_dir(index_dir: str) -> str:
@@ -321,10 +336,11 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
             t2 = _time.perf_counter()
             # tmp + rename: a crash mid-write never leaves a partial bucket
             # file to be mistaken for a finished one on resume
+            rg_rows = _postings_rg_rows(merged)
             pq.write_table(
                 merged,
                 fpath + ".inprogress",
-                row_group_size=POSTINGS_ROW_GROUP_ROWS,
+                row_group_size=rg_rows,
             )
             os.replace(fpath + ".inprogress", fpath)
             if trace:
@@ -334,11 +350,11 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                     flush=True,
                 )
             keys = _fkey_column(merged)
-            for rg_start in range(0, merged.num_rows, POSTINGS_ROW_GROUP_ROWS):
-                sl = keys.slice(rg_start, POSTINGS_ROW_GROUP_ROWS)
+            for rg_start in range(0, merged.num_rows, rg_rows):
+                sl = keys.slice(rg_start, rg_rows)
                 mm = pc.min_max(sl).as_py()
                 out["file"].append(fname)
-                out["row_group"].append(rg_start // POSTINGS_ROW_GROUP_ROWS)
+                out["row_group"].append(rg_start // rg_rows)
                 out["key_min"].append(mm["min"])
                 out["key_max"].append(mm["max"])
                 out["bucket_min"].append(b)

@@ -79,6 +79,26 @@ from .scorer import BM25Scorer, idf
 # (test_pruned_equals_exhaustive) and engages only for monster terms.
 WAND_MIN_POSTINGS = 2_000_000
 
+# Second engage guard: block-max pruning can only skip work when block
+# upper bounds actually VARY — on flat-tf postings every interval bound
+# equals theta and the interval sweep degrades to a slow exhaustive scan
+# (measured: ~25 ms/query of pure bookkeeping on the uniform synthetic
+# corpus). Engage only when the spread of block bounds says a meaningful
+# fraction of intervals can fall below the eventual threshold.
+WAND_MIN_UB_SPREAD = 1.25
+
+# Third engage guard: skipping depends on theta = the kth score — a deep
+# cutoff (k in the hundreds) sits low in the score distribution, so almost
+# every interval stays competitive and the sweep visits them all at python
+# cost (measured: one k=1000 hot-term OR took 11.8 s pruned vs ~0.1 s
+# exhaustive). The classic WAND regime is small-k over big skewed lists.
+WAND_MAX_K = 128
+
+# Bail-out: if the sweep has visited this many intervals x max(k, 64)
+# without terminating, pruning is not paying — fall back to exhaustive
+# (bounded waste instead of a pathological full python sweep).
+WAND_BAIL_FACTOR = 4
+
 # Merged-postings columns WITHOUT the position stream — position blobs are
 # the dominant bytes of a hot term's row, so non-phrase lookups never read
 # them (parquet column pruning at the row-group read).
@@ -351,6 +371,20 @@ class IndexSearcher:
         key = (fld or self.default_field, term, with_positions, self._doc_range)
         if key in self._postings_cache:
             return self._postings_cache[key]
+        # shared decoded-postings map (object store, set by the batch-query
+        # driver): heavy terms are decoded ONCE cluster-wide and read here
+        # zero-copy instead of once per worker that mentions them
+        shared = getattr(self, "_shared_postings", None)
+        if shared is not None and self._doc_range is None:
+            fkey = posting_key(fld or self.default_field, term)
+            ref = shared.get(fkey)
+            if ref is not None:
+                import ray as _r
+
+                p = _r.get(ref)  # zero-copy numpy views over plasma
+                if p is not None and (not with_positions or "positions" in p):
+                    self._postings_cache[key] = p
+                    return p
         rows = self._term_rows(term, fld=fld, with_positions=with_positions)
         if self._doc_range is not None:
             # chunk-level pruning: a shard decodes ONLY the chunk rows whose
@@ -573,6 +607,33 @@ class IndexSearcher:
                 self._docmap_cache[pid] = dm
             keys.append(dm["key"][d - self._doc_bases[i]].as_py())
         return keys
+
+    def document(self, doc_id: int, columns: list[str] | None = None) -> dict:
+        """Full stored-document retrieval — the ``reader.Document(docID)``
+        all-stored-fields visit (/root/reference/core/index/indexreader.go,
+        codecs/simpletext/storedfieldsreader.go): global docID ->
+        (partition, ord) via the manifest lineage, then ONE source-parquet
+        row read (row-group pruned, column-pruned). The source files are
+        the stored-fields store — nothing is duplicated into the index."""
+        d = int(doc_id)
+        if not 0 <= d < self.manifest.max_doc:
+            raise IndexError(f"doc_id {d} out of range")
+        i = bisect.bisect_right(self._doc_bases, d) - 1
+        p = self.manifest.partitions[i]
+        ord_ = d - self._doc_bases[i]
+        pf = pq.ParquetFile(p["path"])
+        md = pf.metadata
+        row = int(p["row_start"]) + ord_
+        base = 0
+        for rg in list(p["row_groups"]):
+            n = md.row_group(int(rg)).num_rows
+            if base + n > row:
+                t = pf.read_row_group(int(rg), columns=columns)
+                return {
+                    c: t[c][row - base].as_py() for c in t.column_names
+                }
+            base += n
+        raise IndexError(f"doc_id {d}: ord {ord_} beyond partition rows")
 
     def term_offsets(self, term: str, doc_id: int) -> tuple[list, list]:
         """(starts, ends) byte offsets of ``term``'s occurrences in one doc
@@ -888,6 +949,8 @@ class IndexSearcher:
         floor = WAND_MIN_POSTINGS if min_postings is None else min_postings
         if total_df < floor:
             return None
+        if min_postings is None and k > WAND_MAX_K:
+            return None
         scorers = [self.scorer_for(tq.field) for tq in tqs]
         weights = [
             sc.weight(self.term_statistics(tq.term, fld=tq.field)[0])
@@ -940,6 +1003,15 @@ class IndexSearcher:
         starts = np.concatenate(starts_all)
         ends = np.concatenate(ends_all)
         ubs = np.concatenate(ubs_all)
+        # spread guard (see WAND_MIN_UB_SPREAD): if the best block bound
+        # barely exceeds the median bound, pruning cannot skip intervals
+        # and exhaustive vectorized evaluation is strictly faster. An
+        # explicit min_postings override (tests / sharded-prune callers)
+        # bypasses the guard so the machinery stays exercisable.
+        if min_postings is None and float(np.max(ubs)) < WAND_MIN_UB_SPREAD * float(
+            np.median(ubs)
+        ):
+            return None
         # elementary intervals
         bps = np.unique(np.concatenate([starts, ends + 1]))
         ivl_starts = bps[:-1]
@@ -968,7 +1040,12 @@ class IndexSearcher:
         theta = -np.inf
         have_global_theta = False
         intervals_visited = 0
+        bail_at = (
+            WAND_BAIL_FACTOR * max(k, 64) if min_postings is None else None
+        )
         for step, oi in enumerate(order):
+            if bail_at is not None and intervals_visited > bail_at:
+                return None  # not skipping — exhaustive is cheaper
             if theta_get is not None and (step & 31) == 0:
                 g = float(theta_get())
                 if g > theta:
@@ -1124,21 +1201,75 @@ class IndexSearcher:
         import zlib
 
         routed = []
-        n_routes = n * 4  # a few groups per slot for load balancing
+        # Many small groups per slot: a route is the affinity unit (one
+        # term's queries -> one route -> one worker decode), so routes must
+        # be FINE-grained enough that the heaviest term's route is a small
+        # fraction of a worker's fair share — measured on the Zipf query
+        # batch, 4 routes/slot left one 37 s straggler route dominating an
+        # 8-worker run; 16/slot packs within ~10% of fair share.
+        n_routes = n * 16
         for q in queries:
             clauses = [str(c) for c in q.get("clauses", ())]
+            # Affinity key = the HOTTEST clause (known from the merge-time
+            # hot-term estimate — zero extra I/O), not merely the first:
+            # a Zipf-head term shows up as a secondary clause across many
+            # queries, and routing those to one worker means its postings
+            # are decoded once cluster-wide instead of once per route that
+            # happens to mention it (measured: 8 workers did ~1.5x the
+            # 2-worker total work before this).
             primary = clauses[0] if clauses else ""
+            for c in clauses:
+                if posting_key(self.default_field, c) in self._hot_set:
+                    primary = c
+                    break
             routed.append(
                 {**q, "_route": zlib.crc32(primary.encode()) % n_routes}
             )
         ds = ray.data.from_items(routed)
 
         index_dir = self.index_dir
+        # ---- shared decode stage: distinct heavy clause terms are decoded
+        # once (parallel tasks), their arrays live in the object store, and
+        # every query worker reads them zero-copy. Removes the per-worker
+        # re-decode of Zipf-head terms that otherwise inflates total work
+        # as workers are added (measured 1.5x at 8 workers).
+        distinct = sorted(
+            {
+                str(c)
+                for q in queries
+                for c in q.get("clauses", ())
+            }
+        )
+        # positions are only worth pre-decoding for terms phrase queries
+        # will actually position-match (the pos stream dominates decode cost)
+        phrase_terms = {
+            str(c)
+            for q in queries
+            if str(q.get("kind")) == "phrase"
+            for c in q.get("clauses", ())
+        }
+        shared_map: dict = {}
+        if os.environ.get("LGR_SHARED_DECODE", "1") != "0":
+            n_chunks = max(1, min(len(distinct), n * 2))
+            pre_futs = [
+                _predecode_terms.remote(
+                    index_dir,
+                    distinct[i::n_chunks],  # round-robin: spreads Zipf head
+                    sorted(phrase_terms),
+                )
+                for i in range(n_chunks)
+            ]
+            for d in ray.get(pre_futs):
+                shared_map.update(d)
 
         def _search_group(batch: pa.Table) -> pa.Table:
             # Arrow in, Arrow out: per-QUERY python dispatch (the work unit),
             # per-HIT output assembled as numpy arrays — no pandas rows.
+            import time as _time
+
+            _t0 = _time.perf_counter()
             s = _worker_searcher(index_dir)
+            s._shared_postings = shared_map
             qids, ranks, docs, scores = [], [], [], []
             for row in batch.to_pylist():
                 q = query_from_descriptor(row["kind"], list(row["clauses"]))
@@ -1154,6 +1285,13 @@ class IndexSearcher:
                 ranks = [np.empty(0, np.int64)]
                 docs = [np.empty(0, np.int64)]
                 scores = [np.empty(0, np.float64)]
+            if os.environ.get("LGR_QUERY_TRACE"):
+                routes = sorted(set(batch["_route"].to_pylist()))
+                print(
+                    f"[route {routes}] n={batch.num_rows} "
+                    f"secs={_time.perf_counter() - _t0:.2f} pid={os.getpid()}",
+                    flush=True,
+                )
             return pa.table(
                 {
                     "qid": pa.array(np.concatenate(qids)),
@@ -1266,6 +1404,35 @@ def _lazy_search_shard(
 import ray as _ray  # noqa: E402
 
 _search_shard = _ray.remote(num_cpus=1)(_lazy_search_shard)
+
+
+def _lazy_predecode_terms(
+    index_dir: str, terms: list[str], phrase_terms: list[str]
+) -> dict:
+    """Decode a chunk of distinct query terms' postings and publish each
+    heavy term's arrays to the object store; returns
+    {posting_key: ObjectRef}. Positions are included only for terms that
+    phrase queries will match (the pos stream dominates decode cost).
+    Light terms (below the cutoff) are skipped — per-worker decode of
+    those is cheaper than a plasma round trip."""
+    import ray as _r
+
+    s = _worker_searcher(index_dir)
+    pset = set(phrase_terms)
+    out = {}
+    for t in terms:
+        df, _ = s.term_statistics(t)
+        if df < _PREDECODE_MIN_DF:
+            continue
+        p = s.term_postings(t, with_positions=t in pset)
+        if p is not None:
+            out[posting_key(s.default_field, t)] = _r.put(p)
+    return out
+
+
+_PREDECODE_MIN_DF = 20_000
+
+_predecode_terms = _ray.remote(num_cpus=1)(_lazy_predecode_terms)
 
 
 @_ray.remote(num_cpus=0)

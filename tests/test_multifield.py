@@ -302,3 +302,19 @@ def test_offsets_roundtrip(tmp_path, sf_dir):
     assert checked > 5
     # absent term / absent stream behavior
     assert s.term_offsets("zz-absent-term", int(raw["doc_id"][0])) == ([], [])
+
+
+def test_document_retrieval(mf):
+    """reader.Document parity: full stored row for sampled global docIDs,
+    straight from the source parquet via the manifest lineage."""
+    index_dir, _, raw, _ = mf
+    s = IndexSearcher(index_dir)
+    for d in (0, 123, 250, 499):
+        doc = s.document(d)
+        assert doc["doc_id"] == int(raw["doc_id"][d])
+        assert doc["text"] == raw["text"][d]
+        assert doc["lang"] == raw["lang"][d]
+    partial = s.document(42, columns=["lang", "n_chars"])
+    assert set(partial) == {"lang", "n_chars"}
+    with pytest.raises(IndexError):
+        s.document(10**9)
