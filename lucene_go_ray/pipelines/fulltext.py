@@ -247,7 +247,7 @@ def field_term_stats(
     walk (expand over the field's key range) + TermStates accumulation —
     multi-field parity surface (fieldinfos.go / per-field FSTs)."""
     s = get_searcher(sf_dir, cfg)
-    terms = s.postings.expand_terms(field, "", "\U0010ffff")
+    terms = s.expand_terms(field, "", "\U0010ffff")
     stats = [s.term_statistics(t, fld=field) for t in terms]
     return pa.table(
         {

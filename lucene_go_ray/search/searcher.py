@@ -236,15 +236,33 @@ class IndexSearcher:
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
-        if not self.manifest.merged:
-            raise RuntimeError("index not merged; run merge_index / build_index(merge=True)")
         cfgd = dict(self.manifest.config)
         for k in ("stop_words", "keyword_fields", "docvalue_fields"):
             cfgd[k] = tuple(cfgd.get(k, ()))
         self.cfg = IndexConfig(**cfgd)
-        gdir = os.path.join(index_dir, "global")
-        with open(os.path.join(gdir, "stats.json")) as f:
-            self.stats = json.load(f)
+        # NRT mode (the IndexWriter.GetReader surface,
+        # /root/reference/core/index/indexwriter.go:829): an UN-merged
+        # commit is searchable directly over its segments — term lookups
+        # probe every segment's term table (row-group stats prune by the
+        # (field, term) sort) and decoded docIDs are offset by docBase.
+        # Global statistics come from the manifest, so ranking is identical
+        # to post-merge search; the merged index is the THROUGHPUT path
+        # (O(1) bucket probes instead of O(P) segment probes).
+        self.nrt = not self.manifest.merged
+        if self.nrt:
+            self.stats = {
+                "max_doc": self.manifest.max_doc,
+                "doc_count": self.manifest.doc_count,
+                "sum_total_term_freq": self.manifest.sum_total_term_freq,
+                "sum_doc_freq": self.manifest.sum_doc_freq,
+                "field_stats": self.manifest.field_stats,
+                "hot_terms": [],
+                "format_version": INDEX_FORMAT_VERSION,
+            }
+        else:
+            gdir = os.path.join(index_dir, "global")
+            with open(os.path.join(gdir, "stats.json")) as f:
+                self.stats = json.load(f)
         fv = self.stats.get("format_version", 1)
         if fv != INDEX_FORMAT_VERSION:
             raise RuntimeError(
@@ -268,7 +286,9 @@ class IndexSearcher:
                 k1=self.cfg.k1,
                 b=self.cfg.b,
             )
-        self.postings = _RangeIndex(os.path.join(gdir, "postings"))
+        self.postings = (
+            None if self.nrt else _RangeIndex(os.path.join(gdir, "postings"))
+        )
         self._doc_bases = [int(p["doc_base"]) for p in self.manifest.partitions]
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
@@ -326,6 +346,12 @@ class IndexSearcher:
                 sum(r["doc_freq"] for r in rows),
                 sum(r["total_term_freq"] for r in rows),
             )
+        if self.nrt:
+            rows = self._term_rows(term, fld=fld)
+            return (
+                sum(r["doc_freq"] for r in rows),
+                sum(r["total_term_freq"] for r in rows),
+            )
         t = self.postings.read_term_rows(
             f_name,
             term,
@@ -350,20 +376,54 @@ class IndexSearcher:
         if rows is None and not with_positions:
             rows = self._rows_cache.get((f_name, term, True))  # superset ok
         if rows is None:
-            cols = None if with_positions else _NO_POS_COLUMNS
-            t = self.postings.read_term_rows(
-                f_name,
-                term,
-                columns=cols,
-                buckets=self._term_buckets(posting_key(f_name, term)),
-            )
-            rows = (
-                sorted(t.to_pylist(), key=lambda r: r["first_doc"])
-                if t.num_rows
-                else []
-            )
+            if self.nrt:
+                rows = self._nrt_term_rows(f_name, term, with_positions)
+            else:
+                cols = None if with_positions else _NO_POS_COLUMNS
+                t = self.postings.read_term_rows(
+                    f_name,
+                    term,
+                    columns=cols,
+                    buckets=self._term_buckets(posting_key(f_name, term)),
+                )
+                rows = (
+                    sorted(t.to_pylist(), key=lambda r: r["first_doc"])
+                    if t.num_rows
+                    else []
+                )
             self._rows_cache[key] = rows
         return rows
+
+    def _nrt_term_rows(
+        self, f_name: str, term: str, with_positions: bool
+    ) -> list[dict]:
+        """Unmerged-commit term lookup: probe every segment's term table
+        (filter pushdown prunes row groups by the (field, term) sort).
+        Row docIDs are segment-local — first/last_doc are rebased here and
+        ``doc_base`` is attached for the post-decode offset."""
+        cols = (
+            None
+            if with_positions
+            else [c for c in _NO_POS_COLUMNS if c not in ("salt", "chunk_id")]
+        )
+        rows: list[dict] = []
+        for p in self.manifest.partitions:
+            path = os.path.join(
+                self.index_dir, "segments", f"p={int(p['pid']):05d}",
+                "terms.parquet",
+            )
+            t = pq.read_table(
+                path,
+                columns=cols,
+                filters=[("field", "=", f_name), ("term", "=", term)],
+            )
+            base = int(p["doc_base"])
+            for r in t.to_pylist():
+                r["doc_base"] = base
+                r["first_doc"] = int(r["first_doc"]) + base
+                r["last_doc"] = int(r["last_doc"]) + base
+                rows.append(r)
+        return sorted(rows, key=lambda r: r["first_doc"])
 
     def term_postings(
         self, term: str, fld: str | None = None, with_positions: bool = False
@@ -396,7 +456,11 @@ class IndexSearcher:
             return None
         parts = [decode_docs_freqs_norms(r, self.cfg.block_size) for r in rows]
         out = {
-            "docs": np.concatenate([p[0] for p in parts]),
+            # NRT rows decode segment-LOCAL docIDs; doc_base rebases them
+            # (merged rows carry no doc_base — already global)
+            "docs": np.concatenate(
+                [p[0] + r.get("doc_base", 0) for p, r in zip(parts, rows)]
+            ),
             "freqs": np.concatenate([p[1] for p in parts]),
             "norms8": np.concatenate([p[2] for p in parts]),
         }
@@ -608,6 +672,29 @@ class IndexSearcher:
             keys.append(dm["key"][d - self._doc_bases[i]].as_py())
         return keys
 
+    def expand_terms(self, fld: str, lo: str, hi: str) -> list[str]:
+        """Dictionary terms of ``fld`` in [lo, hi]: range-index probe on the
+        merged index, per-segment term-table scan in NRT mode."""
+        if not self.nrt:
+            return self.postings.expand_terms(fld, lo, hi)
+        terms: set[str] = set()
+        for p in self.manifest.partitions:
+            path = os.path.join(
+                self.index_dir, "segments", f"p={int(p['pid']):05d}",
+                "terms.parquet",
+            )
+            t = pq.read_table(
+                path,
+                columns=["field", "term"],
+                filters=[
+                    ("field", "=", fld),
+                    ("term", ">=", lo),
+                    ("term", "<=", hi),
+                ],
+            )
+            terms.update(t["term"].to_pylist())
+        return sorted(terms)
+
     def document(self, doc_id: int, columns: list[str] | None = None) -> dict:
         """Full stored-document retrieval — the ``reader.Document(docID)``
         all-stored-fields visit (/root/reference/core/index/indexreader.go,
@@ -750,13 +837,11 @@ class IndexSearcher:
             return self._eval_term_union(list(q.terms), q.field, boost, need_scores)
         if isinstance(q, PrefixQuery):
             f_name = q.field or self.default_field
-            terms = self.postings.expand_terms(
-                f_name, q.prefix, q.prefix + "\U0010ffff"
-            )
+            terms = self.expand_terms(f_name, q.prefix, q.prefix + "\U0010ffff")
             return self._eval_term_union(terms, q.field, boost, need_scores)
         if isinstance(q, TermRangeQuery):
             f_name = q.field or self.default_field
-            terms = self.postings.expand_terms(f_name, q.lower, q.upper)
+            terms = self.expand_terms(f_name, q.lower, q.upper)
             if not q.include_lower:
                 terms = [t for t in terms if t != q.lower]
             if not q.include_upper:
@@ -929,6 +1014,8 @@ class IndexSearcher:
         LARGER theta published by other shards (docs strictly below it can
         never reach the global top-k) and publishes its own improvements.
         Per-call ``self.last_prune_stats`` records measured skipping."""
+        if self.nrt:
+            return None  # segment block metadata is local; NRT is exhaustive
         mode = "or"
         tqs = _pure_or_terms(q)
         if tqs is None:

@@ -318,3 +318,47 @@ def test_document_retrieval(mf):
     assert set(partial) == {"lang", "n_chars"}
     with pytest.raises(IndexError):
         s.document(10**9)
+
+
+def test_nrt_unmerged_reader_rank_identical(tmp_path, sf_dir, mf):
+    """NRT reader (IndexWriter.GetReader surface): an UN-merged commit is
+    searchable directly over segments and rank-identical to the merged
+    index — term, boolean, phrase, prefix, keyword-field and stats."""
+    from lucene_go_ray.search import PhraseQuery
+
+    index_dir, _, raw, oracle = mf
+    merged = IndexSearcher(index_dir)
+    nrt_dir = str(tmp_path / "nrtidx")
+    src = os.path.join(sf_dir, "documents.parquet")
+    build_index([src], nrt_dir, CFG, merge=False)
+    s = IndexSearcher(nrt_dir)
+    assert s.nrt
+    band = sorted(
+        t for t, pl in oracle.postings.items() if 20 <= len(pl) <= 1000 and t
+    )
+    t1, t2 = band[0], band[-1]
+    val = str(raw["lang"].value_counts().index[-1])
+    queries = [
+        TermQuery(t1),
+        BooleanQuery.build(should=[t1, t2]),
+        BooleanQuery.build(must=[t1], must_not=[t2]),
+        PhraseQuery((t1, t2)),
+        PrefixQuery(t1[:2]),
+        TermQuery(val, field="lang"),
+        BooleanQuery.build(
+            must=[TermQuery(t1)], filter=[NumericRangeQuery("n_chars", 100, 400)]
+        ),
+    ]
+    for q in queries:
+        a = merged.search(q, 15)
+        b = s.search(q, 15)
+        assert a.doc_ids.tolist() == b.doc_ids.tolist(), q
+        assert a.scores.tolist() == b.scores.tolist(), q
+        assert a.total_hits == b.total_hits, q
+    assert s.term_statistics(t1) == merged.term_statistics(t1)
+    assert s.term_statistics(val, fld="lang") == merged.term_statistics(
+        val, fld="lang"
+    )
+    assert s.expand_terms("lang", "", "\U0010ffff") == merged.expand_terms(
+        "lang", "", "\U0010ffff"
+    )
