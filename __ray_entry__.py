@@ -368,6 +368,12 @@ def _multimodal_features(sf):
     return multimodal.multimodal_features(sf)
 
 
+def _curated_ids(sf):
+    from lucene_go_ray.pipelines import curate
+
+    return curate.curate(sf)
+
+
 def _window_counts(sf):
     from lucene_go_ray.pipelines import events
 
@@ -446,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": lambda sf: dedup.simhash_table(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
+        # --- end-to-end curation (filters -> dedup -> survivors) ---
+        "curated_ids": _curated_ids,
         # --- text analysis ---
         "token_counts": lambda sf: textstats.token_counts(sf),
         "text_quality": lambda sf: textstats.text_quality(sf),
@@ -570,6 +578,27 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
         "token_counts": f"""
 SELECT doc_id, len(string_split_regex(text, '{_WS}'))::BIGINT AS n_tokens
 FROM documents
+""",
+        "curated_ids": f"""
+WITH raw AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+         string_split_regex(text, '{_WS}') AS toks
+  FROM documents
+),
+flat AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ({qual_stops}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+  FROM flat GROUP BY doc_id
+),
+q AS (
+  SELECT r.doc_id, r.text
+  FROM raw r JOIN agg a USING (doc_id)
+  WHERE r.n_chars BETWEEN 50 AND 1000000
+    AND a.n_tokens >= 10
+    AND round(a.n_stop / a.n_tokens, 6) <= 0.6
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM q GROUP BY text
 """,
         "text_quality": f"""
 WITH raw AS (SELECT doc_id, length(text)::BIGINT AS n_chars,

@@ -100,3 +100,34 @@ def test_lsh_index_recall_at_sf01():
     buckets = _os.path.join(idx, "buckets")
     tables = [d for d in _os.listdir(buckets) if d.startswith("tbl=")]
     assert len(tables) == 12
+
+
+def test_curate_pipeline(sf_dir, tmp_path):
+    """Quality filters + exact dedup survivors match a local recompute;
+    the curated write is hive-partitioned (resumable layout)."""
+    from lucene_go_ray.index.config import IndexConfig
+    from lucene_go_ray.pipelines import curate
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    stops = set(IndexConfig().stop_words)
+
+    def ok(t):
+        toks = re.split("[" + GO_WHITESPACE_CHARS + "]", t)
+        low = [x.lower() for x in toks]
+        ratio = round(sum(1 for x in low if x in stops) / max(len(toks), 1), 6)
+        return 50 <= len(t) <= 10**6 and len(toks) >= 10 and ratio <= 0.6
+
+    survivors = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        if ok(t):
+            survivors.setdefault(t, int(i))
+    expected = sorted(min(v, survivors[k]) for k, v in survivors.items())
+    out = str(tmp_path / "curated")
+    ids = curate.curate(sf_dir, out).to_pandas()["doc_id"].astype(int)
+    assert sorted(ids.tolist()) == expected
+    parts = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert len(parts) >= 2  # partitioned output, not one giant file
+    back = pq.read_table(out).to_pandas()
+    assert sorted(back["doc_id"].astype(int).tolist()) == expected
