@@ -118,7 +118,18 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("simhash", lambda: dedup.simhash_table(sf_dir).count())
     timed("text_quality", lambda: textstats.text_quality(sf_dir).count())
+    timed(
+        "jaccard_pairs",
+        lambda: dedup.jaccard_ngram_pairs(sf_dir, threshold=0.5).count(),
+    )
     timed("ann_cosine", lambda: ann.brute_force_topk(sf_dir, k=10))
+    timed(
+        "ann_lsh_build_probe",
+        lambda: ann.lsh_bucketed_topk(sf_dir, k=10),
+    )
+    from lucene_go_ray.pipelines import curate
+
+    timed("curate", lambda: curate.curate(sf_dir).count())
 
     total = round(sum(results.values()), 3)
     out = {

@@ -51,6 +51,9 @@ def cmd_build(args) -> int:
         salt_group_partitions=args.salt_group_partitions,
         merge_buckets=args.merge_buckets,
         index_positions=not args.no_positions,
+        index_offsets=args.offsets,
+        keyword_fields=tuple(args.keyword_fields or ()),
+        docvalue_fields=tuple(args.docvalue_fields or ()),
     )
     manifest = build_index(paths, args.index, cfg, merge=not args.no_merge)
     print(
@@ -60,6 +63,36 @@ def cmd_build(args) -> int:
                 "partitions": len(manifest.partitions),
                 "max_doc": manifest.max_doc,
                 "merged": manifest.merged,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_delete(args) -> int:
+    _ensure_ray()
+    from .index.deletes import delete_by_term
+
+    n = delete_by_term(args.index, args.term, fld=args.field)
+    print(json.dumps({"deleted": n, "term": args.term, "field": args.field}))
+    return 0
+
+
+def cmd_add(args) -> int:
+    _ensure_ray()
+    from .index.build import add_documents
+
+    paths = sorted(p for pat in args.input for p in glob.glob(pat))
+    if not paths:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    manifest = add_documents(args.index, paths)
+    print(
+        json.dumps(
+            {
+                "index": args.index,
+                "partitions": len(manifest.partitions),
+                "max_doc": manifest.max_doc,
             }
         )
     )
@@ -123,10 +156,30 @@ def main(argv=None) -> int:
     b.add_argument("--salt-group-partitions", type=int, default=8)
     b.add_argument("--merge-buckets", type=int, default=32)
     b.add_argument("--no-positions", action="store_true")
-    b.add_argument("--no-merge", action="store_true")
+    b.add_argument("--no-merge", action="store_true",
+                   help="commit segments only (searchable via the NRT reader)")
+    b.add_argument("--offsets", action="store_true",
+                   help="store the per-occurrence byte-offset stream")
+    b.add_argument("--keyword-fields", nargs="*", default=[],
+                   help="columns indexed verbatim under (field, term) keys")
+    b.add_argument("--docvalue-fields", nargs="*", default=[],
+                   help="numeric columns stored for NumericRangeQuery")
     b.add_argument("--cluster", action="store_true",
                    help="ray.init(address='auto') instead of local")
     b.set_defaults(fn=cmd_build)
+
+    d = sub.add_parser("delete", help="tombstone docs matching a term")
+    d.add_argument("--index", required=True)
+    d.add_argument("--term", required=True)
+    d.add_argument("--field", default=None)
+    d.add_argument("--cluster", action="store_true")
+    d.set_defaults(fn=cmd_delete)
+
+    a = sub.add_parser("add", help="append documents to an existing index")
+    a.add_argument("--input", nargs="+", required=True, help="parquet globs")
+    a.add_argument("--index", required=True)
+    a.add_argument("--cluster", action="store_true")
+    a.set_defaults(fn=cmd_add)
 
     s = sub.add_parser("search", help="one query against a built index")
     s.add_argument("--index", required=True)
@@ -135,7 +188,8 @@ def main(argv=None) -> int:
         default="term",
         choices=["term", "bool_and", "bool_or", "bool_not", "phrase",
                  "prefix", "term_range", "term_set", "dismax", "constant",
-                 "range_filter", "match_all"],
+                 "range_filter", "match_all", "field_term", "field_mixed",
+                 "numeric_range"],
     )
     s.add_argument("--clauses", nargs="*", default=[])
     s.add_argument("--k", type=int, default=10)
