@@ -268,6 +268,127 @@ class StandardAnalyzer:
 
 
 @dataclass(frozen=True)
+class LengthFilter:
+    """Drop tokens outside [min_len, max_len] codepoints — the reference
+    analysis-module LengthFilter (FilteringTokenFilter subclass: dropped
+    tokens accumulate position increments like stopwords)."""
+
+    min_len: int = 1
+    max_len: int = 255
+
+    def keep(self, term: str) -> bool:
+        return self.min_len <= len(term) <= self.max_len
+
+
+@dataclass(frozen=True)
+class ASCIIFoldingFilter:
+    """Fold Latin diacritics to ASCII (NFKD strip) — the public
+    ASCIIFoldingFilter behavior for the Latin ranges."""
+
+    def map(self, term: str) -> str:
+        import unicodedata
+
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFKD", term)
+            if not unicodedata.combining(c)
+        )
+
+
+@dataclass(frozen=True)
+class CustomAnalyzer:
+    """Composable tokenizer + filter chain — the Analyzer/
+    ComponentsBuilder.CreateComponents extension surface
+    (/root/reference/core/analysis/analyzer.go:66-68): map filters rewrite
+    terms, keep filters drop them with stopword-style position
+    accumulation (filteringtokenfilter.go:37-66). The chain runs in
+    declaration order, mirroring TokenFilter decorator nesting.
+
+    ``map_filters``: objects with ``map(term) -> term``;
+    ``keep_filters``: objects with ``keep(term) -> bool``.
+    """
+
+    lowercase: bool = True
+    stop_words: frozenset = frozenset()
+    map_filters: tuple = ()
+    keep_filters: tuple = ()
+
+    def analyze(self, text: str) -> AnalyzedDoc:
+        raw = _SPLIT_RE.split(text)
+        terms, positions = [], []
+        for i, tok in enumerate(raw):
+            term = tok.lower() if self.lowercase else tok
+            for f in self.map_filters:
+                term = f.map(term)
+            if term in self.stop_words:
+                continue
+            if any(not f.keep(term) for f in self.keep_filters):
+                continue
+            terms.append(term)
+            positions.append(i)
+        n = len(terms)
+        return AnalyzedDoc(
+            terms=terms,
+            positions=np.asarray(positions, dtype=np.int32),
+            starts=np.zeros(n, np.int32),
+            ends=np.zeros(n, np.int32),
+            length=n,
+            norm=n,
+        )
+
+    def analyze_column(self, texts: pa.Array | pa.ChunkedArray) -> dict:
+        """Vectorized chain: arrow split/lower, then per-UNIQUE-term filter
+        evaluation (the dictionary trick: filters run once per distinct
+        term, not once per token occurrence)."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        if n_docs == 0:
+            return {
+                "doc_idx": np.empty(0, np.int32),
+                "terms": pa.array([], type=pa.large_string()),
+                "positions": np.empty(0, np.int32),
+                "norms": np.zeros(0, np.int64),
+            }
+        texts = pc.fill_null(texts.cast(pa.large_string()), "")
+        toks = pc.split_pattern_regex(texts, GO_WHITESPACE_CLASS)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        flat = pc.list_flatten(toks)
+        if self.lowercase:
+            flat = pc.utf8_lower(flat)
+        total = len(flat)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+        positions = (
+            np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        ).astype(np.int32)
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary.to_pylist()
+        mapped, kept = [], np.ones(len(vocab), dtype=bool)
+        for vi, term in enumerate(vocab):
+            for f in self.map_filters:
+                term = f.map(term)
+            mapped.append(term)
+            if term in self.stop_words or any(
+                not f.keep(term) for f in self.keep_filters
+            ):
+                kept[vi] = False
+        keep = kept[codes]
+        doc_idx = doc_idx[keep]
+        positions = positions[keep]
+        terms = pa.array(
+            [mapped[c] for c in codes[keep]], type=pa.large_string()
+        )
+        return {
+            "doc_idx": doc_idx,
+            "terms": terms,
+            "positions": positions,
+            "norms": np.bincount(doc_idx, minlength=n_docs).astype(np.int64),
+        }
+
+
+@dataclass(frozen=True)
 class WhitespaceAnalyzer(StandardAnalyzer):
     """Tokenizer only — no lowercase, no stopwords (the reference
     WhitespaceTokenizer, `analysis/common/analysis/core/whitespacetokenizer.go`,

@@ -30,7 +30,8 @@ class IndexConfig:
         )
     )
     lowercase: bool = True
-    # --- BM25 (reference defaults, similaritybm25.go:68-75) ---
+    # --- scoring (reference defaults, similaritybm25.go:68-75) ---
+    similarity: str = "bm25"  # search.scorer.SIMILARITIES registry key
     k1: float = 1.2
     b: float = 0.75
     # --- physical layout ---

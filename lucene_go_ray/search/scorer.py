@@ -70,3 +70,65 @@ class BM25Scorer:
         CompetitiveImpactAccumulator frontier
         (/root/reference/core/index/competitiveimpactaccumulator.go:88-132)."""
         return self.score(weight, max_freq.astype(np.float64), min_norm8)
+
+
+class ClassicSimilarity:
+    """TF-IDF ClassicSimilarity (the reference's pluggable Similarity
+    surface, /root/reference/core/interface/index/similarity.go; formula
+    from the public Lucene ClassicSimilarity):
+
+        idf    = 1 + ln(docCount / (df + 1))
+        tf     = sqrt(freq)
+        norm   = 1 / sqrt(length)        (length via the same raw-count
+                                          & 0xFF convention as BM25 here)
+        score  = boost * idf^2 * tf * norm
+
+    Same Scorer interface as BM25Scorer (weight/score/max_block_score), so
+    every query path — including block-max pruning, whose bound is
+    monotone increasing in freq and decreasing in wrapped length — works
+    unchanged under either similarity."""
+
+    def __init__(
+        self,
+        doc_count: int,
+        sum_total_term_freq: int,
+        k1: float = 1.2,  # accepted for interface parity; unused
+        b: float = 0.75,
+    ):
+        self.doc_count = doc_count
+        self.avgdl = (
+            float(sum_total_term_freq) / float(doc_count) if doc_count else 0.0
+        )
+        with np.errstate(divide="ignore"):
+            self.cache = 1.0 / np.sqrt(np.maximum(LENGTH_TABLE, 1.0))
+
+    def weight(self, doc_freq: int, boost: float = 1.0) -> float:
+        i = 1.0 + math.log(float(self.doc_count) / (float(doc_freq) + 1.0)) \
+            if self.doc_count else 0.0
+        return boost * i * i
+
+    def score(
+        self, weight: float, freqs: np.ndarray, norms8: np.ndarray
+    ) -> np.ndarray:
+        return weight * np.sqrt(freqs.astype(np.float64)) * self.cache[norms8]
+
+    def max_block_score(
+        self, weight: float, max_freq: np.ndarray, min_norm8: np.ndarray
+    ) -> np.ndarray:
+        return self.score(weight, max_freq.astype(np.float64), min_norm8)
+
+
+SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicSimilarity}
+
+
+def make_scorer(
+    name: str, doc_count: int, sum_total_term_freq: int, k1: float, b: float
+):
+    """Similarity registry (IndexWriterConfig.SetSimilarity analogue)."""
+    try:
+        cls = SIMILARITIES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown similarity {name!r}; known: {sorted(SIMILARITIES)}"
+        ) from None
+    return cls(doc_count, sum_total_term_freq, k1=k1, b=b)

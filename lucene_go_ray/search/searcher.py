@@ -66,7 +66,7 @@ from .query import (
     TermQuery,
     TermRangeQuery,
 )
-from .scorer import BM25Scorer, idf
+from .scorer import BM25Scorer, idf, make_scorer
 
 
 # Postings volume below which exhaustive evaluation beats block-max WAND.
@@ -272,19 +272,22 @@ class IndexSearcher:
         # CollectionStatistics (doc_count, avgdl) exactly as
         # indexsearcher.go:438-481 computes them per field name
         self.default_field = self.cfg.text_column
-        self.scorer = BM25Scorer(
+        sim = getattr(self.cfg, "similarity", "bm25")
+        self.scorer = make_scorer(
+            sim,
             self.stats["doc_count"],
             self.stats["sum_total_term_freq"],
-            k1=self.cfg.k1,
-            b=self.cfg.b,
+            self.cfg.k1,
+            self.cfg.b,
         )
         self._scorers = {self.default_field: self.scorer}
         for f_name, fs in self.stats.get("field_stats", {}).items():
-            self._scorers[f_name] = BM25Scorer(
+            self._scorers[f_name] = make_scorer(
+                sim,
                 fs["doc_count"],
                 fs["sum_total_term_freq"],
-                k1=self.cfg.k1,
-                b=self.cfg.b,
+                self.cfg.k1,
+                self.cfg.b,
             )
         self.postings = (
             None if self.nrt else _RangeIndex(os.path.join(gdir, "postings"))
@@ -318,7 +321,10 @@ class IndexSearcher:
         f_name = fld or self.default_field
         s = self._scorers.get(f_name)
         if s is None:  # unindexed field: empty stats => zero scores
-            s = BM25Scorer(0, 0, k1=self.cfg.k1, b=self.cfg.b)
+            s = make_scorer(
+                getattr(self.cfg, "similarity", "bm25"),
+                0, 0, self.cfg.k1, self.cfg.b,
+            )
             self._scorers[f_name] = s
         return s
 
@@ -815,8 +821,9 @@ class IndexSearcher:
             return self._eval(q.query, boost * q.boost, need_scores)
         if isinstance(q, MatchAllDocsQuery):
             lo, hi = self._doc_range or (0, self.manifest.max_doc - 1)
-            docs = np.arange(max(0, lo), min(self.manifest.max_doc, hi + 1),
-                             dtype=np.int64)
+            lo, hi = max(0, lo), min(self.manifest.max_doc - 1, hi)
+            _check_dense_range(hi - lo + 1)
+            docs = np.arange(lo, hi + 1, dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, ConstantScoreQuery):
             ev = self._eval(q.query, 0.0, False)
@@ -831,6 +838,7 @@ class IndexSearcher:
             rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
             lo = max(0, int(q.lo), rlo)
             hi = min(self.manifest.max_doc - 1, int(q.hi), rhi)
+            _check_dense_range(hi - lo + 1)
             docs = np.arange(lo, max(lo, hi + 1), dtype=np.int64)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, TermInSetQuery):
@@ -1586,6 +1594,22 @@ class SearcherActor:
                 "doc_id": pa.array(np.concatenate(docs).astype(np.int64)),
                 "score": pa.array(np.concatenate(scores).astype(np.float64)),
             }
+        )
+
+
+# Largest dense docID range a single evaluation may materialize (1 GiB of
+# int64). MatchAll / DocIdRange over a 10^12-doc index would allocate TBs
+# on one process — at that scale the query must run through search_sharded
+# (each shard materializes only its doc range).
+_MAX_DENSE_DOCS = 128 * 1024 * 1024
+
+
+def _check_dense_range(n: int) -> None:
+    if n > _MAX_DENSE_DOCS:
+        raise ValueError(
+            f"dense docID range of {n} docs exceeds the single-process cap "
+            f"({_MAX_DENSE_DOCS}); evaluate via search_sharded so each shard "
+            "materializes only its own doc range"
         )
 
 

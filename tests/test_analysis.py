@@ -118,3 +118,32 @@ def test_keyword_analyzer():
 def test_default_stop_words_is_classic_lucene():
     assert "the" in DEFAULT_STOP_WORDS and "with" in DEFAULT_STOP_WORDS
     assert len(DEFAULT_STOP_WORDS) == 33
+
+
+def test_custom_analyzer_chain():
+    """Composable tokenizer+filter chain: map filters rewrite, keep filters
+    drop with position accumulation; vectorized path == row path."""
+    import pyarrow as pa
+
+    from lucene_go_ray.analysis.analyzer import (
+        ASCIIFoldingFilter,
+        CustomAnalyzer,
+        LengthFilter,
+    )
+
+    an = CustomAnalyzer(
+        lowercase=True,
+        stop_words=frozenset({"the"}),
+        map_filters=(ASCIIFoldingFilter(),),
+        keep_filters=(LengthFilter(min_len=2, max_len=8),),
+    )
+    d = an.analyze("The Café e RÉSUMÉ extraordinarily x yz")
+    assert d.terms == ["cafe", "resume", "yz"]
+    # positions keep full-stream indexes (dropped tokens accumulate)
+    assert d.positions.tolist() == [1, 3, 6]
+    out = an.analyze_column(
+        pa.array(["The Café e RÉSUMÉ extraordinarily x yz", None, "ab the"])
+    )
+    assert out["terms"].to_pylist() == ["cafe", "resume", "yz", "ab"]
+    assert out["doc_idx"].tolist() == [0, 0, 0, 2]
+    assert out["norms"].tolist() == [3, 0, 1]

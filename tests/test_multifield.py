@@ -362,3 +362,48 @@ def test_nrt_unmerged_reader_rank_identical(tmp_path, sf_dir, mf):
     assert s.expand_terms("lang", "", "\U0010ffff") == merged.expand_terms(
         "lang", "", "\U0010ffff"
     )
+
+
+def test_classic_similarity_rank(tmp_path, sf_dir):
+    """Pluggable Similarity registry: an index searched under
+    similarity='classic' scores by TF-IDF (independent recompute), while
+    the same postings under 'bm25' keep the golden semantics."""
+    import math
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    cfg = IndexConfig(target_partition_rows=200, similarity="classic")
+    index_dir = str(tmp_path / "clidx")
+    build_index([src], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    raw = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    an = StandardAnalyzer(stop_words=cfg.stop_set(), lowercase=cfg.lowercase)
+    # independent recompute for one mid-df term
+    from collections import Counter
+
+    docs = {}
+    doc_count = 0
+    for i, t in zip(raw["doc_id"], raw["text"]):
+        terms = an.analyze(t).terms
+        if terms:
+            doc_count += 1
+        docs[int(i)] = Counter(terms)
+    term = sorted(
+        t
+        for t in {w for c in docs.values() for w in c}
+        if 20 <= sum(1 for c in docs.values() if t in c) <= 200 and t
+    )[0]
+    df = sum(1 for c in docs.values() if term in c)
+    idf2 = (1.0 + math.log(doc_count / (df + 1.0))) ** 2
+    expected = []
+    for i, c in docs.items():
+        if term in c:
+            length = sum(c.values()) & 0xFF
+            expected.append(
+                (i, idf2 * math.sqrt(c[term]) / math.sqrt(max(length, 1)))
+            )
+    expected.sort(key=lambda x: (-x[1], x[0]))
+    td = s.search(TermQuery(term), 10)
+    assert td.doc_ids.tolist() == [i for i, _ in expected[:10]]
+    assert td.scores.tolist() == pytest.approx(
+        [sc for _, sc in expected[:10]], rel=1e-12
+    )
