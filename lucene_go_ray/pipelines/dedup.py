@@ -54,6 +54,54 @@ def _token_hashes(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return h, counts
 
 
+def pair_groupby(
+    ds,
+    reduce_fn,
+    *,
+    value_cols: tuple = (),
+    num_buckets: int = 64,
+):
+    """Vectorized (a, b)-keyed aggregation: hash-bucket the pair key into
+    ONE int32 column, then reduce each bucket's pairs in a single numpy
+    pass (lexsort + run-length). Replaces ``groupby(["a","b"])`` — Ray
+    Data's multi-column aggregate was measured at 206 s for 1.5M rows vs
+    ~2 s for this shape. ``reduce_fn(a, b, starts, sizes, values)`` gets
+    the bucket's pairs sorted by (a, b) with group run boundaries and must
+    return a pa.Table."""
+    import pyarrow as _pa
+
+    def _bucketed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hb = _mix(a * np.uint64(0x9E3779B97F4A7C15) ^ b, np.uint64(3))
+        return batch.append_column(
+            "pair_bucket",
+            _pa.array((hb % np.uint64(num_buckets)).astype(np.int32)),
+        )
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), dtype=bool)
+        if len(a):
+            new[0] = True
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(a)))
+        values = {
+            c: group[c].to_numpy(zero_copy_only=False)[order]
+            for c in value_cols
+        }
+        return reduce_fn(a[starts], b[starts], starts, sizes, values)
+
+    return ds.map_batches(_bucketed, batch_format="pyarrow").groupby(
+        "pair_bucket"
+    ).map_groups(_reduce, batch_format="pyarrow")
+
+
 def _mix(h: np.ndarray, seed: np.uint64) -> np.ndarray:
     """splitmix64 finalizer with seed — cheap family of independent hashes."""
     with np.errstate(over="ignore"):
@@ -277,12 +325,22 @@ def minhash_lsh_pairs(
         .groupby("band_bucket")
         .map_groups(_pairs, batch_format="pyarrow")
     )
-    # same pair can surface from several bands — dedup
-    from ray.data.aggregate import Max
+    # same pair can surface from several bands — dedup (vectorized pair
+    # reduction; the estimates are identical across bands so max==first)
+    def _max_reduce(a, b, starts, sizes, values):
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "jaccard_est": pa.array(
+                    np.maximum.reduceat(values["jaccard_est"], starts)
+                    if len(starts)
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
 
-    return pairs.groupby(["a", "b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est")
-    )
+    return pair_groupby(pairs, _max_reduce, value_cols=("jaccard_est",))
 
 
 def simhash_table(sf_dir: str, key: str = "doc_id", text: str = "text"):
@@ -311,6 +369,7 @@ def jaccard_ngram_pairs(
     threshold: float = 0.5,
     max_shingle_df: int = 256,
     join_partitions: int = 8,
+    pair_buckets: int = 64,
 ):
     """Exact token-k-gram Jaccard near-dup pairs via a shingle inverted join.
 
@@ -365,38 +424,74 @@ def jaccard_ngram_pairs(
         if not out_doc:
             return pa.table(
                 {key: pa.array([], type=pa.int64()),
-                 "shingle": pa.array([], type=pa.large_string())}
+                 "shingle": pa.array([], type=pa.large_string()),
+                 "sh_bucket": pa.array([], type=pa.int32())}
             )
+        flat_sh = pa.array(
+            np.concatenate(out_sh).tolist(), type=pa.large_string()
+        )
+        import zlib as _zlib
+
+        bucket = np.fromiter(
+            (_zlib.crc32(x.encode()) % pair_buckets for x in flat_sh.to_pylist()),
+            dtype=np.int32,
+            count=len(flat_sh),
+        )
         return pa.table(
             {
                 key: pa.array(np.concatenate(out_doc)),
-                "shingle": pa.array(
-                    np.concatenate(out_sh).tolist(), type=pa.large_string()
-                ),
+                "shingle": flat_sh,
+                "sh_bucket": pa.array(bucket),
             }
         )
 
-    def _pairs_and_sizes(group: pa.Table) -> pa.Table:
-        """One shingle group -> pair rows (a, b) plus per-doc size
-        contributions encoded as (doc, -1); groups over the df cap emit
+    def _bucket_pairs_and_sizes(group: pa.Table) -> pa.Table:
+        """One HASH BUCKET of shingles -> pair rows (a, b) plus per-doc
+        size contributions encoded as (doc, -1), fully vectorized over all
+        of the bucket's shingle groups (one python call per bucket, not
+        per shingle — a corpus has ~1M distinct shingles but only
+        ``pair_buckets`` buckets). Shingle groups over the df cap emit
         nothing at all (dropped from the shingle space)."""
-        docs = np.unique(group[key].to_numpy(zero_copy_only=False))
         empty = pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
         )
-        if len(docs) > max_shingle_df:
+        if group.num_rows == 0:
             return empty
-        size_rows = pa.table(
+        sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
+        docs = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, code = np.unique(sh, return_inverse=True)
+        order = np.lexsort((docs, code))
+        code, docs = code[order], docs[order]
+        new = np.empty(len(code), dtype=bool)
+        new[0] = True
+        new[1:] = code[1:] != code[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(code)))
+        keep_g = sizes <= max_shingle_df
+        out_a = [np.empty(0, np.int64)]
+        out_b = [np.empty(0, np.int64)]
+        # size contributions: one (doc, -1) row per kept (shingle, doc)
+        kept_tok = np.repeat(keep_g, sizes)
+        kept_docs = docs[kept_tok]
+        out_a.append(kept_docs)
+        out_b.append(np.full(len(kept_docs), -1, dtype=np.int64))
+        # pair rows, vectorized per distinct group SIZE: all kept groups of
+        # size s form an (n_s, s) matrix; pairs come from one triu gather
+        ks, kst = sizes[keep_g], starts[keep_g]
+        for s in np.unique(ks):
+            if s < 2:
+                continue
+            rows = kst[ks == s]
+            mat = docs[rows[:, None] + np.arange(s)[None, :]]
+            ai, bi = np.triu_indices(int(s), 1)
+            out_a.append(mat[:, ai].ravel())
+            out_b.append(mat[:, bi].ravel())
+        return pa.table(
             {
-                "a": pa.array(docs),
-                "b": pa.array(np.full(len(docs), -1, dtype=np.int64)),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
             }
         )
-        if len(docs) < 2:
-            return size_rows
-        ai, bi = np.triu_indices(len(docs), 1)
-        pair_rows = pa.table({"a": pa.array(docs[ai]), "b": pa.array(docs[bi])})
-        return pa.concat_tables([pair_rows, size_rows])
 
     sh = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
@@ -407,13 +502,21 @@ def jaccard_ngram_pairs(
     # orders of magnitude smaller than the raw shingle stream — is
     # materialized because two join inputs branch from it (Ray re-executes
     # shared lineage per consumer otherwise).
-    agg = (
-        sh.groupby("shingle")
-        .map_groups(_pairs_and_sizes, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="cnt"))
-        .materialize()
-    )
+    def _count_reduce(a, b, starts, sizes, values):
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "cnt": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    agg = pair_groupby(
+        sh.groupby("sh_bucket").map_groups(
+            _bucket_pairs_and_sizes, batch_format="pyarrow"
+        ),
+        _count_reduce,
+    ).materialize()
     inter = agg.filter(expr="b >= 0").rename_columns({"cnt": "inter"})
     sizes = (
         agg.filter(expr="b < 0")
