@@ -31,7 +31,6 @@ def _events_path(sf_dir: str) -> str:
 def tumbling_window_counts(sf_dir: str, window_seconds: int = 3600):
     """(user_id, window_start [epoch seconds], n_events, sum_value)."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     win_us = window_seconds * _US_PER_SEC
 
@@ -60,13 +59,35 @@ def tumbling_window_counts(sf_dir: str, window_seconds: int = 3600):
     ds = ray.data.read_parquet(
         _events_path(sf_dir), columns=["ts", "user_id", "value"]
     )
-    out = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
+    # final combine over partial rows via the vectorized pair-keyed
+    # reduction (dedup.pair_groupby) — Ray's multi-column groupby
+    # aggregate measured 20x slower on the same row counts
+    from .dedup import pair_groupby
+
+    def _reduce(a, b, starts, sizes, values):
+        return pa.table(
+            {
+                "user_id": pa.array(a),
+                "window_start": pa.array(b),
+                "n_events": pa.array(
+                    np.add.reduceat(values["n_events"], starts)
+                    if len(starts)
+                    else np.empty(0, np.int64)
+                ),
+                "sum_value": pa.array(
+                    np.add.reduceat(values["sum_value"], starts)
+                    if len(starts)
+                    else np.empty(0, np.float64)
+                ),
+            }
         )
+
+    out = pair_groupby(
+        ds.map_batches(_partial, batch_format="pyarrow").rename_columns(
+            {"user_id": "a", "window_start": "b"}
+        ),
+        _reduce,
+        value_cols=("n_events", "sum_value"),
     )
 
     def _round(batch: pa.Table) -> pa.Table:
