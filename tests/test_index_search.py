@@ -154,12 +154,21 @@ def test_match_all(built):
     _assert_rank_identical(s.search(MatchAllDocsQuery(), 20), exp, total)
 
 
-def test_pruned_equals_exhaustive(built, monkeypatch):
-    """Force the WAND interval body to actually run (the adaptive engage
-    threshold would otherwise bypass it for test-sized corpora)."""
+def _force_wand(monkeypatch):
+    """Disable every adaptive engage guard so the pruned body runs on
+    test-sized corpora (threshold, UB-spread, k-gate, bail-out)."""
     import lucene_go_ray.search.searcher as searcher_mod
 
     monkeypatch.setattr(searcher_mod, "WAND_MIN_POSTINGS", 0)
+    monkeypatch.setattr(searcher_mod, "WAND_MIN_UB_SPREAD", 0.0)
+    monkeypatch.setattr(searcher_mod, "WAND_MAX_K", 10**9)
+    monkeypatch.setattr(searcher_mod, "WAND_BAIL_FACTOR", 10**9)
+
+
+def test_pruned_equals_exhaustive(built, monkeypatch):
+    """Force the WAND interval body to actually run (the adaptive engage
+    guards would otherwise bypass it for test-sized corpora)."""
+    _force_wand(monkeypatch)
     index_dir, _, oracle, _ = built
     s = IndexSearcher(index_dir)
     hot = _common_terms(oracle, 50, 10**9)[:3]
@@ -191,6 +200,7 @@ def test_pruned_equals_exhaustive(built, monkeypatch):
     stats = s.last_prune_stats
     assert stats["mode"] == "and"
     assert stats["blocks_total"] > 0
+    assert stats["intervals_visited"] > 0  # the pruned body really ran
     assert stats["blocks_touched"] + stats["blocks_skipped"] == stats["blocks_total"]
 
 
@@ -226,9 +236,7 @@ def test_pruned_tie_heavy_rank_identical(tmp_path, monkeypatch):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import lucene_go_ray.search.searcher as searcher_mod
-
-    monkeypatch.setattr(searcher_mod, "WAND_MIN_POSTINGS", 0)
+    _force_wand(monkeypatch)
 
     n = 400
     # every doc: "alpha beta" (identical freq/norm => identical scores);
@@ -270,6 +278,7 @@ def test_pruned_tie_heavy_rank_identical(tmp_path, monkeypatch):
             _assert_rank_identical(a, exp, total)
             assert a.doc_ids.tolist() == b.doc_ids.tolist(), (q, k)
             assert a.scores.tolist() == b.scores.tolist(), (q, k)
+    assert s.last_prune_stats["intervals_visited"] > 0  # body really ran
 
 
 def test_lookup_keys(built):
