@@ -118,6 +118,17 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Matches docs that HAVE the field (reference
+    DocValuesFieldExistsQuery, skeletal there; Lucene semantics:
+    constant-score over docs with a value). Evaluated from the doc-values
+    validity mask for docvalue fields, else as the union of the field's
+    postings (keyword / analyzed fields)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
 class NumericRangeQuery(Query):
     """Matches docs whose doc-values field lies in [lo, hi] (inclusive,
     null never matches) — the value-backed PointRangeQuery

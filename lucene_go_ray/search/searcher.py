@@ -52,6 +52,7 @@ from ..index.manifest import load_manifest
 from ..index.merge import term_buckets
 from .query import (
     BooleanQuery,
+    FieldExistsQuery,
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -833,6 +834,17 @@ class IndexSearcher:
             )
         if isinstance(q, NumericRangeQuery):
             docs = self._numeric_range_docs(q.field, int(q.lo), int(q.hi))
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, FieldExistsQuery):
+            if q.field in tuple(self.cfg.docvalue_fields):
+                # full-range zone scan = the validity mask itself
+                docs = self._numeric_range_docs(
+                    q.field, -(2**62), 2**62
+                )
+            else:
+                terms = self.expand_terms(q.field, "", "\U0010ffff")
+                ev = self._eval_term_union(terms, q.field, 0.0, False)
+                docs = ev.docs
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, DocIdRangeQuery):
             rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)

@@ -407,3 +407,42 @@ def test_classic_similarity_rank(tmp_path, sf_dir):
     assert td.scores.tolist() == pytest.approx(
         [sc for _, sc in expected[:10]], rel=1e-12
     )
+
+
+def test_field_exists_query(tmp_path):
+    """FieldExistsQuery (DocValuesFieldExistsQuery semantics): docs with
+    nulls in keyword / doc-values columns are excluded."""
+    from lucene_go_ray.search import FieldExistsQuery
+
+    n = 120
+    langs = [None if i % 3 == 0 else ("en" if i % 2 else "fr") for i in range(n)]
+    nchars = [None if i % 5 == 0 else 100 + i for i in range(n)]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array([f"alpha doc number {i}" for i in range(n)]),
+                "lang": pa.array(langs, type=pa.string()),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array(nchars, type=pa.int64()),
+            }
+        ),
+        str(src),
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index([str(src)], index_dir, CFG)
+    s = IndexSearcher(index_dir)
+    have_lang = [i for i in range(n) if langs[i] is not None]
+    have_nc = [i for i in range(n) if nchars[i] is not None]
+    td = s.search(FieldExistsQuery("lang"), n)
+    assert td.doc_ids.tolist() == have_lang
+    td = s.search(FieldExistsQuery("n_chars"), n)
+    assert td.doc_ids.tolist() == have_nc
+    # as a FILTER on a scored text query
+    q = BooleanQuery.build(
+        must=[TermQuery("alpha")], filter=[FieldExistsQuery("lang")]
+    )
+    td = s.search(q, n)
+    assert td.doc_ids.tolist() == have_lang  # all docs match 'alpha'
+    assert s.count(FieldExistsQuery("nosuchfield")) == 0
