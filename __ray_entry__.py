@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(sf),
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash": lambda sf: dedup.simhash_table(sf),
+        "simhash_pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
         # --- end-to-end curation (filters -> dedup -> survivors) ---

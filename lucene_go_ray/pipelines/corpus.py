@@ -135,6 +135,49 @@ def _make_shard(rng, vocab, probs, base: int, n: int) -> pa.Table:
     )
 
 
+def sort_corpus(
+    input_paths: list[str],
+    out_dir: str,
+    by: str,
+    *,
+    descending: bool = False,
+    row_group_rows: int = 5_000,
+) -> list[str]:
+    """Index-sorting pre-pass (the reference's IndexWriterConfig.SetIndexSort
+    surface, /root/reference/core/index/indexsorter.go:47-117, re-expressed
+    Ray-Data-first): a distributed ``Dataset.sort`` over the corpus written
+    back as numbered parquet shards. Building an index over the output
+    assigns docIDs in sort-key order (docBase prefix-sum over the sorted
+    shards), which is exactly what segment-sorting buys Lucene — early
+    termination on sorted fields and better posting-delta locality."""
+    import ray.data
+
+    ds = ray.data.read_parquet(input_paths).sort(by, descending=descending)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(
+        out_dir,
+        min_rows_per_file=row_group_rows,
+        row_group_size=row_group_rows,
+        filename_provider=_NumberedFilenames(),
+    )
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+
+class _NumberedFilenames:
+    """Zero-padded, task-ordered filenames so lexicographic file order ==
+    sort order (plan_partitions sorts paths; docBases then follow the
+    corpus sort key)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        # write_uuid suffix (required by Ray's overwrite guard) sits AFTER
+        # the numeric prefix, so lexicographic order is still task order
+        return f"sorted-{task_index:06d}-{block_index:06d}-{write_uuid}.parquet"
+
+
 def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized extraction inverse of the html wrapper (zero Python rows).
 

@@ -361,6 +361,101 @@ def simhash_table(sf_dir: str, key: str = "doc_id", text: str = "text"):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def simhash_hamming_pairs(
+    sf_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    max_distance: int = 3,
+    shingle_k: int = 2,
+):
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_distance``
+    (a < b), via the classic pigeonhole banding (Manku et al. '07): split
+    the 64-bit fingerprint into ``max_distance + 1`` bands — two prints
+    within distance d must agree EXACTLY on at least one band — group by
+    (band, band_bits), verify candidates with a vectorized popcount, and
+    dedup pairs that surface from several bands. Exchange volume is one
+    (band_key, key, simhash) row per band per doc; no all-pairs scan."""
+    import os
+
+    import ray.data
+
+    bands = max_distance + 1
+    width = 64 // bands
+    masks = [(np.uint64((1 << width) - 1) << np.uint64(i * width)) for i in range(bands)]
+
+    def _bandrows(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch[text], shingle_k=shingle_k)
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        out_bucket = np.empty(n * bands, dtype=np.int64)
+        for bi in range(bands):
+            bits = (sh & masks[bi]) >> np.uint64(bi * width)
+            out_bucket[bi::bands] = (
+                (np.uint64(bi) << np.uint64(58)) ^ bits
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "band_bucket": pa.array(out_bucket),
+                key: pa.array(np.repeat(keys, bands)),
+                "simhash": pa.array(np.repeat(sh.astype(np.int64), bands)),
+            }
+        )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "distance": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        keys = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ai, bi = np.triu_indices(n, 1)
+        x = sh[ai] ^ sh[bi]
+        # vectorized popcount over the 8 bytes of each xor
+        d = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        mask = (d <= max_distance) & (keys[ai] != keys[bi])
+        if not mask.any():
+            return empty
+        ka, kb = keys[ai[mask]], keys[bi[mask]]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(ka, kb)),
+                "b": pa.array(np.maximum(ka, kb)),
+                "distance": pa.array(d[mask]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    pairs = (
+        ds.map_batches(_bandrows, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(_verify, batch_format="pyarrow")
+    )
+
+    def _min_reduce(a, b, starts, sizes, values):
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "distance": pa.array(
+                    np.minimum.reduceat(values["distance"], starts)
+                    if len(starts)
+                    else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return pair_groupby(pairs, _min_reduce, value_cols=("distance",))
+
+
 def jaccard_ngram_pairs(
     sf_dir: str,
     key: str = "doc_id",

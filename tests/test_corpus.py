@@ -52,3 +52,32 @@ def test_invariant_check_catches_corruption(tmp_path):
 
     with pytest.raises(Exception):
         corpus.check_extraction_invariant(paths)
+
+
+def test_sort_corpus_index_sorting(tmp_path, sf_dir):
+    """Index-sorting pre-pass: docIDs of an index built over the sorted
+    corpus follow the sort key (IndexSorter semantics, Dataset-first)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_go_ray.index import IndexConfig, build_index
+    from lucene_go_ray.pipelines.corpus import sort_corpus
+    from lucene_go_ray.search import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = str(tmp_path / "sorted")
+    paths = sort_corpus([src], out, by="n_chars")
+    assert len(paths) >= 1
+    vals = []
+    for p in paths:
+        vals.extend(pq.read_table(p, columns=["n_chars"])["n_chars"].to_pylist())
+    assert vals == sorted(vals)  # global order across shard files
+    index_dir = str(tmp_path / "idx")
+    build_index(paths, index_dir, IndexConfig(target_partition_rows=200))
+    s = IndexSearcher(index_dir)
+    n = s.manifest.max_doc
+    assert n == len(vals)
+    # docID order == sort-key order: sample docs via stored-field retrieval
+    sampled = [s.document(d, columns=["n_chars"])["n_chars"] for d in range(0, n, 97)]
+    assert sampled == sorted(sampled)

@@ -131,3 +131,31 @@ def test_curate_pipeline(sf_dir, tmp_path):
     assert len(parts) >= 2  # partitioned output, not one giant file
     back = pq.read_table(out).to_pandas()
     assert sorted(back["doc_id"].astype(int).tolist()) == expected
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(sf_dir):
+    """Pigeonhole-banded SimHash pair search == brute-force all-pairs
+    Hamming scan (the banding is lossless for distance <= max_distance)."""
+    import numpy as np
+
+    from lucene_go_ray.pipelines.dedup import simhash64, simhash_hamming_pairs
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    sh = simhash64(t["text"].combine_chunks(), shingle_k=2)
+    md = 3
+    expected = {}
+    for i in range(len(ids)):
+        x = sh[i] ^ sh
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        for j in np.flatnonzero((d <= md)):
+            if ids[i] < ids[j]:
+                expected[(int(ids[i]), int(ids[j]))] = int(d[j])
+    got = {
+        (int(r["a"]), int(r["b"])): int(r["distance"])
+        for r in simhash_hamming_pairs(sf_dir, max_distance=md).take_all()
+    }
+    assert got == expected
+    assert expected  # fixture contains exact-duplicate texts => distance 0
