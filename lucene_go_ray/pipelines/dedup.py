@@ -111,6 +111,29 @@ def _mix(h: np.ndarray, seed: np.uint64) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _exact_shingle_hashes(
+    tok_h: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k-token shingle hashes per doc — docs shorter than k emit NO
+    shingles (matching the SQL oracle's positional self-join, which yields
+    zero rows for short docs). Returns (flat hashes, per-doc counts)."""
+    sh_counts = np.maximum(counts - k + 1, 0).astype(np.int64)
+    doc_starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_starts[1:])
+    out_total = int(sh_counts.sum())
+    out_starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=out_starts[1:])
+    # token index of shingle start: doc start + within-doc shingle offset
+    base = np.repeat(doc_starts[:-1], sh_counts) + (
+        np.arange(out_total, dtype=np.int64) - np.repeat(out_starts[:-1], sh_counts)
+    )
+    out = np.full(out_total, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            out = out * _FNV_PRIME ^ tok_h[base + j]
+    return out, sh_counts
+
+
 def _shingle_hashes(
     tok_h: np.ndarray, counts: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -468,74 +491,51 @@ def jaccard_ngram_pairs(
 ):
     """Exact token-k-gram Jaccard near-dup pairs via a shingle inverted join.
 
-    Shingles are the raw whitespace tokens (lowercased, empties kept — the
-    tokenizer semantics of analysis/analyzer.py) joined with single spaces,
-    so a DuckDB oracle can reproduce them exactly. Pipeline shape (all
-    Dataset-native; NOTHING is materialized on the driver):
+    Shingles are 64-bit FNV hashes of k consecutive whitespace tokens
+    (lowercased, empties kept — the tokenizer semantics of
+    analysis/analyzer.py); the DuckDB oracle reproduces the SAME shingle
+    sets via string k-grams — identical pair counts unless two distinct
+    shingles collide in 64 bits (~1e-7 at 1M shingles). Pipeline shape
+    (all Dataset-native; NOTHING is materialized on the driver):
 
-      map_batches: doc -> DISTINCT shingles                   (vectorized)
+      map_batches: doc -> DISTINCT shingle hashes             (vectorized)
       groupby(shingle).map_groups: one pass emits BOTH candidate pairs and
         per-doc kept-shingle contributions; shingles shared by more than
         ``max_shingle_df`` docs are dropped WHOLE (pairs and sizes), so one
         stopword-like shingle can never explode to O(n^2) pairs — Jaccard
         is computed over the capped shingle space on both sides (the SQL
         oracle applies the identical cap)
-      groupby(pair) / groupby(doc): intersection counts and set sizes
-      two Dataset hash joins attach |A| and |B| to each pair -> Jaccard
+      groupby(hash(a)): ONE exchange both counts (a,b) co-occurrences AND
+        per-doc kept-shingle sizes (size rows are keyed by doc=a, so |A| is
+        attached in the same bucket via searchsorted — no join operator)
+      groupby(hash(b)): attaches |B| the same way -> Jaccard, filter
 
-    At web scale the shingle strings would be 64-bit hashes (rows-only
-    check); the string form is kept here for SQL verifiability.
+    Three hash-partitioned groupby exchanges after the map — no Dataset
+    joins, no driver materialization; every per-bucket kernel is a numpy
+    lexsort + run-length pass (one Python call per bucket, not per group).
     """
     import os
 
     import ray.data
-    from ray.data.aggregate import Count
-
-    from ..analysis import GO_WHITESPACE_CLASS as _WS
 
     def _shingles(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text].combine_chunks().cast(pa.large_string())), _WS
-        )
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        counts = np.diff(offs)
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
-        keys = batch[key].to_numpy(zero_copy_only=False)
-        out_doc, out_sh = [], []
-        # per-doc k-gram join; python-level but O(tokens) with numpy slices
-        for d in range(len(counts)):
-            lo, hi = offs[d], offs[d + 1]
-            n = hi - lo
-            if n < k:
-                continue
-            t = flat[lo:hi]
-            sh = t[: n - k + 1].copy()
-            for j in range(1, k):
-                sh = sh + " "
-                sh = sh + t[j : n - k + 1 + j]
-            uniq = np.unique(sh)
-            out_doc.append(np.full(len(uniq), keys[d], dtype=np.int64))
-            out_sh.append(uniq)
-        if not out_doc:
-            return pa.table(
-                {key: pa.array([], type=pa.int64()),
-                 "shingle": pa.array([], type=pa.large_string()),
-                 "sh_bucket": pa.array([], type=pa.int32())}
-            )
-        flat_sh = pa.array(
-            np.concatenate(out_sh).tolist(), type=pa.large_string()
-        )
-        import zlib as _zlib
-
-        bucket = np.fromiter(
-            (_zlib.crc32(x.encode()) % pair_buckets for x in flat_sh.to_pylist()),
-            dtype=np.int32,
-            count=len(flat_sh),
-        )
+        tok_h, counts = _token_hashes(batch[text])
+        sh, sh_counts = _exact_shingle_hashes(tok_h, counts, k)
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), sh_counts)
+        # DISTINCT shingles per doc: sort by (doc, hash), keep run heads
+        order = np.lexsort((sh, doc_of))
+        sh, doc_of = sh[order], doc_of[order]
+        if len(sh):
+            head = np.empty(len(sh), dtype=bool)
+            head[0] = True
+            head[1:] = (doc_of[1:] != doc_of[:-1]) | (sh[1:] != sh[:-1])
+            sh, doc_of = sh[head], doc_of[head]
+        bucket = (_mix(sh, np.uint64(11)) % np.uint64(pair_buckets)).astype(np.int32)
         return pa.table(
             {
-                key: pa.array(np.concatenate(out_doc)),
-                "shingle": flat_sh,
+                key: pa.array(keys[doc_of]),
+                "shingle": pa.array(sh.astype(np.int64)),
                 "sh_bucket": pa.array(bucket),
             }
         )
@@ -548,11 +548,12 @@ def jaccard_ngram_pairs(
         ``pair_buckets`` buckets). Shingle groups over the df cap emit
         nothing at all (dropped from the shingle space)."""
         empty = pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "bkt_a": pa.array([], type=pa.int32())}
         )
         if group.num_rows == 0:
             return empty
-        sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
         docs = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         _, code = np.unique(sh, return_inverse=True)
         order = np.lexsort((docs, code))
@@ -581,67 +582,107 @@ def jaccard_ngram_pairs(
             ai, bi = np.triu_indices(int(s), 1)
             out_a.append(mat[:, ai].ravel())
             out_b.append(mat[:, bi].ravel())
+        a_all = np.concatenate(out_a)
+        b_all = np.concatenate(out_b)
+        # route every row by hash(a): pair rows AND their a-side size rows
+        # ((doc, -1) has a=doc) land in the same next-stage bucket
+        bkt = (
+            _mix(a_all.astype(np.uint64), np.uint64(5))
+            % np.uint64(pair_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a)),
-                "b": pa.array(np.concatenate(out_b)),
+                "a": pa.array(a_all),
+                "b": pa.array(b_all),
+                "bkt_a": pa.array(bkt),
+            }
+        )
+
+    def _count_attach_na(group: pa.Table) -> pa.Table:
+        """One hash(a) bucket of raw rows -> run-length counts of (a, b)
+        pairs and (doc, -1) size rows; |A| is attached to each pair row by
+        a searchsorted against the bucket's size rows (doc == a hashes to
+        the same bucket by construction). Output carries the NEXT exchange
+        key: pairs route by hash(b), size rows route by hash(doc)."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "inter": pa.array([], pa.int64()), "na": pa.array([], pa.int64()),
+             "bkt_b": pa.array([], pa.int32())}
+        )
+        if group.num_rows == 0:
+            return empty
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a))).astype(np.int64)
+        ra, rb = a[starts], b[starts]
+        sm = rb == -1  # size rows sort first within each a-run (-1 < any id)
+        sdoc, sn = ra[sm], cnt[sm]  # ascending in doc (runs are a-sorted)
+        pa_, pb_, pc_ = ra[~sm], rb[~sm], cnt[~sm]
+        # every pair's a-doc kept >=1 shingle (the pair came from one), so
+        # its size row exists in this bucket
+        na = sn[np.searchsorted(sdoc, pa_)]
+        route = np.concatenate([pb_, sdoc]).astype(np.uint64)
+        bkt = (_mix(route, np.uint64(5)) % np.uint64(pair_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([pa_, sdoc])),
+                "b": pa.array(np.concatenate([pb_, np.full(len(sdoc), -1, np.int64)])),
+                "inter": pa.array(np.concatenate([pc_, np.zeros(len(sdoc), np.int64)])),
+                "na": pa.array(np.concatenate([na, sn])),
+                "bkt_b": pa.array(bkt),
+            }
+        )
+
+    def _attach_nb_jaccard(group: pa.Table) -> pa.Table:
+        """One hash(b) bucket: attach |B| from the co-located size rows
+        (carried in the ``na`` slot of (doc, -1) rows), compute Jaccard,
+        threshold-filter."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = group["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = b == -1
+        sdoc, sn = a[sm], na[sm].astype(np.float64)
+        sorder = np.argsort(sdoc)
+        sdoc, sn = sdoc[sorder], sn[sorder]
+        pairs = ~sm
+        if not pairs.any():
+            return empty
+        pb = b[pairs]
+        nb = sn[np.searchsorted(sdoc, pb)]
+        j = np.round(c[pairs] / (na[pairs].astype(np.float64) + nb - c[pairs]), 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[pairs][keep]),
+                "b": pa.array(pb[keep]),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
             }
         )
 
     sh = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
     ).map_batches(_shingles, batch_format="pyarrow")
-    # ONE composite groupby counts pair co-occurrences AND per-doc kept-
-    # shingle sizes in the same exchange ((doc, -1) rows are the size
-    # stream). The aggregate — one row per distinct candidate pair / doc,
-    # orders of magnitude smaller than the raw shingle stream — is
-    # materialized because two join inputs branch from it (Ray re-executes
-    # shared lineage per consumer otherwise).
-    def _count_reduce(a, b, starts, sizes, values):
-        return pa.table(
-            {
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "cnt": pa.array(sizes.astype(np.int64)),
-            }
-        )
-
-    agg = pair_groupby(
-        sh.groupby("sh_bucket").map_groups(
-            _bucket_pairs_and_sizes, batch_format="pyarrow"
-        ),
-        _count_reduce,
-    ).materialize()
-    inter = agg.filter(expr="b >= 0").rename_columns({"cnt": "inter"})
-    sizes = (
-        agg.filter(expr="b < 0")
-        .rename_columns({"a": "doc", "cnt": "n"})
-        .drop_columns(["b"])
+    return (
+        sh.groupby("sh_bucket")
+        .map_groups(_bucket_pairs_and_sizes, batch_format="pyarrow")
+        .groupby("bkt_a")
+        .map_groups(_count_attach_na, batch_format="pyarrow")
+        .groupby("bkt_b")
+        .map_groups(_attach_nb_jaccard, batch_format="pyarrow")
     )
-    j1 = inter.join(
-        sizes, "inner", join_partitions, on=("a",), right_on=("doc",)
-    ).rename_columns({"n": "na"})
-    j2 = j1.join(
-        sizes, "inner", join_partitions, on=("b",), right_on=("doc",)
-    ).rename_columns({"n": "nb"})
-
-    def _jaccard(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        c = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        j = np.round(c / (na + nb - c), 6)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "jaccard": pa.array(j[keep], type=pa.float64()),
-            }
-        )
-
-    return j2.map_batches(_jaccard, batch_format="pyarrow")
 
 
 def _read_rows(path: str, columns: list[str], lo: int, hi: int) -> pa.Table:
