@@ -103,6 +103,75 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
         return out
 
+    # ---- headline 3: block-max WAND over a bursty (web-like tf) corpus.
+    # The driver's i.i.d. synthetic table can't exercise pruning (flat tf =>
+    # flat block bounds, and max df there is ~4k postings — two orders of
+    # magnitude below the measured engage floor), so the demo corpus
+    # restores web-text burstiness + length-sorted docIDs (index sorting)
+    # and measures pruned vs exhaustive on the SAME queries, asserting
+    # rank-identity. Corpus + index are deterministic and cached in /tmp.
+    wand_n = int(os.environ.get("LGR_WAND_DOCS", "500000"))
+    wpath = f"/tmp/lgr_wand_demo/{wand_n}-7.parquet"
+    if not os.path.exists(wpath):
+        corpus.synthesize_bursty_corpus(wand_n, wpath)
+    from lucene_go_ray.index.codec import INDEX_FORMAT_VERSION
+    from lucene_go_ray.index.manifest import load_manifest
+
+    widx = f"/tmp/lgr_wand_demo/index-{wand_n}-v{INDEX_FORMAT_VERSION}"
+    wm = load_manifest(widx)
+    if wm is None or not wm.merged:
+        shutil.rmtree(widx, ignore_errors=True)
+        timed(
+            "wand_index_build", lambda: build_index([wpath], widx, IndexConfig())
+        )
+    from lucene_go_ray.search.query import BooleanQuery, TermQuery
+
+    ws = IndexSearcher(widx)
+    wand_cases = {
+        "term_k10": (TermQuery("web"), 10),
+        "term_k100": (TermQuery("web"), 100),
+        "or3_k10": (BooleanQuery.build(should=["web", "page", "data"]), 10),
+        "and2_k10": (BooleanQuery.build(must=["web", "page"]), 10),
+    }
+
+    def run_wand():
+        import numpy as _np
+
+        rep = 9
+        out = {}
+        for name, (q, k) in wand_cases.items():
+            q = q.rewrite()
+            te, tp = [], []
+            a = ws.search(q, k, prune=False)
+            for _ in range(rep):
+                t0 = time.perf_counter()
+                a = ws.search(q, k, prune=False)
+                te.append(time.perf_counter() - t0)
+            ws.last_prune_stats = None
+            b = ws.search(q, k, prune=True)
+            for _ in range(rep):
+                t0 = time.perf_counter()
+                b = ws.search(q, k, prune=True)
+                tp.append(time.perf_counter() - t0)
+            assert a.doc_ids.tolist() == b.doc_ids.tolist(), f"wand rank diff: {name}"
+            assert a.scores.tolist() == b.scores.tolist(), f"wand score diff: {name}"
+            st = getattr(ws, "last_prune_stats", None)
+            e_ms = float(_np.median(te)) * 1000
+            p_ms = float(_np.median(tp)) * 1000
+            out[name] = {
+                "exhaustive_ms": round(e_ms, 2),
+                "pruned_ms": round(p_ms, 2),
+                "speedup": round(e_ms / p_ms, 2),
+                "blocks_skipped_pct": (
+                    round(100.0 * st["blocks_skipped"] / st["blocks_total"], 1)
+                    if st
+                    else None  # adaptive fallback to exhaustive (AND bail)
+                ),
+            }
+        return out
+
+    meta["wand"] = timed("wand_demo", run_wand)
+
     # ---- extraction invariant (reads html+text; the heaviest column scan)
     timed("extract_check", lambda: corpus.check_extraction_invariant(paths))
 

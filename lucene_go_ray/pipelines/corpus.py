@@ -135,6 +135,73 @@ def _make_shard(rng, vocab, probs, base: int, n: int) -> pa.Table:
     )
 
 
+def synthesize_bursty_corpus(
+    n_docs: int,
+    out_path: str,
+    *,
+    seed: int = 7,
+    vocab_size: int = 10_000,
+    burst_terms: int = 8,
+    burst_rate: float = 0.004,
+    row_group_rows: int = 5_000,
+    sort_by_length: bool = True,
+) -> str:
+    """A documents-style table (doc_id, text) with BURSTY term frequencies —
+    the tf regime where block-max WAND pruning pays off.
+
+    Real web text is bursty: a topical term occurs dozens of times in the
+    few pages about that topic and ~once elsewhere (the 'verbosity' half of
+    the two-Poisson model behind BM25 itself). The driver's synthetic
+    documents table draws tokens i.i.d., which flattens per-block score
+    bounds and makes upper-bound pruning structurally useless — this
+    generator restores the skew: i.i.d. Zipf background tokens plus, for a
+    handful of head terms, a ``burst_rate`` fraction of docs where the term
+    is repeated 16-128 times. Doc lengths are clipped to [8, 255] so the
+    reference's ``norm & 0xFF`` wrap (similaritybm25.go:245) never fires
+    and block bounds follow true document length. Deterministic for a
+    given (n_docs, seed)."""
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    vocab = np.asarray(_vocabulary(vocab_size), dtype=object)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks**1.07
+    probs /= probs.sum()
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(
+        np.round(np.exp(rng.normal(3.8, 0.8, size=n_docs))).astype(np.int64), 8, 255
+    )
+    if sort_by_length:
+        # Index sorting (SetIndexSort by doc length): docIDs in norm order
+        # homogenizes per-block norms, which is what turns bursty tf into
+        # per-block bound VARIANCE — the early-termination layout Lucene's
+        # sorted indexes buy (indexsorter.go). Unsorted, every 128-posting
+        # block catches some short doc and the bounds flatten out.
+        lengths.sort()
+    total = int(lengths.sum())
+    toks = vocab[rng.choice(vocab_size, size=total, p=probs)]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    head = [w for w in vocab[: burst_terms + len(_STOPWORDS) + 1] if w not in _STOPWORDS]
+    for w in head[:burst_terms]:
+        docs = np.flatnonzero(rng.random(n_docs) < burst_rate)
+        reps = rng.integers(16, 128, size=len(docs))
+        for d, r in zip(docs, reps):
+            r = min(int(r), int(lengths[d]) - 1)
+            toks[offsets[d] + 1 : offsets[d] + 1 + r] = w
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+        pa.array(toks, type=pa.string()),
+    )
+    texts = pc.binary_join(lst, " ")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": texts.cast(pa.large_string()),
+        }
+    )
+    pq.write_table(tbl, out_path, row_group_size=row_group_rows)
+    return out_path
+
+
 def sort_corpus(
     input_paths: list[str],
     out_dir: str,

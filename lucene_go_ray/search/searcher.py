@@ -71,33 +71,39 @@ from .scorer import BM25Scorer, idf, make_scorer
 
 
 # Postings volume below which exhaustive evaluation beats block-max WAND.
-# Measured on the synthetic corpus: numpy-vectorized exhaustive scoring of a
-# 700k-posting term costs ~10 ms warm, while the WAND interval bookkeeping
-# (O(total blocks) python-level) costs more — AND the synthetic corpus has
-# near-uniform tf, so block upper bounds are flat and skipping rarely
-# triggers (WAND's worst case). Real web text has Zipf tf skew where
-# block-max pruning wins; the machinery is rank-identity-tested either way
-# (test_pruned_equals_exhaustive) and engages only for monster terms.
-WAND_MIN_POSTINGS = 2_000_000
+# numpy-vectorized exhaustive scoring of a small term is single-digit ms
+# warm; the pruned path's fixed cost (interval construction + batched
+# sweep, ~0.8 ms measured on a 31-block term) only amortizes once the
+# candidate postings volume is large. Since round 3's batched sweep the
+# floor is 100k postings (was 2M for the per-interval python sweep).
+WAND_MIN_POSTINGS = 100_000
 
-# Second engage guard: block-max pruning can only skip work when block
-# upper bounds actually VARY — on flat-tf postings every interval bound
-# equals theta and the interval sweep degrades to a slow exhaustive scan
-# (measured: ~25 ms/query of pure bookkeeping on the uniform synthetic
-# corpus). Engage only when the spread of block bounds says a meaningful
-# fraction of intervals can fall below the eventual threshold.
+# Legacy pre-sweep spread guard of the round-2 python sweep — NO LONGER
+# READ. Measured with the batched sweep: a 3-hot-term OR with ~0% skippable
+# blocks still ran 27% FASTER pruned than exhaustive (the batched
+# aggregation beats one giant unique+select), so rejecting low-spread
+# queries up front loses wins. Kept as a constant because test fixtures
+# monkeypatch it.
 WAND_MIN_UB_SPREAD = 1.25
 
-# Third engage guard: skipping depends on theta = the kth score — a deep
-# cutoff (k in the hundreds) sits low in the score distribution, so almost
-# every interval stays competitive and the sweep visits them all at python
-# cost (measured: one k=1000 hot-term OR took 11.8 s pruned vs ~0.1 s
-# exhaustive). The classic WAND regime is small-k over big skewed lists.
-WAND_MAX_K = 128
+# Adaptive AND-mode bail: exhaustive conjunction is fast (intersect first,
+# score the intersection only), so pruned AND only pays when blocks really
+# skip. Once the heap first fills (real theta known), if fewer than this
+# fraction of the REMAINING intervals fall below theta, fall back to
+# exhaustive — wasted work is bounded by the first small batches.
+WAND_AND_MIN_SKIP = 0.25
 
-# Bail-out: if the sweep has visited this many intervals x max(k, 64)
-# without terminating, pruning is not paying — fall back to exhaustive
-# (bounded waste instead of a pathological full python sweep).
+# Third engage guard: skipping depends on theta = the kth score — a deep
+# cutoff (k in the hundreds) sits low in the score distribution, so most
+# intervals stay competitive and pruning mostly degenerates to exhaustive
+# plus overhead. The batched sweep bounds that overhead (the old python
+# sweep took 11.8 s on a k=1000 hot-term OR; the batched one is within
+# ~2x of exhaustive), so the gate is 512 (was 128).
+WAND_MAX_K = 512
+
+# Legacy bail-out knob of the per-interval python sweep (round 2). The
+# batched sweep's worst case is already ~exhaustive-with-overhead, so no
+# bail is needed; kept (unused) because test fixtures monkeypatch it.
 WAND_BAIL_FACTOR = 4
 
 # Merged-postings columns WITHOUT the position stream — position blobs are
@@ -1089,14 +1095,17 @@ class IndexSearcher:
                 ubs_all.append(ub[keep])
             ts = np.concatenate(t_starts) if t_starts else np.empty(0, np.int64)
             te = np.concatenate(t_ends) if t_ends else np.empty(0, np.int64)
+            rowv = np.concatenate(t_row) if t_row else np.empty(0, np.int32)
+            localv = np.concatenate(t_local) if t_local else np.empty(0, np.int32)
             term_blocks.append(
                 {
                     "starts": ts,
                     "ends": te,
-                    "row": np.concatenate(t_row) if t_row else np.empty(0, np.int32),
-                    "local": np.concatenate(t_local)
-                    if t_local
-                    else np.empty(0, np.int32),
+                    "row": rowv,
+                    "local": localv,
+                    # precomputed cache keys: one tuple per flat block (the
+                    # int()/zip per-batch conversions were a measured cost)
+                    "keys": list(zip(rowv.tolist(), localv.tolist())),
                     "rows": rows,
                     # per-term block cache persists across queries
                     "cache": self._block_cache.setdefault(
@@ -1110,15 +1119,6 @@ class IndexSearcher:
         starts = np.concatenate(starts_all)
         ends = np.concatenate(ends_all)
         ubs = np.concatenate(ubs_all)
-        # spread guard (see WAND_MIN_UB_SPREAD): if the best block bound
-        # barely exceeds the median bound, pruning cannot skip intervals
-        # and exhaustive vectorized evaluation is strictly faster. An
-        # explicit min_postings override (tests / sharded-prune callers)
-        # bypasses the guard so the machinery stays exercisable.
-        if min_postings is None and float(np.max(ubs)) < WAND_MIN_UB_SPREAD * float(
-            np.median(ubs)
-        ):
-            return None
         # elementary intervals
         bps = np.unique(np.concatenate([starts, ends + 1]))
         ivl_starts = bps[:-1]
@@ -1139,136 +1139,187 @@ class IndexSearcher:
             eligible = np.arange(len(ivl_ub))
         order = eligible[np.argsort(-ivl_ub[eligible], kind="stable")]
 
+        # Batched descending-bound sweep: intervals are consumed in
+        # geometrically growing batches, and EVERYTHING inside a batch is
+        # numpy — block gathering (range-union via a coverage diff array),
+        # doc->interval membership (one searchsorted against bps), score
+        # aggregation (unique + add.at for OR, sorted intersection for AND).
+        # Python cost is O(#batches + #blocks decoded), not O(#intervals):
+        # the per-interval bookkeeping that made the old sweep lose to
+        # exhaustive on flat-tf corpora (the round-2 'python interval
+        # sweep' finding) is gone. Theta tightens between batches, so the
+        # skipped tail is within one batch of the one-at-a-time sweep.
         n_terms = len(terms)
-        visited_blocks = [set() for _ in range(n_terms)]
+        visited_mask = [
+            np.zeros(len(tb["starts"]), dtype=bool) for tb in term_blocks
+        ]
         total_hits = 0
         heap_docs = np.empty(0, np.int64)
         heap_scores = np.empty(0, np.float64)
         theta = -np.inf
         have_global_theta = False
         intervals_visited = 0
-        bail_at = (
-            WAND_BAIL_FACTOR * max(k, 64) if min_postings is None else None
-        )
-        for step, oi in enumerate(order):
-            if bail_at is not None and intervals_visited > bail_at:
-                return None  # not skipping — exhaustive is cheaper
-            if theta_get is not None and (step & 31) == 0:
+        and_bail_checked = False
+        in_batch = np.zeros(len(ivl_starts), dtype=bool)
+        pos = 0
+        batch_n = max(32, 2 * k)
+        while pos < len(order):
+            if theta_get is not None:
                 g = float(theta_get())
                 if g > theta:
                     theta = g
                     have_global_theta = True
+            take = order[pos : pos + batch_n]
+            exhausted = False
             # Strict inequality: an interval whose upper bound EQUALS theta
             # can still contain a doc scoring exactly theta with a smaller
             # docID than the current kth hit — under the (score desc, docID
             # asc) contract that doc belongs in the top-k, so ub==theta
             # intervals remain competitive and must be evaluated.
-            if ivl_ub[oi] < theta and (
-                len(heap_docs) >= k or have_global_theta
-            ):
-                break
-            intervals_visited += 1
-            lo = int(ivl_starts[oi])
-            hi = int(bps[oi + 1]) - 1
-            # exact scores for docs in [lo, hi]: decode only the overlapping
-            # blocks of each term, caching per block
-            per_term: list[tuple[list, list]] = []
+            if len(heap_docs) >= k or have_global_theta:
+                # bounds in `take` are descending; keep the ub >= theta prefix
+                keep_n = int(
+                    np.searchsorted(-ivl_ub[take], -theta, side="right")
+                )
+                if keep_n < len(take):
+                    take = take[:keep_n]
+                    exhausted = True  # every later interval is < theta too
+                if len(take) == 0:
+                    break
+            intervals_visited += len(take)
+            los = ivl_starts[take]
+            his = bps[take + 1] - 1
+            in_batch[take] = True
+            per_term: list[tuple[np.ndarray, np.ndarray]] = []
             for ti in range(n_terms):
                 tb = term_blocks[ti]
-                b0 = int(np.searchsorted(tb["ends"], lo))
-                b1 = int(np.searchsorted(tb["starts"], hi, side="right"))
-                t_docs: list = []
-                t_scores: list = []
-                if b1 > b0:
-                    visited_blocks[ti].update(
-                        (int(tb["row"][fb]), int(tb["local"][fb]))
-                        for fb in range(b0, b1)
+                # union of per-interval block ranges via a coverage diff
+                b0 = np.searchsorted(tb["ends"], los)
+                b1 = np.searchsorted(tb["starts"], his, side="right")
+                cover = np.zeros(len(tb["starts"]) + 1, dtype=np.int64)
+                np.add.at(cover, b0, 1)
+                np.add.at(cover, b1, -1)
+                need = np.flatnonzero(np.cumsum(cover)[:-1] > 0)
+                visited_mask[ti][need] = True
+                # cache keys are (row, local block) — stable across
+                # queries AND shard doc-ranges (flat indices are not:
+                # range pruning renumbers them per query)
+                cache = tb["cache"]
+                keys = tb["keys"]
+                need_l = need.tolist()
+                missing = [fb for fb in need_l if keys[fb] not in cache]
+                if missing:
+                    by_row: dict[int, list[int]] = {}
+                    for fb in missing:
+                        by_row.setdefault(keys[fb][0], []).append(fb)
+                    for ri, fbs in by_row.items():
+                        locals_ = tb["local"][fbs]
+                        docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
+                            tb["rows"][ri], locals_, self.cfg.block_size
+                        )
+                        scores_b = scorers[ti].score(
+                            weights[ti], freqs_b, norms_b
+                        )
+                        off = 0
+                        for fb, c in zip(fbs, cnts):
+                            cache[keys[fb]] = (
+                                docs_b[off : off + c],
+                                scores_b[off : off + c],
+                            )
+                            off += int(c)
+                if len(need_l) == 0:
+                    per_term.append(
+                        (np.empty(0, np.int64), np.empty(0, np.float64))
                     )
-                    # cache keys are (row, local block) — stable across
-                    # queries AND shard doc-ranges (flat indices are not:
-                    # range pruning renumbers them per query)
-                    missing = [
-                        fb
-                        for fb in range(b0, b1)
-                        if (int(tb["row"][fb]), int(tb["local"][fb]))
-                        not in tb["cache"]
-                    ]
-                    if missing:
-                        by_row: dict[int, list[int]] = {}
-                        for fb in missing:
-                            by_row.setdefault(int(tb["row"][fb]), []).append(fb)
-                        for ri, fbs in by_row.items():
-                            fbs = sorted(fbs)
-                            locals_ = tb["local"][fbs]
-                            docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
-                                tb["rows"][ri], locals_, self.cfg.block_size
-                            )
-                            scores_b = scorers[ti].score(
-                                weights[ti], freqs_b, norms_b
-                            )
-                            off = 0
-                            for fb, c in zip(fbs, cnts):
-                                tb["cache"][
-                                    (ri, int(tb["local"][fb]))
-                                ] = (
-                                    docs_b[off : off + c],
-                                    scores_b[off : off + c],
-                                )
-                                off += int(c)
-                    for fb in range(b0, b1):
-                        dd, ss = tb["cache"][
-                            (int(tb["row"][fb]), int(tb["local"][fb]))
-                        ]
-                        a, b = np.searchsorted(dd, lo), np.searchsorted(dd, hi + 1)
-                        if b > a:
-                            t_docs.append(dd[a:b])
-                            t_scores.append(ss[a:b])
-                per_term.append((t_docs, t_scores))
+                    continue
+                got = [cache[keys[fb]] for fb in need_l]
+                dcat = np.concatenate([g[0] for g in got])
+                scat = np.concatenate([g[1] for g in got])
+                if n_terms == 1 and self._doc_range is None:
+                    # single term: elementary intervals ARE this term's
+                    # block spans, so `need` == exactly the batch's blocks
+                    # and every decoded doc is in a batch interval — the
+                    # membership filter is the identity
+                    per_term.append((dcat, scat))
+                    continue
+                # keep only docs whose elementary interval is in this batch
+                # (per-term block spans are disjoint & ascending, so dcat is
+                # sorted — required by the AND intersection below); blocks
+                # straddling a shard doc-range boundary decode docs outside
+                # [bps[0], bps[-1]) — drop them before the interval lookup
+                m = (dcat >= bps[0]) & (dcat < bps[-1])
+                iidx = np.searchsorted(bps, dcat[m], side="right") - 1
+                m2 = in_batch[iidx]
+                per_term.append((dcat[m][m2], scat[m][m2]))
+            in_batch[take] = False
+            udocs = None
             if mode == "and":
-                if any(not td for td, _ in per_term):
-                    continue
-                tdocs = [np.concatenate(td) for td, _ in per_term]
-                tscores = [np.concatenate(ts) for _, ts in per_term]
-                udocs = tdocs[0]
-                for d in tdocs[1:]:
-                    udocs = _intersect_sorted(udocs, d)
-                    if len(udocs) == 0:
-                        break
+                if all(len(td) for td, _ in per_term):
+                    udocs = per_term[0][0]
+                    for d, _ in per_term[1:]:
+                        udocs = _intersect_sorted(udocs, d)
+                        if len(udocs) == 0:
+                            break
+                if udocs is not None and len(udocs):
+                    sc = np.zeros(len(udocs), dtype=np.float64)
+                    for d, s in per_term:
+                        sc += s[np.searchsorted(d, udocs)]
+                else:
+                    udocs = None
+            elif n_terms == 1:
+                udocs, sc = per_term[0]
                 if len(udocs) == 0:
-                    continue
-                sc = np.zeros(len(udocs), dtype=np.float64)
-                for d, s in zip(tdocs, tscores):
-                    sc += s[np.searchsorted(d, udocs)]
+                    udocs = None
             else:
-                seg_docs = [x for td, _ in per_term for x in td]
-                seg_scores = [x for _, ts in per_term for x in ts]
-                if not seg_docs:
-                    continue
-                cat = np.concatenate(seg_docs)
-                udocs, inv = np.unique(cat, return_inverse=True)
-                sc = np.zeros(len(udocs), dtype=np.float64)
-                np.add.at(sc, inv, np.concatenate(seg_scores))
-            if len(self.deleted):
-                keep = ~_membership(udocs, self.deleted).astype(bool)
-                udocs, sc = udocs[keep], sc[keep]
-            total_hits += len(udocs)
-            heap_docs = np.concatenate([heap_docs, udocs])
-            heap_scores = np.concatenate([heap_scores, sc])
-            if len(heap_docs) > k:
-                ordk = np.lexsort((heap_docs, -heap_scores))[:k]
-                heap_docs, heap_scores = heap_docs[ordk], heap_scores[ordk]
-            if len(heap_docs) >= k:
-                local_theta = float(heap_scores.min())
-                if local_theta > theta:
-                    theta = local_theta
-                    if theta_put is not None:
-                        theta_put(theta)
+                cat = np.concatenate([td for td, _ in per_term])
+                if len(cat):
+                    udocs, inv = np.unique(cat, return_inverse=True)
+                    sc = np.zeros(len(udocs), dtype=np.float64)
+                    np.add.at(sc, inv, np.concatenate([ts for _, ts in per_term]))
+            if udocs is not None and len(udocs):
+                if len(self.deleted):
+                    keep = ~_membership(udocs, self.deleted).astype(bool)
+                    udocs, sc = udocs[keep], sc[keep]
+                total_hits += len(udocs)
+                heap_docs = np.concatenate([heap_docs, udocs])
+                heap_scores = np.concatenate([heap_scores, sc])
+                if len(heap_docs) > k:
+                    heap_docs, heap_scores = _select_topk(
+                        heap_docs, heap_scores, k
+                    )
+                if len(heap_docs) >= k:
+                    local_theta = float(heap_scores.min())
+                    if local_theta > theta:
+                        theta = local_theta
+                        if theta_put is not None:
+                            theta_put(theta)
+            if exhausted:
+                break
+            pos += batch_n
+            batch_n = min(batch_n * 2, 8192)
+            if (
+                mode == "and"
+                and not and_bail_checked
+                and min_postings is None
+                and WAND_AND_MIN_SKIP > 0
+                and len(heap_docs) >= k
+            ):
+                and_bail_checked = True
+                # adaptive AND bail (see WAND_AND_MIN_SKIP): with theta now
+                # real, count how many remaining intervals it can skip
+                rest = order[pos:]
+                if len(rest):
+                    competitive = int(
+                        np.searchsorted(-ivl_ub[rest], -theta, side="right")
+                    )
+                    if (len(rest) - competitive) < WAND_AND_MIN_SKIP * len(rest):
+                        return None  # exhaustive conjunction is cheaper
         self.last_prune_stats = {
             "mode": mode,
             "blocks_total": int(len(starts)),
-            "blocks_touched": int(sum(len(v) for v in visited_blocks)),
+            "blocks_touched": int(sum(int(v.sum()) for v in visited_mask)),
             "blocks_skipped": int(
-                len(starts) - sum(len(v) for v in visited_blocks)
+                len(starts) - sum(int(v.sum()) for v in visited_mask)
             ),
             "intervals_total": int(len(order)),
             "intervals_visited": int(intervals_visited),
@@ -1707,6 +1758,27 @@ def _pure_or_terms(q: Query):
             tqs.append(c.query)
         return tqs or None
     return None
+
+
+def _select_topk(
+    docs: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (score desc, docID asc) top-k over UNORDERED candidates via
+    partition-select — O(n) instead of the O(n log n) lexsort (the pruned
+    sweep's per-batch heap update feeds tens of thousands of candidates).
+    Ties at the kth score are broken by ascending docID explicitly (the
+    docs array is not sorted here, unlike _topk's fast path)."""
+    n = len(docs)
+    if n <= k:
+        return docs, scores
+    kth = np.partition(scores, n - k)[n - k]
+    gt = np.flatnonzero(scores > kth)
+    eq = np.flatnonzero(scores == kth)
+    take = k - len(gt)
+    if take < len(eq):
+        eq = eq[np.argsort(docs[eq], kind="stable")[:take]]
+    idx = np.concatenate([gt, eq])
+    return docs[idx], scores[idx]
 
 
 def _topk(s: _Scored, k: int) -> TopDocs:

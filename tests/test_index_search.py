@@ -163,6 +163,7 @@ def _force_wand(monkeypatch):
     monkeypatch.setattr(searcher_mod, "WAND_MIN_UB_SPREAD", 0.0)
     monkeypatch.setattr(searcher_mod, "WAND_MAX_K", 10**9)
     monkeypatch.setattr(searcher_mod, "WAND_BAIL_FACTOR", 10**9)
+    monkeypatch.setattr(searcher_mod, "WAND_AND_MIN_SKIP", 0.0)
 
 
 def test_pruned_equals_exhaustive(built, monkeypatch):
