@@ -343,6 +343,12 @@ _KW_FIELD, _KW_VALUE = "lang", "fr"
 _MIX_TERM, _MIX_FIELD, _MIX_VALUE = "spark", "lang", "en"
 _NR_TERM, _NR_FIELD, _NR_LO, _NR_HI = "spark", "n_chars", 150, 350
 _DEL_FIELD, _DEL_VALUE, _DEL_TERM = "lang", "de", "spark"
+# wildcard / fuzzy (automaton-family) + point-set / 2-D box gate constants
+_WILDCARD = "s*k"  # term LIKE 's%k'
+_FUZZY_TERM, _FUZZY_EDITS, _FUZZY_PREFIX = "spark", 1, 1
+_NS_TERM, _NS_FIELD, _NS_VALUES = "spark", "n_chars", (150, 200, 250, 300)
+_BOX = ("spark", "n_chars", 100, 400, "doc_id", 50, 400)
+_FE_FIELD = "lang"
 
 
 def entry() -> Any:
@@ -442,6 +448,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_numeric_range": lambda sf: fulltext.topk(
             sf, "numeric_range", [_NR_TERM, _NR_FIELD, str(_NR_LO), str(_NR_HI)], _K
         ),
+        # --- automaton-family expansion + point-set / 2-D box / exists ---
+        "topk_wildcard": lambda sf: fulltext.topk(sf, "wildcard", [_WILDCARD], _K),
+        "topk_fuzzy": lambda sf: fulltext.topk(
+            sf, "fuzzy", [_FUZZY_TERM, str(_FUZZY_EDITS), str(_FUZZY_PREFIX)], _K
+        ),
+        "topk_numeric_set": lambda sf: fulltext.topk(
+            sf, "numeric_set", [_NS_TERM, _NS_FIELD, *map(str, _NS_VALUES)], _K
+        ),
+        "topk_numeric_box": lambda sf: fulltext.topk(
+            sf, "numeric_box", [str(c) for c in _BOX], _K
+        ),
+        "field_exists_count": lambda sf: fulltext.field_exists_count(sf, _FE_FIELD),
         "topk_after_delete": lambda sf: fulltext.topk_after_delete(
             sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
         ),
@@ -527,6 +545,32 @@ FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
             _K,
             f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_NR_FIELD} BETWEEN {_NR_LO} AND {_NR_HI})",
         ),
+        "topk_wildcard": _constant_topk_sql(
+            f"term LIKE '{_WILDCARD.replace('*', '%').replace('?', '_')}'", _K
+        ),
+        "topk_fuzzy": _constant_topk_sql(
+            f"levenshtein(term, '{_FUZZY_TERM}') <= {_FUZZY_EDITS}"
+            f" AND substr(term, 1, {_FUZZY_PREFIX}) = "
+            f"substr('{_FUZZY_TERM}', 1, {_FUZZY_PREFIX})",
+            _K,
+        ),
+        "topk_numeric_set": _topk_term_filtered_sql(
+            _NS_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_NS_FIELD} IN ("
+            + ", ".join(map(str, _NS_VALUES))
+            + "))",
+        ),
+        "topk_numeric_box": _topk_term_filtered_sql(
+            _BOX[0],
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"{_BOX[1]} BETWEEN {_BOX[2]} AND {_BOX[3]} AND "
+            f"{_BOX[4]} BETWEEN {_BOX[5]} AND {_BOX[6]})",
+        ),
+        "field_exists_count": f"""
+SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {_FE_FIELD} IS NOT NULL
+""",
         "topk_after_delete": _topk_term_filtered_sql(
             _DEL_TERM,
             _K,

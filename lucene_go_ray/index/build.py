@@ -248,12 +248,24 @@ class SegmentIndexer:
             self.index_dir, SEGMENT_DIR, f".tmp-p={pid:05d}-{os.getpid()}"
         )
         os.makedirs(tmp_dir, exist_ok=True)
+        # has-field validity bitmaps (FieldExistsQuery's docsWithField,
+        # /root/reference/core/search — DocValuesFieldExistsQuery semantics):
+        # one bool column per indexed field, so exists-lookups are a docmap
+        # column scan instead of a full term-dictionary expansion. Text
+        # field: >=1 surviving (non-stopped) token == >=1 posting; keyword
+        # fields: non-null value (null indexes nothing).
+        hf_cols: dict[str, pa.Array] = {
+            f"hf_{cfg.text_column}": pa.array(norms > 0)
+        }
+        for kf in sorted(cfg.keyword_fields):
+            hf_cols[f"hf_{kf}"] = pc.is_valid(table[kf].combine_chunks())
         docmap = pa.table(
             {
                 "ord": pa.array(np.arange(n_docs, dtype=np.int64)),
                 "key": table[cfg.key_column],
                 "norm": pa.array(norms),
                 **dv_cols,
+                **hf_cols,
             }
         )
         pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))

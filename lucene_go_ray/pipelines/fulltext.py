@@ -31,7 +31,9 @@ _GATE_CFG = IndexConfig(
     hot_term_doc_freq=100_000,
     chunk_docs=131_072,
     keyword_fields=("lang", "source"),
-    docvalue_fields=("n_chars",),
+    # doc_id doubles as the second dimension of the 2-D box gate
+    # (NumericBoxQuery, the lat/lon analogue)
+    docvalue_fields=("n_chars", "doc_id"),
 )
 
 
@@ -308,6 +310,19 @@ def term_doc_count(sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG) -> pa.T
 
     return pa.table(
         {"total_hits": pa.array([s.count(TermQuery(term))], type=pa.int64())}
+    )
+
+
+def field_exists_count(
+    sf_dir: str, fld: str, cfg: IndexConfig = _GATE_CFG
+) -> pa.Table:
+    """Hit count of FieldExistsQuery(fld) — the docsWithField bitmap path
+    (no dictionary expansion; see searcher._has_field_docs)."""
+    s = get_searcher(sf_dir, cfg)
+    from ..search.query import FieldExistsQuery
+
+    return pa.table(
+        {"total_hits": pa.array([s.count(FieldExistsQuery(fld))], type=pa.int64())}
     )
 
 

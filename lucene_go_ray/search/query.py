@@ -118,6 +118,71 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class WildcardQuery(Query):
+    """Constant-score over dictionary terms matching a glob pattern
+    (``*`` = any run, ``?`` = one char) — the reference's WildcardQuery
+    surface (/root/reference/core/search/automatonquery.go,
+    multitermquery.go) whose impl only panics there. Expansion: seek the
+    longest literal prefix in the term dictionary, regex-filter the
+    candidates, union postings (CONSTANT_SCORE_REWRITE); a leading
+    wildcard degrades to a full-dictionary scan of the field, exactly as
+    in Lucene. Expansion is capped at MAX_CLAUSE_COUNT."""
+
+    pattern: str
+    field: str | None = None  # None = the index default (text) field
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Constant-score over dictionary terms within ``max_edits`` Levenshtein
+    edits of ``term`` (reference FuzzyQuery surface is a panicking
+    automaton stub; expansion semantics from Lucene: maxEdits <= 2,
+    ``prefix_length`` leading chars must match exactly, capped at
+    MAX_CLAUSE_COUNT)."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    field: str | None = None  # None = the index default (text) field
+
+
+@dataclass(frozen=True)
+class NumericInSetQuery(Query):
+    """Matches docs whose doc-values ``field`` equals ANY of ``values`` —
+    the PointInSetQuery analogue
+    (/root/reference/core/search/pointinsetquery.go:1) over the docmap
+    doc-values column instead of a BKD tree: per-segment [min, max] zone
+    maps prune segments whose range misses the set envelope, then a
+    vectorized ``np.isin``. Constant-scored (typically a FILTER clause)."""
+
+    field: str
+    values: tuple
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "values", tuple(sorted({int(v) for v in self.values}))
+        )
+
+
+@dataclass(frozen=True)
+class NumericBoxQuery(Query):
+    """Conjunctive 2-D range over two doc-values fields with COMBINED
+    zone-map pruning — the lat/lon bounding-box analogue
+    (/root/reference/core/document/latlon.go): a segment is read only if
+    BOTH dimensions' [min, max] zones overlap the box (the BKD 2-D cell
+    skip at segment granularity), then one fused vectorized mask. For
+    geo data, encode degrees as micro-degree int64 (round(deg * 1e7)) in
+    a docvalue column; the box is then integers like any other."""
+
+    field_x: str
+    lo_x: int
+    hi_x: int
+    field_y: str
+    lo_y: int
+    hi_y: int
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Matches docs that HAVE the field (reference
     DocValuesFieldExistsQuery, skeletal there; Lucene semantics:

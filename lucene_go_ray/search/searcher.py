@@ -51,13 +51,17 @@ from ..index.config import IndexConfig
 from ..index.manifest import load_manifest
 from ..index.merge import term_buckets
 from .query import (
+    MAX_CLAUSE_COUNT,
     BooleanQuery,
     FieldExistsQuery,
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     DocIdRangeQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
+    NumericBoxQuery,
+    NumericInSetQuery,
     NumericRangeQuery,
     Occur,
     PhraseQuery,
@@ -66,6 +70,7 @@ from .query import (
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
+    WildcardQuery,
 )
 from .scorer import BM25Scorer, idf, make_scorer
 
@@ -811,6 +816,156 @@ class IndexSearcher:
             return np.empty(0, np.int64)
         return np.concatenate(out)  # pid-ordered bases => globally sorted
 
+    def _segment_mask_docs(self, mask_fn) -> np.ndarray:
+        """Shared per-segment scan: ``mask_fn(p) -> bool array | None``
+        produces each partition's match mask (None = zone-pruned); doc-range
+        clipping and global-docID assembly are common to every doc-values
+        query (range / set / box / exists)."""
+        rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
+        out = []
+        for p in self.manifest.partitions:
+            base, n = int(p["doc_base"]), int(p["num_docs"])
+            if base + n - 1 < rlo or base > rhi:
+                continue
+            mask = mask_fn(p)
+            if mask is None:
+                continue
+            a = max(0, rlo - base)
+            b = min(n, rhi - base + 1)
+            if a > 0 or b < n:
+                m2 = np.zeros(n, dtype=bool)
+                m2[a:b] = mask[a:b]
+                mask = m2
+            ords = np.flatnonzero(mask)
+            if len(ords):
+                out.append(base + ords.astype(np.int64))
+        if not out:
+            return np.empty(0, np.int64)
+        return np.concatenate(out)  # pid-ordered bases => globally sorted
+
+    def _numeric_set_docs(self, fld: str, values: tuple) -> np.ndarray:
+        """PointInSetQuery analogue: docs whose doc-values ``fld`` is in
+        ``values`` (sorted ints). Zone maps prune segments whose [min, max]
+        misses the set ENVELOPE; matching is one vectorized np.isin.
+        Reference surface: /root/reference/core/search/pointinsetquery.go:1
+        (337 LoC of BKD traversal; the docmap column + zone map replace the
+        tree)."""
+        if not values:
+            return np.empty(0, np.int64)
+        varr = np.asarray(values, dtype=np.int64)
+        vmin, vmax = int(varr[0]), int(varr[-1])
+
+        def mask_fn(p):
+            zr = (p.get("dv_ranges") or {}).get(fld)
+            if zr is None or zr[1] < vmin or zr[0] > vmax:
+                return None
+            vals, valid = self._dv_column(int(p["pid"]), fld)
+            return valid & np.isin(vals, varr)
+
+        return self._segment_mask_docs(mask_fn)
+
+    def _numeric_box_docs(self, q: NumericBoxQuery) -> np.ndarray:
+        """2-D box (lat/lon analogue, /root/reference/core/document/latlon.go):
+        a segment is read only when BOTH dimensions' zone maps overlap the
+        box — the BKD 2-D cell skip at segment granularity — then one fused
+        vectorized mask over the two docmap columns."""
+
+        def mask_fn(p):
+            zs = p.get("dv_ranges") or {}
+            zx, zy = zs.get(q.field_x), zs.get(q.field_y)
+            if zx is None or zx[1] < q.lo_x or zx[0] > q.hi_x:
+                return None
+            if zy is None or zy[1] < q.lo_y or zy[0] > q.hi_y:
+                return None
+            vx, okx = self._dv_column(int(p["pid"]), q.field_x)
+            vy, oky = self._dv_column(int(p["pid"]), q.field_y)
+            return (
+                okx & oky
+                & (vx >= q.lo_x) & (vx <= q.hi_x)
+                & (vy >= q.lo_y) & (vy <= q.hi_y)
+            )
+
+        return self._segment_mask_docs(mask_fn)
+
+    def _has_field_docs(self, fld: str) -> np.ndarray:
+        """FieldExists via the per-segment ``hf_<field>`` docmap bitmap
+        (text: >=1 surviving token; keyword: non-null), cached like a
+        doc-values column."""
+
+        def mask_fn(p):
+            pid = int(p["pid"])
+            key = (pid, f"__hf__{fld}")
+            cached = self._dv_cache.get(key)
+            if cached is None:
+                t = pq.read_table(
+                    os.path.join(
+                        self.index_dir, "segments", f"p={pid:05d}",
+                        "docmap.parquet",
+                    ),
+                    columns=[f"hf_{fld}"],
+                )
+                mask = (
+                    t[f"hf_{fld}"]
+                    .combine_chunks()
+                    .fill_null(False)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                )
+                cached = (mask, mask)
+                self._dv_cache[key] = cached
+            return cached[0]
+
+        return self._segment_mask_docs(mask_fn)
+
+    def _expand_wildcard(self, f_name: str, pattern: str) -> list[str]:
+        """Dictionary expansion for WildcardQuery: seek the longest literal
+        prefix, regex-filter candidates (only ``*``/``?`` are wild, the
+        Lucene wildcard alphabet), cap at maxClauseCount=1024
+        (/root/reference/core/search/booleanquery.go:13-15)."""
+        import re
+
+        cut = len(pattern)
+        for ch in "*?":
+            i = pattern.find(ch)
+            if i != -1:
+                cut = min(cut, i)
+        prefix = pattern[:cut]
+        rx = re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern
+            ),
+            re.DOTALL,
+        )
+        cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+        terms = [t for t in cands if rx.fullmatch(t)]
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to {len(terms)} terms "
+                f"> maxClauseCount={MAX_CLAUSE_COUNT}"
+            )
+        return terms
+
+    def _expand_fuzzy(
+        self, f_name: str, term: str, max_edits: int, prefix_length: int
+    ) -> list[str]:
+        """Dictionary expansion for FuzzyQuery: candidates share the first
+        ``prefix_length`` chars (dictionary range seek), then a bounded
+        Levenshtein filter (length pre-filter + early-abort DP — the
+        edit-distance automaton of the reference's panicking FuzzyQuery,
+        done by expansion). Capped at maxClauseCount=1024."""
+        prefix = term[:prefix_length]
+        cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+        terms = [
+            t for t in cands if _within_edits(term, t, max_edits)
+        ]
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"fuzzy {term!r}~{max_edits} expands to {len(terms)} terms "
+                f"> maxClauseCount={MAX_CLAUSE_COUNT}"
+            )
+        return terms
+
     # ---------------- evaluation (exhaustive, rank-authoritative) ----------
 
     def _eval(self, q: Query, boost: float, need_scores: bool) -> _Scored:
@@ -847,11 +1002,32 @@ class IndexSearcher:
                 docs = self._numeric_range_docs(
                     q.field, -(2**62), 2**62
                 )
+            elif q.field == self.default_field or q.field in tuple(
+                self.cfg.keyword_fields
+            ):
+                # per-segment has-field bitmap in the docmap (docsWithField);
+                # replaces the round-2 full-dictionary expansion, which was
+                # catastrophic on a web-scale text field
+                docs = self._has_field_docs(q.field)
             else:
-                terms = self.expand_terms(q.field, "", "\U0010ffff")
-                ev = self._eval_term_union(terms, q.field, 0.0, False)
-                docs = ev.docs
+                docs = np.empty(0, np.int64)  # field never indexed
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, NumericInSetQuery):
+            docs = self._numeric_set_docs(q.field, q.values)
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, NumericBoxQuery):
+            docs = self._numeric_box_docs(q)
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, WildcardQuery):
+            f_name = q.field or self.default_field
+            terms = self._expand_wildcard(f_name, q.pattern)
+            return self._eval_term_union(terms, q.field, boost, need_scores)
+        if isinstance(q, FuzzyQuery):
+            f_name = q.field or self.default_field
+            terms = self._expand_fuzzy(
+                f_name, q.term, int(q.max_edits), int(q.prefix_length)
+            )
+            return self._eval_term_union(terms, q.field, boost, need_scores)
         if isinstance(q, DocIdRangeQuery):
             rlo, rhi = self._doc_range or (0, self.manifest.max_doc - 1)
             lo = max(0, int(q.lo), rlo)
@@ -1466,6 +1642,28 @@ class IndexSearcher:
         )
 
 
+def _within_edits(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k, with length pre-filter and early-abort DP
+    (row minimum > k terminates). Dictionary-expansion scale only — never
+    a per-posting hot path."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        mn = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if cur[j] < mn:
+                mn = cur[j]
+        if mn > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
 def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
     kind = str(kind)
     clauses = [str(c) for c in clauses]
@@ -1514,6 +1712,32 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
                 NumericRangeQuery(clauses[1], int(clauses[2]), int(clauses[3]))
             ],
         )
+    if kind == "wildcard":
+        return WildcardQuery(clauses[0])
+    if kind == "fuzzy":
+        # clauses = [term, max_edits, prefix_length]
+        return FuzzyQuery(clauses[0], int(clauses[1]), int(clauses[2]))
+    if kind == "numeric_set":
+        # clauses = [term, field, v1, v2, ...]: scored MUST + set FILTER
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[
+                NumericInSetQuery(clauses[1], tuple(int(v) for v in clauses[2:]))
+            ],
+        )
+    if kind == "numeric_box":
+        # clauses = [term, fx, lox, hix, fy, loy, hiy]: scored MUST + 2-D box
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[
+                NumericBoxQuery(
+                    clauses[1], int(clauses[2]), int(clauses[3]),
+                    clauses[4], int(clauses[5]), int(clauses[6]),
+                )
+            ],
+        )
+    if kind == "field_exists":
+        return FieldExistsQuery(clauses[0])
     raise ValueError(f"unknown query kind {kind!r}")
 
 

@@ -33,7 +33,7 @@ CFG = IndexConfig(
     hot_term_doc_freq=80,  # lang=en is hot => exercises keyword salting
     salt_group_partitions=2,
     keyword_fields=("lang", "source"),
-    docvalue_fields=("n_chars",),
+    docvalue_fields=("n_chars", "doc_id"),
 )
 
 
@@ -147,6 +147,98 @@ def test_numeric_range_filter(mf):
     # empty + full ranges
     assert s.count(NumericRangeQuery("n_chars", 10**9, 2 * 10**9)) == 0
     assert s.count(NumericRangeQuery("n_chars", 0, 10**9)) == len(raw)
+
+
+def test_numeric_in_set(mf):
+    """PointInSetQuery analogue: doc-values membership with zone-map
+    segment pruning, vs a raw-pandas expectation."""
+    from lucene_go_ray.search import NumericInSetQuery
+
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    values = tuple(sorted(raw["n_chars"].dropna().unique()[:5].tolist()))
+    exp = sorted(raw.index[raw["n_chars"].isin(values)].tolist())
+    td = s.search(NumericInSetQuery("n_chars", values), len(raw))
+    assert td.doc_ids.tolist() == exp
+    # empty set / disjoint set
+    assert s.count(NumericInSetQuery("n_chars", ())) == 0
+    assert s.count(NumericInSetQuery("n_chars", (10**9, 10**9 + 5))) == 0
+    # as a FILTER on a scored term (constant-score filter never rescores)
+    t = _text_term(oracle)
+    ranked, _ = oracle.search(TermQuery(t), len(raw))
+    in_set = set(exp)
+    expected = [(d, sc) for d, sc in ranked if d in in_set][:10]
+    q = BooleanQuery.build(
+        must=[TermQuery(t)], filter=[NumericInSetQuery("n_chars", values)]
+    )
+    td = s.search(q, 10)
+    assert td.doc_ids.tolist() == [d for d, _ in expected]
+    assert td.scores.tolist() == pytest.approx(
+        [sc for _, sc in expected], rel=1e-12
+    )
+
+
+def test_numeric_box(mf):
+    """2-D box (lat/lon analogue): combined zone-map pruning over two
+    doc-values dims, vs raw pandas."""
+    from lucene_go_ray.search import NumericBoxQuery
+
+    index_dir, _, raw, _ = mf
+    s = IndexSearcher(index_dir)
+    lo_x, hi_x = int(raw["n_chars"].quantile(0.3)), int(raw["n_chars"].quantile(0.8))
+    lo_y, hi_y = 10, int(len(raw) * 0.6)
+    exp = sorted(
+        raw.index[
+            (raw["n_chars"] >= lo_x)
+            & (raw["n_chars"] <= hi_x)
+            & (raw.index >= lo_y)
+            & (raw.index <= hi_y)
+        ].tolist()
+    )
+    q = NumericBoxQuery("n_chars", lo_x, hi_x, "doc_id", lo_y, hi_y)
+    td = s.search(q, len(raw))
+    assert td.doc_ids.tolist() == exp
+    # a box whose y-range misses every zone prunes all segments
+    assert s.count(NumericBoxQuery("n_chars", lo_x, hi_x, "doc_id", 10**9, 2 * 10**9)) == 0
+
+
+def test_wildcard_and_fuzzy_expansion(mf):
+    """WildcardQuery / FuzzyQuery dictionary expansion vs a python-side
+    recomputation over the oracle's full vocabulary."""
+    import re
+
+    from lucene_go_ray.search import FuzzyQuery, WildcardQuery
+    from lucene_go_ray.search.searcher import _within_edits
+
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    vocab = sorted(t for t in oracle.postings if t)
+    base = _text_term(oracle)
+    # wildcard: first char + '*' + last char, plus a '?' variant
+    for pattern in (base[0] + "*" + base[-1], base[0] + "?" + base[2:], "*" + base[-2:]):
+        rx = re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern)
+        )
+        exp_terms = [t for t in vocab if rx.fullmatch(t)]
+        exp_docs = sorted({d for t in exp_terms for d in oracle.postings.get(t, {})})
+        td = s.search(WildcardQuery(pattern), len(raw))
+        assert td.doc_ids.tolist() == exp_docs, pattern
+        assert all(sc == 1.0 for sc in td.scores.tolist())
+    # fuzzy: every vocab term within 1 edit of base (prefix 1), and edits=2
+    for edits, plen in ((1, 1), (2, 0)):
+        exp_terms = [
+            t
+            for t in vocab
+            if t[:plen] == base[:plen] and _within_edits(base, t, edits)
+        ]
+        exp_docs = sorted({d for t in exp_terms for d in oracle.postings.get(t, {})})
+        td = s.search(FuzzyQuery(base, edits, plen), len(raw))
+        assert td.doc_ids.tolist() == exp_docs, (edits, plen)
+    # levenshtein helper sanity
+    assert _within_edits("spark", "spark", 0)
+    assert _within_edits("spark", "spork", 1)
+    assert not _within_edits("spark", "spoon", 2)
+    assert _within_edits("spark", "park", 1)
 
 
 def test_numeric_range_sharded(mf):
