@@ -68,9 +68,14 @@ def brute_force_topk(
         )
 
     ds = ray.data.read_parquet(path, columns=[key, col])
-    top = ds.map_batches(_score, batch_format="pyarrow").to_pandas()
-    order = np.lexsort((top[key].to_numpy(), -top["sim"].to_numpy()))[:k]
-    out = top.iloc[order].reset_index(drop=True)
+    # distributed ordered-limit over the per-block top-k rows: the driver
+    # only ever holds the final k rows (no pandas merge of k x blocks)
+    out = (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .sort(["sim", key], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
@@ -226,14 +231,20 @@ def lsh_probe_topk(
             ids, sims = ids[part], sims[part]
         return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
 
-    top = (
+    from ray.data.aggregate import Max
+
+    # dedup (same vec surfaces from several tables, identical sim) via a
+    # groupby on the tiny per-block top-k stream, then a distributed
+    # ordered-limit — the driver holds only the final k rows
+    out = (
         ray.data.read_parquet(dirs, columns=[key, col])
         .map_batches(_score, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Max("sim", alias_name="sim"))
+        .sort(["sim", key], descending=[True, False])
+        .limit(k)
         .to_pandas()
-        .drop_duplicates(subset=[key])  # same vec from several tables
     )
-    order = np.lexsort((top[key].to_numpy(), -top["sim"].to_numpy()))[:k]
-    out = top.iloc[order].reset_index(drop=True)
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
