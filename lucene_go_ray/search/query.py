@@ -147,6 +147,22 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Constant-score over dictionary terms fully matching a regular
+    expression — the reference's RegexpQuery surface
+    (/root/reference/core/search/automatonquery.go, multitermquery.go),
+    whose automaton impl only panics there. Expansion: seek the longest
+    literal prefix of the pattern in the term dictionary, filter the
+    candidates with a compiled full-match, union postings
+    (CONSTANT_SCORE_REWRITE). Accepted syntax is the RE2/Python common
+    subset (char classes, alternation, repetition, anchored implicitly
+    at both ends like Lucene's RegExp). Capped at MAX_CLAUSE_COUNT."""
+
+    pattern: str
+    field: str | None = None  # None = the index default (text) field
+
+
+@dataclass(frozen=True)
 class NumericInSetQuery(Query):
     """Matches docs whose doc-values ``field`` equals ANY of ``values`` —
     the PointInSetQuery analogue

@@ -70,6 +70,7 @@ from .query import (
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
+    RegexpQuery,
     WildcardQuery,
 )
 from .scorer import BM25Scorer, idf, make_scorer
@@ -946,6 +947,31 @@ class IndexSearcher:
             )
         return terms
 
+    def _expand_regexp(self, f_name: str, pattern: str) -> list[str]:
+        """Dictionary expansion for RegexpQuery: seek the longest literal
+        prefix of the pattern (chars before the first regex metachar),
+        full-match-filter the candidates with the compiled expression,
+        cap at maxClauseCount=1024. Mirrors Lucene's CompiledAutomaton
+        common-prefix seek without the automaton machinery (the
+        reference's impl panics, automatonquery.go)."""
+        import re
+
+        cut = len(pattern)
+        for i, c in enumerate(pattern):
+            if c in ".[](){}*+?|^$\\":
+                cut = i
+                break
+        prefix = pattern[:cut]
+        rx = re.compile(pattern, re.DOTALL)
+        cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+        terms = [t for t in cands if rx.fullmatch(t)]
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"regexp {pattern!r} expands to {len(terms)} terms "
+                f"> maxClauseCount={MAX_CLAUSE_COUNT}"
+            )
+        return terms
+
     def _expand_fuzzy(
         self, f_name: str, term: str, max_edits: int, prefix_length: int
     ) -> list[str]:
@@ -1021,6 +1047,10 @@ class IndexSearcher:
         if isinstance(q, WildcardQuery):
             f_name = q.field or self.default_field
             terms = self._expand_wildcard(f_name, q.pattern)
+            return self._eval_term_union(terms, q.field, boost, need_scores)
+        if isinstance(q, RegexpQuery):
+            f_name = q.field or self.default_field
+            terms = self._expand_regexp(f_name, q.pattern)
             return self._eval_term_union(terms, q.field, boost, need_scores)
         if isinstance(q, FuzzyQuery):
             f_name = q.field or self.default_field
@@ -1717,6 +1747,8 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
     if kind == "fuzzy":
         # clauses = [term, max_edits, prefix_length]
         return FuzzyQuery(clauses[0], int(clauses[1]), int(clauses[2]))
+    if kind == "regexp":
+        return RegexpQuery(clauses[0])
     if kind == "numeric_set":
         # clauses = [term, field, v1, v2, ...]: scored MUST + set FILTER
         return BooleanQuery.build(

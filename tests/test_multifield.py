@@ -241,6 +241,35 @@ def test_wildcard_and_fuzzy_expansion(mf):
     assert _within_edits("spark", "park", 1)
 
 
+def test_regexp_expansion(mf):
+    """RegexpQuery dictionary expansion vs a python-side recomputation
+    over the oracle's full vocabulary (full-match semantics, constant
+    score — Lucene RegExp anchors both ends)."""
+    import re
+
+    from lucene_go_ray.search import RegexpQuery
+
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    vocab = sorted(t for t in oracle.postings if t)
+    base = _text_term(oracle)
+    # literal-prefix pattern, a class pattern, and a no-prefix alternation
+    patterns = (
+        base[0] + "[a-z]+",
+        re.escape(base),
+        f"({re.escape(base)}|{re.escape(vocab[0])})",
+    )
+    for pattern in patterns:
+        rx = re.compile(pattern, re.DOTALL)
+        exp_terms = [t for t in vocab if rx.fullmatch(t)]
+        exp_docs = sorted({d for t in exp_terms for d in oracle.postings.get(t, {})})
+        td = s.search(RegexpQuery(pattern), len(raw))
+        assert td.doc_ids.tolist() == exp_docs, pattern
+        assert all(sc == 1.0 for sc in td.scores.tolist())
+    # substring (unanchored) patterns must NOT match: full-match only
+    assert s.count(RegexpQuery(base[1:-1])) == 0 or base[1:-1] in vocab
+
+
 def test_numeric_range_sharded(mf):
     index_dir, _, raw, oracle = mf
     s = IndexSearcher(index_dir)
