@@ -350,6 +350,8 @@ _FUZZY_TERM, _FUZZY_EDITS, _FUZZY_PREFIX = "spark", 1, 1
 _NS_TERM, _NS_FIELD, _NS_VALUES = "spark", "n_chars", (150, 200, 250, 300)
 _BOX = ("spark", "n_chars", 100, 400, "doc_id", 50, 400)
 _FE_FIELD = "lang"
+# expungeDeletes gate constants (delete lang=es, compact, re-query)
+_EXP_FIELD, _EXP_VALUE, _EXP_TERM = "lang", "es", "spark"
 
 
 def entry() -> Any:
@@ -464,6 +466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_exists_count": lambda sf: fulltext.field_exists_count(sf, _FE_FIELD),
         "topk_after_delete": lambda sf: fulltext.topk_after_delete(
             sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
+        ),
+        "topk_after_expunge": lambda sf: fulltext.topk_after_expunge(
+            sf, "term", [_EXP_TERM], _K, del_field=_EXP_FIELD, del_value=_EXP_VALUE
         ),
         # --- dedup family ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
@@ -580,6 +585,13 @@ SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {_FE_FIELD} IS NOT NU
             _DEL_TERM,
             _K,
             f"tf.doc_id NOT IN (SELECT doc_id FROM documents WHERE {_DEL_FIELD} = '{_DEL_VALUE}')",
+        ),
+        # post-expunge: stats themselves exclude the deleted docs, so the
+        # oracle drops them from the corpus BEFORE tokenizing (vs the
+        # after_delete oracle, which only filters the hit list)
+        "topk_after_expunge": _topk_term_sql(_EXP_TERM, _K).replace(
+            "FROM documents)",
+            f"FROM documents WHERE {_EXP_FIELD} IS DISTINCT FROM '{_EXP_VALUE}')",
         ),
         "sorted_topn_norms": f"""
 WITH {_TOKS}, {_NORMS}

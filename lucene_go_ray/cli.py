@@ -78,6 +78,24 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_expunge(args) -> int:
+    _ensure_ray()
+    from .index.compact import expunge_deletes
+
+    res = expunge_deletes(args.index, min_ratio=args.min_ratio)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_clean(args) -> int:
+    # pure filesystem sweep — no Ray session needed
+    from .index.compact import gc_index
+
+    res = gc_index(args.index)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_add(args) -> int:
     _ensure_ray()
     from .index.build import add_documents
@@ -174,6 +192,20 @@ def main(argv=None) -> int:
     d.add_argument("--field", default=None)
     d.add_argument("--cluster", action="store_true")
     d.set_defaults(fn=cmd_delete)
+
+    e = sub.add_parser(
+        "expunge", help="compact tombstones: rewrite deleted-heavy segments"
+    )
+    e.add_argument("--index", required=True)
+    e.add_argument("--min-ratio", type=float, default=0.0,
+                   help="only rewrite partitions with >= this delete ratio "
+                        "(Lucene forceMergeDeletes default is 0.1)")
+    e.add_argument("--cluster", action="store_true")
+    e.set_defaults(fn=cmd_expunge)
+
+    c = sub.add_parser("clean", help="remove orphan tmp/retired artifacts")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_clean)
 
     a = sub.add_parser("add", help="append documents to an existing index")
     a.add_argument("--input", nargs="+", required=True, help="parquet globs")

@@ -141,6 +141,15 @@ class SegmentIndexer:
             "row_start": int(part["row_start"]),
             "num_docs": int(part["num_docs"]),
             "input_bytes": int(part.get("input_bytes", 0)),
+            # expungeDeletes rebuild: local ords whose content is dropped
+            # from postings/stats (docmap rows & docBases stay — stable IDs)
+            "dead_ords": sorted(
+                int(x)
+                for x in (
+                    [] if part.get("dead_ords") is None else part["dead_ords"]
+                )
+            ),
+            "replace": bool(part.get("replace", False)),
         }
         cfg = self.cfg
         pf = pq.ParquetFile(part["path"])
@@ -152,6 +161,28 @@ class SegmentIndexer:
         if part["row_start"] or len(table) != part["num_docs"]:
             table = table.slice(part["row_start"], part["num_docs"])
         n_docs = len(table)
+
+        # ---- expungeDeletes (indexwriter.go:399-422 delete GC surface):
+        # blank the dead rows' indexed content BEFORE analysis, so postings,
+        # norms, per-field stats, dv zone maps and has-field bitmaps are all
+        # rebuilt without them, while the physical row (and hence every
+        # surviving doc's ord / global docID) stays put — the immutable-ID
+        # analogue of Lucene's segment-rewriting expunge.
+        dead_ords = np.asarray(part["dead_ords"], dtype=np.int64)
+        if len(dead_ords):
+            alive = np.ones(n_docs, dtype=bool)
+            alive[dead_ords] = False
+            keep = pa.array(alive)
+            for name in table.column_names:
+                if name == cfg.key_column:
+                    continue  # keys stay retrievable (Lucene stored fields
+                    # of deleted docs remain until the file is dropped)
+                col = table[name].combine_chunks()
+                table = table.set_column(
+                    table.schema.get_field_index(name),
+                    name,
+                    pc.if_else(keep, col, pa.scalar(None, type=col.type)),
+                )
 
         tok = self.analyzer.analyze_column(
             table[cfg.text_column], emit_offsets=cfg.index_offsets
@@ -269,6 +300,14 @@ class SegmentIndexer:
             }
         )
         pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
+        if len(dead_ords):
+            # the segment's liveDocs complement (segmentreader.go liveDocs /
+            # the .liv file): sorted local ords expunged from this segment.
+            # Searchers union (doc_base + these) into the collect-time filter.
+            pq.write_table(
+                pa.table({"ord": pa.array(dead_ords, type=pa.int64())}),
+                os.path.join(tmp_dir, "dead.parquet"),
+            )
         terms_table = pa.concat_tables(field_tables)
         pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
         if cfg.index_offsets and len(t_sorted):
@@ -315,10 +354,22 @@ class SegmentIndexer:
             input_bytes=int(part.get("input_bytes", 0)),
             field_stats=field_stats,
             dv_ranges=dv_ranges,
+            num_deleted=len(dead_ords),
         )
         with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
             json.dump(asdict(info), f)
-        if os.path.exists(final_dir):  # lost a race with a retry — keep winner
+        if part["replace"] and os.path.exists(final_dir):
+            # compaction rewrite: retire the old segment dir, promote the new
+            # one. A crash between the two renames leaves no final dir, which
+            # the resumable planner treats as "not built" and rebuilds; the
+            # retired dir is swept by the orphan GC (cli clean).
+            import shutil
+
+            trash = final_dir + f".old-{os.getpid()}"
+            os.replace(final_dir, trash)
+            os.replace(tmp_dir, final_dir)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif os.path.exists(final_dir):  # lost a race with a retry — keep winner
             import shutil
 
             shutil.rmtree(tmp_dir)
@@ -501,16 +552,22 @@ def build_index(
 def _run_segment_builds(
     index_dir: str,
     cfg: IndexConfig,
-    todo: list[PartitionInfo],
+    todo: list,
     concurrency: int | None,
+    *,
+    from_descriptors: bool = False,
 ) -> list[PartitionInfo]:
+    """Actor-pool build of the given partitions. ``todo`` is a list of
+    PartitionInfo, or (``from_descriptors``) raw descriptor dicts that may
+    carry the expunge keys (dead_ords, replace)."""
     import ray
     import ray.data
 
     n_actors = concurrency or max(
         1, min(len(todo), int(ray.cluster_resources().get("CPU", 4)))
     )
-    ds = ray.data.from_items([asdict(p) for p in todo])
+    items = todo if from_descriptors else [asdict(p) for p in todo]
+    ds = ray.data.from_items(items)
     infos = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs={"index_dir": index_dir, "cfg_dict": asdict(cfg)},

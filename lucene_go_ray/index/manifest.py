@@ -35,6 +35,11 @@ class PartitionInfo:
     field_stats: dict = field(default_factory=dict)
     # doc-values zone maps: {field: [min, max]} over this segment's values
     dv_ranges: dict = field(default_factory=dict)
+    # docs expunged from this segment's postings/stats (their local ords are
+    # in the segment's dead.parquet — the .liv file of segmentreader.go
+    # liveDocs, kept WITH the segment after compaction). docIDs stay stable:
+    # num_docs keeps counting dead rows so docBases never shift.
+    num_deleted: int = 0
 
 
 @dataclass

@@ -303,6 +303,52 @@ def topk_after_delete(
     )
 
 
+def topk_after_expunge(
+    sf_dir: str,
+    kind: str,
+    clauses: list[str],
+    k: int = 10,
+    *,
+    del_field: str = "lang",
+    del_value: str = "es",
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Delete-by-term, then expungeDeletes, then top-k: unlike
+    ``topk_after_delete`` (overlay liveDocs, stats still count the dead),
+    the compacted index has REFRESHED collection statistics — scores match
+    an index built without the deleted docs (indexwriter.go:399-422 delete
+    GC via index/compact.py). Runs on a cached private copy of the gate
+    index."""
+    import shutil
+
+    from ..index.compact import expunge_deletes
+    from ..index.deletes import delete_by_term
+
+    base = get_searcher(sf_dir, cfg)
+    ddir = base.index_dir + f"_exp_{del_field}_{del_value}"
+    s = _searcher_cache.get(ddir)
+    if s is None:
+        if not os.path.isdir(ddir):
+            tmp = ddir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(base.index_dir, tmp)
+            delete_by_term(tmp, del_value, fld=del_field)
+            expunge_deletes(tmp)
+            os.replace(tmp, ddir)
+        s = IndexSearcher(ddir)
+        _searcher_cache[ddir] = s
+    q = query_from_descriptor(kind, clauses)
+    td, scores6 = _search_past_rounded_ties(s, q, k, 6)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
 def term_doc_count(sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG) -> pa.Table:
     """Total hit count for a term query (TotalHitCountCollector)."""
     s = get_searcher(sf_dir, cfg)

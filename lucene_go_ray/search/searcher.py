@@ -323,6 +323,23 @@ class IndexSearcher:
         from ..index.deletes import load_deleted
 
         self.deleted = load_deleted(index_dir)
+        # compacted segments carry their own liveDocs complement
+        # (dead.parquet, the .liv file — index/compact.py): those docs are
+        # already gone from postings/stats, but the dense evaluation paths
+        # (match-all, docID range, doc-values scans over the docmap) still
+        # need them filtered, so union them into the same collect-time set.
+        seg_dead = [
+            p for p in self.manifest.partitions if p.get("num_deleted", 0)
+        ]
+        if seg_dead:
+            from ..index.compact import segment_dead_ords
+
+            arrs = [self.deleted] + [
+                segment_dead_ords(index_dir, int(p["pid"]))
+                + int(p["doc_base"])
+                for p in seg_dead
+            ]
+            self.deleted = np.unique(np.concatenate(arrs))
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
         self._num_buckets = self.cfg.merge_buckets

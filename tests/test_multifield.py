@@ -332,6 +332,115 @@ def test_deletes_survive_remerge(del_index):
     assert s.count(TermQuery(val, field="lang")) == 0
 
 
+def test_expunge_deletes(del_index):
+    """expungeDeletes (indexwriter.go:399-422 delete GC): after compaction
+    the overlay is consumed, collection/field stats exclude the deleted
+    docs, scores re-rank under the REFRESHED stats, docIDs stay stable,
+    and dense paths (match-all) still exclude the dead docs via the
+    per-segment liveDocs file."""
+    from lucene_go_ray.index.compact import expunge_deletes, segment_dead_ords
+    from lucene_go_ray.index.manifest import load_manifest
+    from lucene_go_ray.search import MatchAllDocsQuery
+
+    d, raw, oracle = del_index
+    val = str(raw["lang"].value_counts().index[-1])
+    gone = set(raw.index[raw["lang"] == val].tolist())
+    delete_by_term(d, val, fld="lang")
+    m0 = load_manifest(d)
+    res = expunge_deletes(d)
+    assert res["docs_expunged"] == len(gone)
+    assert res["tombstones_left"] == 0
+    assert load_deleted(d).size == 0  # overlay consumed into segment .liv
+    # post-expunge oracle: the same corpus with deleted docs' text blanked
+    # (positional docIDs preserved — stats genuinely exclude the dead docs)
+    texts = [None if i in gone else t for i, t in enumerate(raw["text"].tolist())]
+    an = StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    oracle2 = NaiveEngine(texts, an)
+    m1 = load_manifest(d)
+    assert m1.max_doc == m0.max_doc  # docID space never shrinks
+    assert m1.doc_count == oracle2.doc_count < m0.doc_count
+    assert m1.sum_total_term_freq == oracle2.sum_ttf
+    # per-field stats refreshed: the deleted lang value is gone
+    assert m1.field_stats["lang"]["doc_count"] == int(
+        (raw["lang"].notna() & ~raw.index.isin(list(gone))).sum()
+    )
+    s = IndexSearcher(d)
+    t = _text_term(oracle)
+    exp, total = oracle2.search(TermQuery(t), 10)
+    td = s.search(TermQuery(t), 10)
+    assert td.doc_ids.tolist() == [doc for doc, _ in exp]
+    assert td.scores.tolist() == pytest.approx([sc for _, sc in exp], rel=1e-12)
+    assert td.total_hits == total
+    assert s.count(TermQuery(val, field="lang")) == 0
+    # dense evaluation paths exclude the dead docs via segment liveDocs
+    assert s.count(MatchAllDocsQuery()) == len(raw) - len(gone)
+    # the consumed tombstones moved into the touched segments' dead files
+    n_dead = sum(
+        len(segment_dead_ords(d, int(p["pid"]))) for p in m1.partitions
+    )
+    assert n_dead == len(gone)
+    # idempotent: nothing pending => no rewrites
+    assert expunge_deletes(d)["partitions_rewritten"] == 0
+    # a second delete+expunge round composes with the first (prior dead
+    # ords are preserved in the rewritten segments)
+    val2 = str(raw["lang"].value_counts().index[-2])
+    gone2 = set(raw.index[raw["lang"] == val2].tolist())
+    delete_by_term(d, val2, fld="lang")
+    res2 = expunge_deletes(d)
+    assert res2["docs_expunged"] == len(gone2)
+    s2 = IndexSearcher(d)
+    assert s2.count(TermQuery(val, field="lang")) == 0
+    assert s2.count(TermQuery(val2, field="lang")) == 0
+    assert s2.count(MatchAllDocsQuery()) == len(raw) - len(gone) - len(gone2)
+    m2 = load_manifest(d)
+    texts2 = [
+        None if (i in gone or i in gone2) else t
+        for i, t in enumerate(raw["text"].tolist())
+    ]
+    assert m2.doc_count == NaiveEngine(texts2, an).doc_count
+
+
+def test_gc_index(del_index):
+    """Orphan GC (indexfiledeleter.go surface): each crash-leftover class is
+    planted, the sweep removes exactly those, live state stays searchable,
+    and an unfinished merge's tmp dir (resume asset) is preserved."""
+    from lucene_go_ray.index.compact import gc_index
+    from lucene_go_ray.index.manifest import load_manifest
+
+    d, raw, oracle = del_index
+    # plant every orphan class
+    os.makedirs(os.path.join(d, "global.old", "postings"), exist_ok=True)
+    open(os.path.join(d, "global.old", "stats.json"), "w").write("{}")
+    os.makedirs(os.path.join(d, "global.tmp"), exist_ok=True)
+    os.makedirs(os.path.join(d, "segments", ".tmp-p=00099-1234"), exist_ok=True)
+    os.makedirs(os.path.join(d, "segments", "p=00000.old-777"), exist_ok=True)
+    os.makedirs(os.path.join(d, "deletes"), exist_ok=True)
+    open(os.path.join(d, "deletes", ".del-dead.parquet.tmp"), "w").write("x")
+    res = gc_index(d)
+    assert sorted(res["removed"]) == [
+        "deletes/.del-dead.parquet.tmp",
+        "global.old",
+        "global.tmp",
+        "segments/.tmp-p=00099-1234",
+        "segments/p=00000.old-777",
+    ]
+    # live state untouched and searchable
+    t = _text_term(oracle)
+    exp, total = oracle.search(TermQuery(t), 10)
+    td = IndexSearcher(d).search(TermQuery(t), 10)
+    assert td.doc_ids.tolist() == [doc for doc, _ in exp]
+    # an unfinished merge (manifest.merged False) keeps its tmp dir
+    m = load_manifest(d)
+    m.merged = False
+    from lucene_go_ray.index.manifest import save_manifest
+
+    save_manifest(d, m)
+    os.makedirs(os.path.join(d, "global.tmp"), exist_ok=True)
+    res2 = gc_index(d)
+    assert "global.tmp" not in res2["removed"]
+    assert os.path.isdir(os.path.join(d, "global.tmp"))
+
+
 def _write_extra_docs(path: str, start_id: int, texts: list[str]):
     n = len(texts)
     pq.write_table(
