@@ -85,59 +85,12 @@ def text_quality(sf_dir: str, key: str = "doc_id", text: str = "text"):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-# simple n-gram-profile language ID: score = fraction of tokens in each
-# language's marker list; deterministic heuristic (stub-quality, but the
-# Ray plumbing — broadcast profiles, vectorized membership — is the real
-# shape of a fastText-style classifier stage)
-_LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "in", "is", "it", "a"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
-    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une"],
-}
-
-
 def language_id(sf_dir: str, key: str = "doc_id", text: str = "text"):
-    """(key, lang_pred, lang_score) by stopword-profile voting."""
-    import ray.data
+    """(key, lang_pred, lang_score) via the byte-trigram Naive Bayes
+    classifier (pipelines/langid.py — model built once per actor)."""
+    from .langid import language_id as _lid
 
-    marker_arrays = {
-        lang: pa.array(words, type=pa.large_string())
-        for lang, words in _LANG_MARKERS.items()
-    }
-    langs = list(_LANG_MARKERS)
-
-    def _f(batch: pa.Table) -> pa.Table:
-        s = batch[text].cast(pa.large_string())
-        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.utf8_lower(pc.list_flatten(toks))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        counts = np.diff(offs)
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        scores = np.zeros((len(counts), len(langs)))
-        for li, lang in enumerate(langs):
-            hit = pc.is_in(flat, value_set=marker_arrays[lang]).to_numpy(
-                zero_copy_only=False
-            )
-            scores[:, li] = np.bincount(
-                doc_of, weights=hit, minlength=len(counts)
-            ) / np.maximum(counts, 1)
-        best = scores.argmax(axis=1)
-        return pa.table(
-            {
-                key: batch[key],
-                "lang_pred": pa.array([langs[i] for i in best], type=pa.string()),
-                "lang_score": pa.array(np.round(scores.max(axis=1), 6)),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
-    )
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return _lid(sf_dir, key, text)
 
 
 def fingerprints(

@@ -139,23 +139,74 @@ def test_minhash_pairs_match_independent(sf_dir):
     assert got == expected
 
 
+def _naive_classify(model, text: str):
+    """Independent pure-python reimplementation of the byte-trigram NB
+    scorer: string slicing + dict counting instead of the engine's numpy
+    buffer math. Shares only the trained log-prob table."""
+    from lucene_go_ray.pipelines.langid import _BUCKET_BITS, _HASH_MULT
+
+    b = text.lower().encode("utf-8")
+    if len(b) < 3:
+        return "und", 0.0
+    counts: dict[int, int] = {}
+    for i in range(len(b) - 2):
+        code = (b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+        bucket = (code * int(_HASH_MULT) % (1 << 32)) >> (32 - _BUCKET_BITS)
+        counts[bucket] = counts.get(bucket, 0) + 1
+    n_tri = len(b) - 2
+    means = [
+        sum(c * float(model.log_prob[li][bk]) for bk, c in counts.items())
+        / n_tri
+        for li in range(len(model.langs))
+    ]
+    order = sorted(range(len(means)), key=lambda i: means[i])
+    best, second = order[-1], order[-2]
+    return model.langs[best], round(means[best] - means[second], 6)
+
+
 def test_language_id_matches_independent(sf_dir):
+    from lucene_go_ray.pipelines.langid import LangIDModel
+
     ids, texts = _load_docs(sf_dir)
     got = {
         int(r["doc_id"]): (r["lang_pred"], float(r["lang_score"]))
         for r in textstats.language_id(sf_dir).take_all()
     }
-    markers = textstats._LANG_MARKERS
+    model = LangIDModel()
     for i in range(0, len(ids), 9):
-        toks = [
-            t.lower()
-            for t in re.split("[" + GO_WHITESPACE_CHARS + "]", texts[i])
-        ]
-        best_lang, best_score = None, -1.0
-        for lang, words in markers.items():  # dict order = tie-break order
-            score = sum(1 for t in toks if t in words) / max(len(toks), 1)
-            if score > best_score:
-                best_lang, best_score = lang, score
+        exp_lang, exp_score = _naive_classify(model, texts[i])
         pred, score = got[ids[i]]
-        assert pred == best_lang, ids[i]
-        assert abs(score - round(best_score, 6)) < 1e-12, ids[i]
+        assert pred == exp_lang, ids[i]
+        assert abs(score - exp_score) < 1e-6, ids[i]
+
+
+def test_language_id_accuracy_heldout():
+    """Real-classifier criterion: held-out sentences (absent from the seed
+    profiles) in all 8 supported languages classify correctly."""
+    from lucene_go_ray.pipelines.langid import LangIDModel
+
+    m = LangIDModel()
+    held_out = [
+        ("the children walked to school although it was raining hard", "en"),
+        ("you should never give up even when everything goes wrong", "en"),
+        ("ich habe keine ahnung wo mein schlüssel geblieben ist", "de"),
+        ("morgen werden wir zusammen in die stadt fahren", "de"),
+        ("je ne sais pas où se trouvent mes clés ce matin", "fr"),
+        ("demain nous irons ensemble au marché près de la gare", "fr"),
+        ("no tengo ni idea de dónde están mis llaves esta mañana", "es"),
+        ("mañana iremos juntos al mercado cerca de la estación", "es"),
+        ("non ho idea di dove siano finite le mie chiavi stamattina", "it"),
+        ("domani andremo insieme al mercato vicino alla stazione", "it"),
+        ("não faço ideia de onde estão as minhas chaves esta manhã", "pt"),
+        ("amanhã iremos juntos ao mercado perto da estação", "pt"),
+        ("ik heb geen idee waar mijn sleutels deze ochtend zijn", "nl"),
+        ("morgen gaan we samen naar de markt bij het station", "nl"),
+        ("我不知道我的钥匙今天早上放在哪里了", "zh"),
+        ("明天我们一起去火车站附近的市场", "zh"),
+    ]
+    correct = sum(m.classify(t)[0] == lang for t, lang in held_out)
+    assert correct >= 15, f"{correct}/16"
+    # margins are positive confidences; empty input is undetermined
+    assert all(m.classify(t)[1] > 0 for t, _ in held_out)
+    assert m.classify("")[0] == "und"
+    assert m.classify("ab")[0] == "und"
