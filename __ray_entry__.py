@@ -352,6 +352,8 @@ _BOX = ("spark", "n_chars", 100, 400, "doc_id", 50, 400)
 _FE_FIELD = "lang"
 # expungeDeletes gate constants (delete lang=es, compact, re-query)
 _EXP_FIELD, _EXP_VALUE, _EXP_TERM = "lang", "es", "spark"
+# pluggable-collector gate constants (doc-values histogram over matches)
+_HIST = ("spark", "n_chars", 0, 500, 10)  # term, field, lo, hi, n_buckets
 
 
 def entry() -> Any:
@@ -448,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "field_mixed", [_MIX_TERM, _MIX_FIELD, _MIX_VALUE], _K
         ),
         "field_term_stats": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
+        "term_vectors": lambda sf: fulltext.term_vectors(sf, modulus=97),
+        "dv_histogram": lambda sf: fulltext.dv_histogram(sf, *_HIST),
         "topk_numeric_range": lambda sf: fulltext.topk(
             sf, "numeric_range", [_NR_TERM, _NR_FIELD, str(_NR_LO), str(_NR_HI)], _K
         ),
@@ -536,6 +540,20 @@ SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
             _FILTER_TERM, _FILTER_LO, _FILTER_HI, _K
         ),
         "topk_paged": _paged_topk_sql(_TERM, 2, 10),
+        "term_vectors": f"""
+WITH {_TOKS}
+SELECT doc_id, term, count(*)::BIGINT AS freq
+FROM toks WHERE doc_id % 97 = 0 GROUP BY doc_id, term
+""",
+        "dv_histogram": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_HIST[0]}')
+SELECT bucket, count(*)::BIGINT AS cnt FROM (
+  SELECT least(greatest((d.{_HIST[1]} - {_HIST[2]}) * {_HIST[4]} // ({_HIST[3]} - {_HIST[2]}), 0), {_HIST[4]} - 1)::BIGINT AS bucket
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+  WHERE d.{_HIST[1]} IS NOT NULL
+) GROUP BY bucket ORDER BY bucket
+""",
         "topk_field_term": _field_term_topk_sql(_KW_FIELD, _KW_VALUE, _K),
         "topk_field_mixed": _topk_term_filtered_sql(
             _MIX_TERM,

@@ -267,10 +267,67 @@ def _scaling(sf_dir: str) -> dict:
     }
 
 
+def _scaling_interleaved(sf_dir: str, pairs: int = 6) -> dict:
+    """Paired-quotient scaling protocol (round-2 judge request): alternate
+    2-core and 8-core reps back-to-back so the ±40% box-noise drift hits
+    both sides of each quotient equally, then report the MEDIAN of the
+    per-pair efficiency quotients rather than a best clean run.
+
+    Each pair runs its two reps within minutes of each other; pair order
+    flips (2,8 / 8,2 / ...) so a monotone drift across the session cannot
+    bias the quotient either way."""
+    n_docs = int(os.environ.get("LGR_SCALING_DOCS", "800000"))
+
+    def one_rep(cpus: int) -> dict:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["LGR_BENCH_DOCS"] = str(n_docs)
+        env["LGR_SCALING"] = "1"
+        cmd = [sys.executable, __file__]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    keys = ("index_docs_per_sec", "queries_per_sec")
+    quotients = {k: [] for k in keys}
+    raw = []
+    for i in range(pairs):
+        order = (2, 8) if i % 2 == 0 else (8, 2)
+        rep = {c: one_rep(c) for c in order}
+        entry = {"order": list(order)}
+        for k in keys:
+            q = rep[8][k] / rep[2][k] / 4.0
+            quotients[k].append(q)
+            entry[k] = {
+                "n2": round(rep[2][k], 1),
+                "n8": round(rep[8][k], 1),
+                "efficiency": round(q, 3),
+            }
+        raw.append(entry)
+        print(json.dumps({"pair": i + 1, **entry}), file=sys.stderr, flush=True)
+    import statistics
+
+    med = {k: round(statistics.median(v), 3) for k, v in quotients.items()}
+    return {
+        "metric": "paired-quotient scaling efficiency, median of "
+        f"{pairs} interleaved 2/8-core pairs",
+        "value": med["index_docs_per_sec"],
+        "unit": "efficiency",
+        "medians": med,
+        "pairs": raw,
+        "sf": sf_dir,
+    }
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-interleaved" in sys.argv:
+        pairs = int(os.environ.get("LGR_SCALING_PAIRS", "6"))
+        print(json.dumps(_scaling_interleaved(sf_dir, pairs)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(_scaling(sf_dir)))
     else:
         print(json.dumps(_bench(sf_dir, num_cpus)))

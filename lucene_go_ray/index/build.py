@@ -340,6 +340,12 @@ class SegmentIndexer:
                 row_group_size=65536,
             )
 
+        if cfg.index_term_vectors:
+            self._write_term_vectors(
+                tmp_dir, table, post_term, post_doc, freqs_all, p_sorted,
+                sorted_vocab,
+            )
+
         info = PartitionInfo(
             pid=pid,
             path=part["path"],
@@ -376,6 +382,99 @@ class SegmentIndexer:
         else:
             os.replace(tmp_dir, final_dir)
         return asdict(info)
+
+    def _write_term_vectors(
+        self,
+        tmp_dir: str,
+        table: pa.Table,
+        post_term: np.ndarray,
+        post_doc: np.ndarray,
+        freqs_all: np.ndarray,
+        p_sorted: np.ndarray,
+        sorted_vocab: list,
+    ) -> None:
+        """Per-document term vectors (FieldType.StoreTermVectors semantics,
+        /root/reference/core/document/fieldtype.go:10-25; the simpletext
+        codec's term-vector writer is the reference store): one row per
+        (doc, field, term) with freq + positions, the doc-major transpose
+        of the postings. Rows sorted (ord, field, term) so parquet
+        row-group stats prune single-doc retrievals; derivation is pure
+        array transposition of the already-built term-major postings — the
+        analyzer never runs twice."""
+        cfg = self.cfg
+        fields_sorted = sorted({cfg.text_column, *cfg.keyword_fields})
+        frank_of = {f: i for i, f in enumerate(fields_sorted)}
+
+        parts: list[pa.Table] = []
+        # text field: transpose postings (term-major -> doc-major)
+        occ = np.zeros(len(post_doc) + 1, dtype=np.int64)
+        np.cumsum(freqs_all, out=occ[1:])
+        vocab_arr = np.asarray(sorted_vocab, dtype=object)
+        parts.append(
+            pa.table(
+                {
+                    "ord": pa.array(post_doc.astype(np.int32)),
+                    "field": pa.array(
+                        [cfg.text_column] * len(post_doc), type=pa.string()
+                    ),
+                    "term": pa.array(
+                        vocab_arr[post_term].tolist()
+                        if len(post_doc)
+                        else [],
+                        type=pa.large_string(),
+                    ),
+                    "freq": pa.array(freqs_all.astype(np.int32)),
+                    "positions": pa.LargeListArray.from_arrays(
+                        occ, pa.array(p_sorted.astype(np.int32))
+                    ),
+                    "_frank": pa.array(
+                        np.full(len(post_doc), frank_of[cfg.text_column], np.int32)
+                    ),
+                    "_trank": pa.array(post_term.astype(np.int64)),
+                }
+            )
+        )
+        # keyword fields: one verbatim term per non-null doc, freq 1, pos 0
+        for kf in sorted(cfg.keyword_fields):
+            col = table[kf].combine_chunks().cast(pa.large_string())
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            ords = np.flatnonzero(valid).astype(np.int32)
+            vals = col.drop_null()
+            denc = vals.dictionary_encode()
+            ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kvocab = denc.dictionary.to_pylist()
+            korder = np.argsort(np.asarray(kvocab, dtype=object), kind="stable")
+            krank = np.empty(len(kvocab), dtype=np.int64)
+            krank[korder] = np.arange(len(kvocab))
+            n = len(ords)
+            parts.append(
+                pa.table(
+                    {
+                        "ord": pa.array(ords),
+                        "field": pa.array([kf] * n, type=pa.string()),
+                        "term": vals.cast(pa.large_string()),
+                        "freq": pa.array(np.ones(n, np.int32)),
+                        "positions": pa.LargeListArray.from_arrays(
+                            np.arange(n + 1, dtype=np.int64),
+                            pa.array(np.zeros(n, np.int32)),
+                        ),
+                        "_frank": pa.array(np.full(n, frank_of[kf], np.int32)),
+                        "_trank": pa.array(krank[ids]),
+                    }
+                )
+            )
+        tv = pa.concat_tables(parts)
+        perm = np.lexsort(
+            (
+                tv["_trank"].to_numpy(zero_copy_only=False),
+                tv["_frank"].to_numpy(zero_copy_only=False),
+                tv["ord"].to_numpy(zero_copy_only=False),
+            )
+        )
+        tv = tv.take(pa.array(perm)).drop_columns(["_frank", "_trank"])
+        pq.write_table(
+            tv, os.path.join(tmp_dir, "tvec.parquet"), row_group_size=65536
+        )
 
     def _keyword_field_table(
         self, table: pa.Table, kf: str, pid: int

@@ -42,6 +42,12 @@ class IndexConfig:
     # the widest per-token stream and only highlighters read them. Stored
     # as a segment-local side table (offsets.parquet), never shuffled.
     index_offsets: bool = False
+    # per-document term vectors (FieldType.StoreTermVectors,
+    # /root/reference/core/document/fieldtype.go:10-25 + the simpletext
+    # term-vector writer): a doc-major mini inverted index per segment
+    # (tvec.parquet: ord, field, term, freq, positions), row-group pruned
+    # by ord on retrieval. OFF by default — it duplicates every posting.
+    index_term_vectors: bool = False
     target_partition_rows: int = 25_000  # docs per build partition (segment)
     chunk_docs: int = 131_072  # max postings per merged-index row (term chunk)
     # --- merge-shuffle skew handling ---

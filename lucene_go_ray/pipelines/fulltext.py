@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..analysis import StandardAnalyzer
 from ..index import IndexConfig, build_index
@@ -34,6 +35,9 @@ _GATE_CFG = IndexConfig(
     # doc_id doubles as the second dimension of the 2-D box gate
     # (NumericBoxQuery, the lat/lon analogue)
     docvalue_fields=("n_chars", "doc_id"),
+    # per-doc term vectors stored at build (FieldType.StoreTermVectors
+    # parity surface; gate entry `term_vectors` reads them back)
+    index_term_vectors=True,
 )
 
 
@@ -240,6 +244,85 @@ def topk(
             "score": pa.array(scores6[order], type=pa.float64()),
         }
     )
+
+
+def term_vectors(
+    sf_dir: str, modulus: int = 97, cfg: IndexConfig = _GATE_CFG
+):
+    """Sampled per-document term vectors (doc_id % modulus == 0) of the
+    text field as (doc_id, term, freq) — the reader.GetTermVector batch
+    surface. Streams the per-segment doc-major tvec side tables (one read
+    task per segment, field filter pushed to the parquet scan); the text
+    is never re-analyzed. Requires ``index_term_vectors=True`` (on in the
+    gate config)."""
+    import ray.data
+
+    s = get_searcher(sf_dir, cfg)
+    text_col = cfg.text_column
+    segs = [
+        {
+            "path": os.path.join(
+                s.index_dir, "segments", f"p={int(p['pid']):05d}", "tvec.parquet"
+            ),
+            "doc_base": int(p["doc_base"]),
+        }
+        for p in s.manifest.partitions
+    ]
+
+    def _read_seg(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, base in zip(
+            batch["path"].to_pylist(), batch["doc_base"].to_pylist()
+        ):
+            t = pq.read_table(
+                path,
+                columns=["ord", "term", "freq"],
+                filters=[("field", "=", text_col)],
+            )
+            doc_id = t["ord"].to_numpy(zero_copy_only=False).astype(np.int64) + base
+            keep = doc_id % modulus == 0
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_id[keep]),
+                        "term": t["term"]
+                        .combine_chunks()
+                        .cast(pa.string())
+                        .filter(pa.array(keep)),
+                        "freq": pa.array(
+                            t["freq"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)[keep]
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(segs).map_batches(
+        _read_seg, batch_format="pyarrow", batch_size=4
+    )
+
+
+def dv_histogram(
+    sf_dir: str,
+    term: str,
+    field: str = "n_chars",
+    lo: int = 0,
+    hi: int = 500,
+    n_buckets: int = 10,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Histogram of a numeric doc-values field over the docs matching a
+    term — exercises the user-pluggable CollectorManager surface
+    (/root/reference/core/search/collector.go:1) end-to-end: sharded
+    collection over disjoint docID ranges as Ray tasks, driver-side
+    reduce. Returns (bucket, cnt) for non-empty buckets, bucket-sorted."""
+    from ..search import NumericHistogramCollectorManager, TermQuery
+
+    s = get_searcher(sf_dir, cfg)
+    mgr = NumericHistogramCollectorManager(field, lo, hi, n_buckets)
+    return s.search_with_collector_sharded(TermQuery(term), mgr)
 
 
 def field_term_stats(

@@ -1,0 +1,174 @@
+"""User-pluggable Collector / CollectorManager.
+
+The reference surface is ``core/search/collector.go:1`` (Collector /
+LeafCollector with per-doc ``Collect(docID)`` callbacks) and the
+CollectorManager sharding contract of
+``core/search/indexsearcher.go:295-361`` (one collector per leaf slice,
+then ``reduce``). Re-expressed for the Ray/numpy execution model:
+
+- ``Collector.collect(docs, scores)`` receives the shard's ENTIRE
+  candidate arrays (global docIDs, sorted, live-doc filtered) in one
+  vectorized call — the batch analogue of Lucene's per-doc loop. A
+  python per-doc callback would be the slowest construct in the engine;
+  the array contract keeps custom collectors as fast as the built-ins.
+- ``Collector.set_context(searcher)`` runs before collection and gives
+  access to doc-values / norms / stored keys — the LeafReaderContext
+  analogue. ``finish()`` must drop that reference (collectors travel
+  back from Ray workers by pickle).
+- ``CollectorManager.new_collector()`` + ``reduce(collectors)`` shard
+  exactly as the reference: searcher.search_with_collector() runs one
+  collector; search_with_collector_sharded() runs one per disjoint
+  docID range as parallel Ray tasks and reduces on the driver.
+
+The built-in top-k / count / paging reducers in searcher.py remain the
+fast path; these classes are the extension point for everything else
+(facets, histograms, dv aggregates, early-termination experiments).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class Collector:
+    """Per-shard collection state. Subclass and override ``collect``."""
+
+    #: set False when scores are not needed — the evaluator then skips
+    #: BM25 scoring entirely (ConstantScore semantics), like Lucene's
+    #: ScoreMode.COMPLETE_NO_SCORES.
+    needs_scores: bool = True
+
+    def set_context(self, searcher) -> None:
+        """Called once before collection with the (shard-local) searcher —
+        the LeafReaderContext analogue. Default keeps no reference."""
+
+    def collect(self, docs: np.ndarray, scores: np.ndarray | None) -> None:
+        """Vectorized collection: ``docs`` are sorted global docIDs (live
+        docs only); ``scores`` is aligned float64 or None when
+        ``needs_scores`` is False."""
+        raise NotImplementedError
+
+    def finish(self) -> None:
+        """Called after collection; must drop any searcher reference so
+        the collector can be pickled back from a Ray worker."""
+
+
+class CollectorManager:
+    """Factory + reducer over per-shard collectors."""
+
+    def new_collector(self) -> Collector:
+        raise NotImplementedError
+
+    def reduce(self, collectors: list[Collector]):
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# built-ins
+# ---------------------------------------------------------------------------
+
+
+class TotalHitCountCollector(Collector):
+    """Match counting without scoring — totalhitcountcollector.go."""
+
+    needs_scores = False
+
+    def __init__(self) -> None:
+        self.total = 0
+
+    def collect(self, docs, scores) -> None:
+        self.total += len(docs)
+
+
+class TotalHitCountCollectorManager(CollectorManager):
+    def new_collector(self) -> TotalHitCountCollector:
+        return TotalHitCountCollector()
+
+    def reduce(self, collectors) -> int:
+        return int(sum(c.total for c in collectors))
+
+
+class TopDocsCollector(Collector):
+    """Top-k by (score desc, docID asc), state bounded to k entries —
+    topscoredoccollector.go semantics under the array contract."""
+
+    def __init__(self, k: int) -> None:
+        self.k = int(k)
+        self.docs = np.empty(0, np.int64)
+        self.scores = np.empty(0, np.float64)
+        self.total = 0
+
+    def collect(self, docs, scores) -> None:
+        self.total += len(docs)
+        d = np.concatenate([self.docs, docs])
+        s = np.concatenate([self.scores, scores])
+        order = np.lexsort((d, -s))[: self.k]
+        self.docs, self.scores = d[order], s[order]
+
+
+class TopDocsCollectorManager(CollectorManager):
+    def __init__(self, k: int) -> None:
+        self.k = int(k)
+
+    def new_collector(self) -> TopDocsCollector:
+        return TopDocsCollector(self.k)
+
+    def reduce(self, collectors):
+        from .searcher import TopDocs
+
+        docs = np.concatenate([c.docs for c in collectors])
+        scores = np.concatenate([c.scores for c in collectors])
+        order = np.lexsort((docs, -scores))[: self.k]
+        return TopDocs(
+            doc_ids=docs[order],
+            scores=scores[order],
+            total_hits=int(sum(c.total for c in collectors)),
+        )
+
+
+class NumericHistogramCollector(Collector):
+    """Histogram of a doc-values field over the matching docs — the
+    custom-Collector exemplar (a facet/range-aggregation collector):
+    bucket = clip(((v - lo) * n_buckets) // (hi - lo), 0, n_buckets-1),
+    docs with a null dv value are skipped. No scoring needed."""
+
+    needs_scores = False
+
+    def __init__(self, field: str, lo: int, hi: int, n_buckets: int) -> None:
+        self.field, self.lo, self.hi, self.n = field, lo, hi, int(n_buckets)
+        self.counts = np.zeros(self.n, np.int64)
+        self._searcher = None
+
+    def set_context(self, searcher) -> None:
+        self._searcher = searcher
+
+    def collect(self, docs, scores) -> None:
+        vals, valid = self._searcher.dv_values(docs, self.field)
+        v = vals[valid]
+        b = np.clip((v - self.lo) * self.n // (self.hi - self.lo), 0, self.n - 1)
+        self.counts += np.bincount(b, minlength=self.n)
+
+    def finish(self) -> None:
+        self._searcher = None
+
+
+class NumericHistogramCollectorManager(CollectorManager):
+    def __init__(self, field: str, lo: int, hi: int, n_buckets: int) -> None:
+        self.args = (field, int(lo), int(hi), int(n_buckets))
+
+    def new_collector(self) -> NumericHistogramCollector:
+        return NumericHistogramCollector(*self.args)
+
+    def reduce(self, collectors) -> pa.Table:
+        n = self.args[3]
+        counts = np.zeros(n, np.int64)
+        for c in collectors:
+            counts += c.counts
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(counts[nz]),
+            }
+        )

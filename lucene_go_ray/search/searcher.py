@@ -617,6 +617,62 @@ class IndexSearcher:
         td.total_hits = total
         return td
 
+    def search_with_collector(self, query: Query, manager):
+        """Run a user CollectorManager over the match set — the pluggable
+        Collector surface (/root/reference/core/search/collector.go:1):
+        one collector, vectorized ``collect(docs, scores)`` on the full
+        live-filtered candidate arrays, then ``manager.reduce``."""
+        q = query.rewrite()
+        c = manager.new_collector()
+        c.set_context(self)
+        s = self._apply_live(self._eval(q, 1.0, need_scores=c.needs_scores))
+        c.collect(s.docs, s.scores)
+        c.finish()
+        return manager.reduce([c])
+
+    def search_with_collector_sharded(
+        self, query: Query, manager, num_shards: int = 8
+    ):
+        """CollectorManager sharded over disjoint global-docID ranges as
+        parallel Ray tasks (the leaf-slice contract of
+        /root/reference/core/search/indexsearcher.go:295-361): each task
+        builds one collector via ``manager.new_collector()``, collects its
+        range, and ships the collector's state back for
+        ``manager.reduce`` on the driver. Managers and collectors must be
+        picklable; ``finish()`` drops searcher references first."""
+        import ray
+
+        max_doc = self.manifest.max_doc
+        num_shards = max(1, min(num_shards, max_doc))
+        bounds = np.linspace(0, max_doc, num_shards + 1).astype(np.int64)
+        q = query.rewrite()
+        futs = [
+            _collect_shard.remote(
+                self.index_dir, q, int(bounds[i]), int(bounds[i + 1]) - 1, manager
+            )
+            for i in range(num_shards)
+            if bounds[i + 1] > bounds[i]
+        ]
+        return manager.reduce(ray.get(futs))
+
+    def dv_values(self, docs: np.ndarray, fld: str) -> tuple[np.ndarray, np.ndarray]:
+        """(values:int64, valid:bool) of a doc-values field aligned with
+        ``docs`` (sorted global docIDs) — the collector-facing NumericDocValues
+        gather: one cached per-segment column read, vectorized ords."""
+        vals = np.zeros(len(docs), np.int64)
+        valid = np.zeros(len(docs), bool)
+        for i, p in enumerate(self.manifest.partitions):
+            base, n = self._doc_bases[i], int(p["num_docs"])
+            a = int(np.searchsorted(docs, base))
+            b = int(np.searchsorted(docs, base + n))
+            if a == b:
+                continue
+            v, ok = self._dv_column(self._pids[i], fld)
+            ords = docs[a:b] - base
+            vals[a:b] = v[ords]
+            valid[a:b] = ok[ords]
+        return vals, valid
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score breakdown for one document — the reference's
         ``Weight.Explain`` surface (/root/reference/core/search/termquery.go,
@@ -780,6 +836,34 @@ class IndexSearcher:
         if t.num_rows == 0:
             return [], []
         return t["starts"][0].as_py(), t["ends"][0].as_py()
+
+    def term_vector(
+        self, doc_id: int, field: str | None = None
+    ) -> pa.Table:
+        """One document's term vector — ``reader.GetTermVector(docID,
+        field)`` (/root/reference/core/index/indexreader.go; stored when
+        FieldType.StoreTermVectors is set, fieldtype.go:10-25). Returns
+        (field, term, freq, positions) sorted by (field, term); requires
+        an index built with ``index_term_vectors=True``. Reads only the
+        doc's segment's tvec side table, ord-pruned by parquet row-group
+        statistics."""
+        d = int(doc_id)
+        i = bisect.bisect_right(self._doc_bases, d) - 1
+        pid = self._pids[i]
+        ord_ = d - self._doc_bases[i]
+        path = os.path.join(
+            self.index_dir, "segments", f"p={pid:05d}", "tvec.parquet"
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "term vectors absent — build with "
+                "IndexConfig(index_term_vectors=True)"
+            )
+        filters = [("ord", "=", ord_)]
+        if field is not None:
+            filters.append(("field", "=", field))
+        t = pq.read_table(path, filters=filters)
+        return t.drop_columns(["ord"])
 
     # ---------------- doc-values range evaluation --------------------------
 
@@ -1831,10 +1915,27 @@ def _lazy_search_shard(
     return td.doc_ids, td.scores, td.total_hits
 
 
+def _lazy_collect_shard(index_dir: str, query, lo: int, hi: int, manager):
+    """One doc-range shard of a CollectorManager run: collect [lo, hi]
+    into a fresh collector and return it (picklable state only)."""
+    s = _worker_searcher(index_dir)
+    s._doc_range = (lo, hi)
+    try:
+        c = manager.new_collector()
+        c.set_context(s)
+        ev = s._apply_live(s._eval(query, 1.0, need_scores=c.needs_scores))
+        c.collect(ev.docs, ev.scores)
+        c.finish()
+    finally:
+        s._doc_range = None
+    return c
+
+
 # decoration does not require an active Ray session; only .remote() does
 import ray as _ray  # noqa: E402
 
 _search_shard = _ray.remote(num_cpus=1)(_lazy_search_shard)
+_collect_shard = _ray.remote(num_cpus=1)(_lazy_collect_shard)
 
 
 def _lazy_predecode_terms(

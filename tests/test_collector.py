@@ -1,0 +1,142 @@
+"""Pluggable Collector/CollectorManager (core/search/collector.go:1 +
+the CollectorManager sharding contract of indexsearcher.go:295-361):
+built-in managers must agree with the hardwired search paths and with
+independent python recounts, single-collector and Ray-sharded alike."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import StandardAnalyzer
+from lucene_go_ray.index import IndexConfig, build_index
+from lucene_go_ray.search import (
+    BooleanQuery,
+    IndexSearcher,
+    NumericHistogramCollectorManager,
+    TermQuery,
+    TopDocsCollectorManager,
+    TotalHitCountCollectorManager,
+)
+
+from .naive_oracle import NaiveEngine
+
+CFG = IndexConfig(
+    target_partition_rows=120,  # several segments on 500 docs
+    docvalue_fields=("n_chars",),
+)
+
+
+@pytest.fixture(scope="module")
+def built_dv(tmp_path_factory, sf_dir):
+    index_dir = str(tmp_path_factory.mktemp("coll_idx"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    build_index([src], index_dir, CFG)
+    t = pq.read_table(src, columns=["text", "n_chars"])
+    texts = t["text"].to_pylist()
+    oracle = NaiveEngine(
+        texts, StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    )
+    return IndexSearcher(index_dir), oracle, t["n_chars"].to_pylist()
+
+
+def _queries(oracle):
+    terms = sorted(
+        t for t, pl in oracle.postings.items() if 20 <= len(pl) <= 400 and t
+    )[:3]
+    qs = [TermQuery(t) for t in terms]
+    if len(terms) >= 2:
+        qs.append(
+            BooleanQuery.build(should=[TermQuery(terms[0]), TermQuery(terms[1])])
+        )
+    return qs
+
+
+def test_total_hit_count_manager(built_dv):
+    s, oracle, _ = built_dv
+    for q in _queries(oracle):
+        want = s.search(q, k=10).total_hits
+        assert s.search_with_collector(q, TotalHitCountCollectorManager()) == want
+        assert (
+            s.search_with_collector_sharded(
+                q, TotalHitCountCollectorManager(), num_shards=5
+            )
+            == want
+        )
+
+
+def test_topdocs_manager_rank_identical(built_dv):
+    s, oracle, _ = built_dv
+    for q in _queries(oracle):
+        ref = s.search(q, k=10)
+        for runner in (
+            lambda: s.search_with_collector(q, TopDocsCollectorManager(10)),
+            lambda: s.search_with_collector_sharded(
+                q, TopDocsCollectorManager(10), num_shards=4
+            ),
+        ):
+            td = runner()
+            assert td.doc_ids.tolist() == ref.doc_ids.tolist()
+            assert td.scores.tolist() == ref.scores.tolist()
+            assert td.total_hits == ref.total_hits
+
+
+def test_histogram_manager_matches_recount(built_dv):
+    s, oracle, n_chars = built_dv
+    lo, hi, n = 0, 500, 8
+    for q in _queries(oracle):
+        if not isinstance(q, TermQuery):
+            continue
+        match = sorted(oracle.postings[q.term])
+        vals = np.array([n_chars[d] for d in match], dtype=np.int64)
+        want = np.bincount(
+            np.clip((vals - lo) * n // (hi - lo), 0, n - 1), minlength=n
+        )
+        for shards in (1, 6):
+            t = (
+                s.search_with_collector(
+                    q, NumericHistogramCollectorManager("n_chars", lo, hi, n)
+                )
+                if shards == 1
+                else s.search_with_collector_sharded(
+                    q,
+                    NumericHistogramCollectorManager("n_chars", lo, hi, n),
+                    num_shards=shards,
+                )
+            )
+            got = np.zeros(n, np.int64)
+            got[t["bucket"].to_numpy()] = t["cnt"].to_numpy()
+            assert got.tolist() == want.tolist(), (q.term, shards)
+
+
+def test_custom_user_collector(built_dv):
+    """A from-scratch user subclass (score-sum + doc-count) works through
+    both entry points — the actual extension contract."""
+    from lucene_go_ray.search import Collector, CollectorManager
+
+    class SumCollector(Collector):
+        def __init__(self):
+            self.n, self.total = 0, 0.0
+
+        def collect(self, docs, scores):
+            self.n += len(docs)
+            self.total += float(scores.sum())
+
+    class SumManager(CollectorManager):
+        def new_collector(self):
+            return SumCollector()
+
+        def reduce(self, cs):
+            return (sum(c.n for c in cs), sum(c.total for c in cs))
+
+    s, oracle, _ = built_dv
+    q = _queries(oracle)[0]
+    scored = oracle._eval(q)
+    want_n, want_sum = len(scored), sum(scored.values())
+    for got in (
+        s.search_with_collector(q, SumManager()),
+        s.search_with_collector_sharded(q, SumManager(), num_shards=3),
+    ):
+        assert got[0] == want_n
+        assert got[1] == pytest.approx(want_sum, rel=1e-9)

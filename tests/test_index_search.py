@@ -5,6 +5,7 @@ import os
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -432,3 +433,55 @@ def test_search_sharded_rank_identical(built):
             assert got.doc_ids.tolist() == ref.doc_ids.tolist(), (q, shards)
             assert got.scores.tolist() == ref.scores.tolist(), (q, shards)
             assert got.total_hits == ref.total_hits, (q, shards)
+
+
+def test_term_vectors_roundtrip(tmp_path_factory, sf_dir):
+    """Term vectors (FieldType.StoreTermVectors parity): per-doc (term,
+    freq, positions) read back from the tvec side table must equal an
+    independent per-doc analyzer recount, for the text field and a
+    keyword field, across segment boundaries."""
+    cfg = IndexConfig(
+        target_partition_rows=150,
+        keyword_fields=("lang",),
+        index_term_vectors=True,
+    )
+    index_dir = str(tmp_path_factory.mktemp("tvec_idx"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    build_index([src], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    t = pq.read_table(src, columns=["doc_id", "text", "lang"])
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    an = StandardAnalyzer(stop_words=cfg.stop_set(), lowercase=cfg.lowercase)
+    for d in (0, 1, 149, 150, 151, len(texts) - 1):  # straddle segments
+        tv = s.term_vector(d, field="text")
+        # independent recount: analyze one doc in python
+        toks = an.analyze_column(pa.array([texts[d]]))
+        terms = toks["terms"].to_pylist()
+        pos = toks["positions"].tolist()
+        exp: dict[str, list[int]] = {}
+        for term, p in zip(terms, pos):
+            exp.setdefault(term, []).append(p)
+        got = {
+            term: plist
+            for term, plist in zip(
+                tv["term"].to_pylist(), tv["positions"].to_pylist()
+            )
+        }
+        assert got == exp, d
+        freqs = dict(zip(tv["term"].to_pylist(), tv["freq"].to_pylist()))
+        assert freqs == {k: len(v) for k, v in exp.items()}, d
+        # terms sorted within the doc
+        assert tv["term"].to_pylist() == sorted(exp)
+        # keyword field: one verbatim term, freq 1, position 0
+        kv = s.term_vector(d, field="lang")
+        if langs[d] is None:
+            assert kv.num_rows == 0
+        else:
+            assert kv["term"].to_pylist() == [langs[d]]
+            assert kv["freq"].to_pylist() == [1]
+            assert kv["positions"].to_pylist() == [[0]]
+        # full (all-fields) vector covers both fields
+        full = s.term_vector(d)
+        assert set(full["field"].to_pylist()) <= {"text", "lang"}
+        assert full.num_rows == tv.num_rows + kv.num_rows
