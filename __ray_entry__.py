@@ -350,6 +350,11 @@ _FUZZY_TERM, _FUZZY_EDITS, _FUZZY_PREFIX = "spark", 1, 1
 _NS_TERM, _NS_FIELD, _NS_VALUES = "spark", "n_chars", (150, 200, 250, 300)
 _BOX = ("spark", "n_chars", 100, 400, "doc_id", 50, 400)
 _FE_FIELD = "lang"
+# RangeField gate constants (core/query/rangefieldquery.go relations over
+# the per-doc interval [min(doc_id, n_chars), max(doc_id, n_chars)])
+_RF_TERM, _RF_FIELD = "spark", "span"
+_RF_Q = (150, 300)  # intersects / contains / crosses query interval
+_RF_WITHIN = (150, 2000)  # wider interval so WITHIN selects a real subset
 # expungeDeletes gate constants (delete lang=es, compact, re-query)
 _EXP_FIELD, _EXP_VALUE, _EXP_TERM = "lang", "es", "spark"
 # pluggable-collector gate constants (doc-values histogram over matches)
@@ -468,6 +473,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "numeric_box", [str(c) for c in _BOX], _K
         ),
         "field_exists_count": lambda sf: fulltext.field_exists_count(sf, _FE_FIELD),
+        # --- RangeField relations (per-doc interval vs query interval) ---
+        "topk_range_intersects": lambda sf: fulltext.topk(
+            sf,
+            "range_field",
+            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "intersects"],
+            _K,
+        ),
+        "topk_range_within": lambda sf: fulltext.topk(
+            sf,
+            "range_field",
+            [_RF_TERM, _RF_FIELD, str(_RF_WITHIN[0]), str(_RF_WITHIN[1]), "within"],
+            _K,
+        ),
+        "topk_range_contains": lambda sf: fulltext.topk(
+            sf,
+            "range_field",
+            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "contains"],
+            _K,
+        ),
+        "topk_range_crosses": lambda sf: fulltext.topk(
+            sf,
+            "range_field",
+            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "crosses"],
+            _K,
+        ),
         "topk_after_delete": lambda sf: fulltext.topk_after_delete(
             sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
         ),
@@ -595,6 +625,38 @@ FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
             f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
             f"{_BOX[1]} BETWEEN {_BOX[2]} AND {_BOX[3]} AND "
             f"{_BOX[4]} BETWEEN {_BOX[5]} AND {_BOX[6]})",
+        ),
+        "topk_range_intersects": _topk_term_filtered_sql(
+            _RF_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"least(doc_id, n_chars) <= {_RF_Q[1]} AND "
+            f"greatest(doc_id, n_chars) >= {_RF_Q[0]})",
+        ),
+        "topk_range_within": _topk_term_filtered_sql(
+            _RF_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"least(doc_id, n_chars) >= {_RF_WITHIN[0]} AND "
+            f"greatest(doc_id, n_chars) <= {_RF_WITHIN[1]})",
+        ),
+        "topk_range_contains": _topk_term_filtered_sql(
+            _RF_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"least(doc_id, n_chars) <= {_RF_Q[0]} AND "
+            f"greatest(doc_id, n_chars) >= {_RF_Q[1]})",
+        ),
+        "topk_range_crosses": _topk_term_filtered_sql(
+            _RF_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"(least(doc_id, n_chars) <= {_RF_Q[1]} AND "
+            f" greatest(doc_id, n_chars) >= {_RF_Q[0]}) AND NOT "
+            f"(least(doc_id, n_chars) >= {_RF_Q[0]} AND "
+            f" greatest(doc_id, n_chars) <= {_RF_Q[1]}) AND NOT "
+            f"(least(doc_id, n_chars) <= {_RF_Q[0]} AND "
+            f" greatest(doc_id, n_chars) >= {_RF_Q[1]}))",
         ),
         "field_exists_count": f"""
 SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {_FE_FIELD} IS NOT NULL

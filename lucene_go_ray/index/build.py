@@ -125,7 +125,7 @@ class SegmentIndexer:
 
     def __init__(self, index_dir: str, cfg_dict: dict):
         self.index_dir = index_dir
-        self.cfg = IndexConfig(**cfg_dict)
+        self.cfg = IndexConfig.from_dict(cfg_dict)
         self.analyzer = StandardAnalyzer(
             stop_words=self.cfg.stop_set(), lowercase=self.cfg.lowercase
         )
@@ -154,7 +154,10 @@ class SegmentIndexer:
         cfg = self.cfg
         pf = pq.ParquetFile(part["path"])
         cols = [cfg.key_column, cfg.text_column]
-        for extra in tuple(cfg.keyword_fields) + tuple(cfg.docvalue_fields):
+        range_srcs = tuple(c for rf in cfg.range_fields for c in rf[1:])
+        for extra in (
+            tuple(cfg.keyword_fields) + tuple(cfg.docvalue_fields) + range_srcs
+        ):
             if extra not in cols:
                 cols.append(extra)
         table = pf.read_row_groups(list(part["row_groups"]), columns=cols)
@@ -272,6 +275,24 @@ class SegmentIndexer:
             mm = pc.min_max(col).as_py()
             if mm["min"] is not None:
                 dv_ranges[dvf] = [int(mm["min"]), int(mm["max"])]
+        # RangeField intervals (core/query/rangefieldquery.go analogue):
+        # lo/hi derived element-wise so min<=max holds by construction
+        # (the reference's verifyAndEncode invariant, longrange.go:15-39);
+        # skip_nulls=False => a doc with either source null has NO range.
+        for rf in cfg.range_fields:
+            name, col_a, col_b = rf[0], rf[1], rf[2]
+            a = table[col_a].combine_chunks().cast(pa.int64())
+            b = table[col_b].combine_chunks().cast(pa.int64())
+            lo = pc.min_element_wise(a, b, skip_nulls=False)
+            hi = pc.max_element_wise(a, b, skip_nulls=False)
+            for suffix, col in (("lo", lo), ("hi", hi)):
+                dv_cols[f"dv_{name}_{suffix}"] = col
+                mm = pc.min_max(col).as_py()
+                if mm["min"] is not None:
+                    dv_ranges[f"{name}_{suffix}"] = [
+                        int(mm["min"]),
+                        int(mm["max"]),
+                    ]
 
         # ---- write segment (tmp dir + atomic rename) ----
         final_dir = segment_path(self.index_dir, pid)
@@ -697,11 +718,7 @@ def add_documents(
     manifest = load_manifest(index_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest in {index_dir}; build first")
-    cfgd = dict(manifest.config)
-    cfgd["stop_words"] = tuple(cfgd.get("stop_words", ()))
-    for k in ("keyword_fields", "docvalue_fields"):
-        cfgd[k] = tuple(cfgd.get(k, ()))
-    cfg = IndexConfig(**cfgd)
+    cfg = IndexConfig.from_dict(manifest.config)
     if isinstance(new_paths, str):
         new_paths = _expand_paths(new_paths)
     existing = [PartitionInfo(**p) for p in manifest.partitions]

@@ -79,11 +79,7 @@ def expunge_deletes(
     manifest = load_manifest(index_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest in {index_dir}; build first")
-    cfgd = dict(manifest.config)
-    cfgd["stop_words"] = tuple(cfgd.get("stop_words", ()))
-    for k in ("keyword_fields", "docvalue_fields"):
-        cfgd[k] = tuple(cfgd.get(k, ()))
-    cfg = IndexConfig(**cfgd)
+    cfg = IndexConfig.from_dict(manifest.config)
 
     pending = load_deleted(index_dir)  # overlay only (not segment dead files)
     parts = [PartitionInfo(**p) for p in manifest.partitions]

@@ -22,6 +22,16 @@ class IndexConfig:
     # value store behind NumericRangeQuery (the BKD PointRangeQuery analogue,
     # /root/reference/core/search/pointrangequery.go).
     docvalue_fields: tuple = ()
+    # RangeField analogue (/root/reference/core/query/rangefieldquery.go +
+    # {int,long,float,double}rangeslowrangequery.go): each doc stores an
+    # INTERVAL [lo, hi] queried by relation (INTERSECTS / WITHIN / CONTAINS
+    # / CROSSES). Entries are (name, col_a, col_b): at build time the
+    # interval is lo = min(col_a, col_b), hi = max(col_a, col_b) — the
+    # min<=max invariant the reference enforces in verifyAndEncodeInt64
+    # (longrange.go:15-39) holds by construction — persisted as two
+    # doc-values columns dv_{name}_lo / dv_{name}_hi with per-segment zone
+    # maps, so every relation prunes segments before reading values.
+    range_fields: tuple = ()
     # --- analysis ---
     stop_words: tuple = tuple(
         sorted(
@@ -65,3 +75,16 @@ class IndexConfig:
 
     def stop_set(self) -> frozenset:
         return frozenset(self.stop_words)
+
+    @classmethod
+    def from_dict(cls, cfgd: dict) -> "IndexConfig":
+        """Rebuild a config from a manifest/actor dict, normalizing the
+        sequence fields back to (nested) tuples so frozen-dataclass
+        hashing/formatting is stable across the JSON round trip."""
+        d = dict(cfgd)
+        for k in ("stop_words", "keyword_fields", "docvalue_fields"):
+            d[k] = tuple(d.get(k) or ())
+        d["range_fields"] = tuple(
+            tuple(e) for e in (d.get("range_fields") or ())
+        )
+        return cls(**d)

@@ -35,6 +35,9 @@ _GATE_CFG = IndexConfig(
     # doc_id doubles as the second dimension of the 2-D box gate
     # (NumericBoxQuery, the lat/lon analogue)
     docvalue_fields=("n_chars", "doc_id"),
+    # RangeField gate surface: each doc's interval spans its two numeric
+    # attributes, [min(doc_id, n_chars), max(doc_id, n_chars)]
+    range_fields=(("span", "doc_id", "n_chars"),),
     # per-doc term vectors stored at build (FieldType.StoreTermVectors
     # parity surface; gate entry `term_vectors` reads them back)
     index_term_vectors=True,

@@ -199,6 +199,41 @@ class NumericBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """Per-doc INTERVAL query — the RangeFieldQuery / *RangeSlowRangeQuery
+    family (/root/reference/core/query/rangefieldquery.go:10-42,
+    longrangeslowrangequery.go:16-50): each doc stores a range
+    [dv_{field}_lo, dv_{field}_hi] (an ``IndexConfig.range_fields`` entry)
+    and matches by ``relation`` against the query interval [lo, hi]:
+
+      intersects: d_lo <= hi AND d_hi >= lo
+      within:     d_lo >= lo AND d_hi <= hi
+      contains:   d_lo <= lo AND d_hi >= hi
+      crosses:    intersects AND NOT within AND NOT contains
+
+    (the reference's QueryType.Matches per-dim contract; concrete
+    relations there are doc-comment skeletons — these are the standard
+    Lucene RangeField.QueryType semantics). Docs with a null range never
+    match. Constant-scored; zone maps prune per relation before any
+    value column is read."""
+
+    field: str
+    lo: int
+    hi: int
+    relation: str = "intersects"
+
+    _RELATIONS = ("intersects", "within", "contains", "crosses")
+
+    def __post_init__(self):
+        if self.relation not in self._RELATIONS:
+            raise ValueError(
+                f"relation {self.relation!r} not in {self._RELATIONS}"
+            )
+        if self.lo > self.hi:
+            raise ValueError("query range lo > hi")
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Matches docs that HAVE the field (reference
     DocValuesFieldExistsQuery, skeletal there; Lucene semantics:

@@ -67,6 +67,7 @@ from .query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RangeFieldQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -249,10 +250,7 @@ class IndexSearcher:
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
-        cfgd = dict(self.manifest.config)
-        for k in ("stop_words", "keyword_fields", "docvalue_fields"):
-            cfgd[k] = tuple(cfgd.get(k, ()))
-        self.cfg = IndexConfig(**cfgd)
+        self.cfg = IndexConfig.from_dict(self.manifest.config)
         # NRT mode (the IndexWriter.GetReader surface,
         # /root/reference/core/index/indexwriter.go:829): an UN-merged
         # commit is searchable directly over its segments — term lookups
@@ -989,6 +987,48 @@ class IndexSearcher:
 
         return self._segment_mask_docs(mask_fn)
 
+    def _range_field_docs(self, q: RangeFieldQuery) -> np.ndarray:
+        """RangeFieldQuery evaluation (core/query/rangefieldquery.go
+        semantics) over the dv_{field}_lo / dv_{field}_hi docmap columns.
+
+        Relation-specific zone pruning before any value read (the BKD
+        Relation.CELL_OUTSIDE_QUERY skip at segment granularity):
+          intersects/crosses: skip if every d_lo > hi or every d_hi < lo
+          within:             skip if every d_lo < lo or every d_hi > hi
+          contains:           skip if every d_lo > lo or every d_hi < hi
+        """
+        flo, fhi = f"{q.field}_lo", f"{q.field}_hi"
+
+        def mask_fn(p):
+            zs = p.get("dv_ranges") or {}
+            zlo, zhi = zs.get(flo), zs.get(fhi)
+            if zlo is None or zhi is None:
+                return None
+            if q.relation in ("intersects", "crosses"):
+                if zlo[0] > q.hi or zhi[1] < q.lo:
+                    return None
+            elif q.relation == "within":
+                if zlo[1] < q.lo or zhi[0] > q.hi:
+                    return None
+            else:  # contains
+                if zlo[0] > q.lo or zhi[1] < q.hi:
+                    return None
+            dlo, ok_lo = self._dv_column(int(p["pid"]), flo)
+            dhi, ok_hi = self._dv_column(int(p["pid"]), fhi)
+            ok = ok_lo & ok_hi
+            inter = (dlo <= q.hi) & (dhi >= q.lo)
+            if q.relation == "intersects":
+                return ok & inter
+            within = (dlo >= q.lo) & (dhi <= q.hi)
+            if q.relation == "within":
+                return ok & within
+            contains = (dlo <= q.lo) & (dhi >= q.hi)
+            if q.relation == "contains":
+                return ok & contains
+            return ok & inter & ~within & ~contains  # crosses
+
+        return self._segment_mask_docs(mask_fn)
+
     def _has_field_docs(self, fld: str) -> np.ndarray:
         """FieldExists via the per-segment ``hf_<field>`` docmap bitmap
         (text: >=1 surviving token; keyword: non-null), cached like a
@@ -1141,6 +1181,9 @@ class IndexSearcher:
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, NumericInSetQuery):
             docs = self._numeric_set_docs(q.field, q.values)
+            return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
+        if isinstance(q, RangeFieldQuery):
+            docs = self._range_field_docs(q)
             return _Scored(docs, np.full(len(docs), boost) if need_scores else None)
         if isinstance(q, NumericBoxQuery):
             docs = self._numeric_box_docs(q)
@@ -1866,6 +1909,17 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
                 NumericBoxQuery(
                     clauses[1], int(clauses[2]), int(clauses[3]),
                     clauses[4], int(clauses[5]), int(clauses[6]),
+                )
+            ],
+        )
+    if kind == "range_field":
+        # clauses = [term, field, lo, hi, relation]: scored MUST +
+        # per-doc-interval FILTER (RangeFieldQuery relation semantics)
+        return BooleanQuery.build(
+            must=[TermQuery(clauses[0])],
+            filter=[
+                RangeFieldQuery(
+                    clauses[1], int(clauses[2]), int(clauses[3]), clauses[4]
                 )
             ],
         )
