@@ -345,6 +345,7 @@ _NR_TERM, _NR_FIELD, _NR_LO, _NR_HI = "spark", "n_chars", 150, 350
 _DEL_FIELD, _DEL_VALUE, _DEL_TERM = "lang", "de", "spark"
 # wildcard / fuzzy (automaton-family) + point-set / 2-D box gate constants
 _WILDCARD = "s*k"  # term LIKE 's%k'
+_WILDCARD_LEAD = "*er"  # leading wildcard: reversed-dictionary suffix seek
 _REGEXP = "s[ch][a-z]+"  # regexp_full_match on the term dictionary
 _FUZZY_TERM, _FUZZY_EDITS, _FUZZY_PREFIX = "spark", 1, 1
 _NS_TERM, _NS_FIELD, _NS_VALUES = "spark", "n_chars", (150, 200, 250, 300)
@@ -466,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "fuzzy", [_FUZZY_TERM, str(_FUZZY_EDITS), str(_FUZZY_PREFIX)], _K
         ),
         "topk_regexp": lambda sf: fulltext.topk(sf, "regexp", [_REGEXP], _K),
+        "topk_wildcard_leading": lambda sf: fulltext.topk(
+            sf, "wildcard", [_WILDCARD_LEAD], _K
+        ),
         "topk_numeric_set": lambda sf: fulltext.topk(
             sf, "numeric_set", [_NS_TERM, _NS_FIELD, *map(str, _NS_VALUES)], _K
         ),
@@ -611,6 +615,10 @@ FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
         ),
         "topk_regexp": _constant_topk_sql(
             f"regexp_full_match(term, '{_REGEXP}')", _K
+        ),
+        "topk_wildcard_leading": _constant_topk_sql(
+            f"term LIKE '{_WILDCARD_LEAD.replace('*', '%').replace('?', '_')}'",
+            _K,
         ),
         "topk_numeric_set": _topk_term_filtered_sql(
             _NS_TERM,

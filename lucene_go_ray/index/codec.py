@@ -48,7 +48,7 @@ BLOCK_SIZE = 128
 # schema, range index, stats.json) so cached indexes are never read by
 # incompatible code (pipelines/fulltext.get_searcher includes this in its
 # cache tag; IndexSearcher checks it against the manifest).
-INDEX_FORMAT_VERSION = 5  # v5: optional tvec.parquet term-vector side table
+INDEX_FORMAT_VERSION = 6  # v6: global/revdict reversed-term dictionary
 
 # Separator for the composite (field, term) posting key. \x1f sorts below
 # every printable character and never appears in a field NAME, so combined

@@ -124,6 +124,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         if prev != epoch:
             shutil.rmtree(tmp_gdir)
     os.makedirs(os.path.join(tmp_gdir, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(tmp_gdir, "revdict"), exist_ok=True)
     if not os.path.exists(marker):
         with open(marker, "w") as f:
             f.write(epoch)
@@ -260,6 +261,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     #      pass, and writes a deterministic `bucket-NNNNN.parquet`,
     #      term-sorted so row-group term ranges are tight for lookup.
     postings_dir = os.path.join(tmp_gdir, "postings")
+    revdict_dir = os.path.join(tmp_gdir, "revdict")
     shuffle_dir = os.path.join(tmp_gdir, "shuffle")
     shuffle_done = os.path.join(tmp_gdir, "shuffle_COMPLETE")
     phase_a = None
@@ -298,20 +300,36 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 # the same epoch: keep it, rebuild its range-index rows
                 # from the key columns (cheap metadata read)
                 pf = pq.ParquetFile(fpath)
+                kt = pf.read(columns=["field", "term"])
+                keys = _fkey_column(kt).combine_chunks()
+                off = 0
                 for rg in range(pf.metadata.num_row_groups):
-                    keys = _fkey_column(
-                        pf.read_row_group(rg, columns=["field", "term"])
-                    )
-                    if len(keys) == 0:
+                    n = pf.metadata.row_group(rg).num_rows
+                    sl = keys.slice(off, n)
+                    off += n
+                    if len(sl) == 0:
                         continue
-                    mm = pc.min_max(keys).as_py()
+                    mm = pc.min_max(sl).as_py()
+                    out["kind"].append("post")
                     out["file"].append(fname)
                     out["row_group"].append(rg)
                     out["key_min"].append(mm["min"])
                     out["key_max"].append(mm["max"])
                     out["bucket_min"].append(b)
                     out["bucket_max"].append(b)
-                    out["num_rows"].append(len(keys))
+                    out["num_rows"].append(len(sl))
+                rpath = os.path.join(revdict_dir, fname)
+                if os.path.exists(rpath):
+                    rt = pq.read_table(rpath)
+                else:  # crashed between postings and revdict writes
+                    rt = _revdict_table(kt["field"], kt["term"])
+                    pq.write_table(
+                        rt, rpath + ".inprogress", row_group_size=REV_RG_ROWS
+                    )
+                    os.replace(rpath + ".inprogress", rpath)
+                _append_rg_stats(
+                    out, "rev", fname, b, _fkey_column(rt), REV_RG_ROWS
+                )
                 continue
             bdir = os.path.join(shuffle_dir, f"bucket={b}")
             if os.path.isdir(bdir):
@@ -349,17 +367,12 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                     f"write={_time.perf_counter() - t2:.2f}s rows={merged.num_rows}",
                     flush=True,
                 )
-            keys = _fkey_column(merged)
-            for rg_start in range(0, merged.num_rows, rg_rows):
-                sl = keys.slice(rg_start, rg_rows)
-                mm = pc.min_max(sl).as_py()
-                out["file"].append(fname)
-                out["row_group"].append(rg_start // rg_rows)
-                out["key_min"].append(mm["min"])
-                out["key_max"].append(mm["max"])
-                out["bucket_min"].append(b)
-                out["bucket_max"].append(b)
-                out["num_rows"].append(len(sl))
+            _append_rg_stats(out, "post", fname, b, _fkey_column(merged), rg_rows)
+            rt = _revdict_table(merged["field"], merged["term"])
+            rpath = os.path.join(revdict_dir, fname)
+            pq.write_table(rt, rpath + ".inprogress", row_group_size=REV_RG_ROWS)
+            os.replace(rpath + ".inprogress", rpath)
+            _append_rg_stats(out, "rev", fname, b, _fkey_column(rt), REV_RG_ROWS)
         return pa.table(
             {name: pa.array(out[name], type=t) for name, t in _RANGE_INDEX_SCHEMA}
         )
@@ -377,16 +390,23 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     os.remove(os.path.join(tmp_gdir, "hot_terms.json"))
     os.remove(marker)
 
-    # ---- pass 3: term range index from the reduce tasks' metadata ----
-    pq.write_table(
-        pa.table(
-            {
-                name: pa.array([r[name] for r in index_rows], type=t)
-                for name, t in _RANGE_INDEX_SCHEMA
-            }
-        ),
-        os.path.join(tmp_gdir, "postings_index.parquet"),
-    )
+    # ---- pass 3: forward + reversed term range indexes from the reduce
+    # tasks' metadata (no driver-side scan of the bucket files) ----
+    for fname_out, kind in (
+        ("postings_index.parquet", "post"),
+        ("revdict_index.parquet", "rev"),
+    ):
+        rows = [r for r in index_rows if r["kind"] == kind]
+        pq.write_table(
+            pa.table(
+                {
+                    name: pa.array([r[name] for r in rows], type=t)
+                    for name, t in _RANGE_INDEX_SCHEMA
+                    if name != "kind"
+                }
+            ),
+            os.path.join(tmp_gdir, fname_out),
+        )
 
     with open(os.path.join(tmp_gdir, "stats.json"), "w") as f:
         json.dump(
@@ -467,6 +487,50 @@ def term_buckets(
 _HOT_SAMPLE_SEGMENTS = 64
 
 
+REV_RG_ROWS = 65_536  # reversed-dictionary rows per row group
+
+
+def _revdict_table(fields, terms) -> pa.Table:
+    """Bucket-local reversed-term dictionary: one row per distinct
+    (field, term) of the bucket, with ``term`` holding the
+    CODEPOINT-REVERSED term, sorted by the combined (field, rev) key.
+
+    Suffix patterns (leading-wildcard ``*foo``) become prefix seeks here —
+    reversing each hit restores the original term — the classic
+    ReversedWildcardFilter technique. Building it per bucket costs no
+    extra shuffle: terms are hash-scattered across buckets either way and
+    the range index prunes at row-group granularity exactly as for the
+    forward dictionary, so a suffix seek touches O(row groups matching
+    the reversed prefix), never the whole vocabulary."""
+    d = (
+        pa.table({"field": fields, "term": terms})
+        .group_by(["field", "term"])
+        .aggregate([])
+    )
+    t = pa.table(
+        {
+            "field": d["field"].cast(pa.string()),
+            "term": pc.utf8_reverse(d["term"].cast(pa.large_string())),
+        }
+    )
+    return t.take(pc.sort_indices(_fkey_column(t)))
+
+
+def _append_rg_stats(out: dict, kind: str, fname: str, b: int, keys, rg_rows: int):
+    """Range-index rows (one per row group) for a key-sorted file."""
+    for rg_start in range(0, len(keys), rg_rows):
+        sl = keys.slice(rg_start, rg_rows)
+        mm = pc.min_max(sl).as_py()
+        out["kind"].append(kind)
+        out["file"].append(fname)
+        out["row_group"].append(rg_start // rg_rows)
+        out["key_min"].append(mm["min"])
+        out["key_max"].append(mm["max"])
+        out["bucket_min"].append(b)
+        out["bucket_max"].append(b)
+        out["num_rows"].append(len(sl))
+
+
 def _fkey_column(t: pa.Table) -> pa.ChunkedArray | pa.Array:
     """Combined (field, term) posting-key column (codec.KEY_SEP joined)."""
     return pc.binary_join_element_wise(
@@ -519,6 +583,7 @@ def _empty_merged_table() -> pa.Table:
 
 
 _RANGE_INDEX_SCHEMA = [
+    ("kind", pa.string()),  # "post" (merged postings) | "rev" (revdict)
     ("file", pa.string()),
     ("row_group", pa.int32()),
     ("key_min", pa.large_string()),  # combined (field, term) posting keys

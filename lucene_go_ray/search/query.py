@@ -125,8 +125,12 @@ class WildcardQuery(Query):
     multitermquery.go) whose impl only panics there. Expansion: seek the
     longest literal prefix in the term dictionary, regex-filter the
     candidates, union postings (CONSTANT_SCORE_REWRITE); a leading
-    wildcard degrades to a full-dictionary scan of the field, exactly as
-    in Lucene. Expansion is capped at MAX_CLAUSE_COUNT."""
+    wildcard with a literal suffix (``*foo``) seeks the reversed suffix
+    in the merged index's reversed-term dictionary (global/revdict, the
+    ReversedWildcardFilter technique) instead of scanning the whole
+    field dictionary; only patterns with NO literal text on either end
+    (``*``, ``?*``) still scan. Expansion is capped at
+    MAX_CLAUSE_COUNT."""
 
     pattern: str
     field: str | None = None  # None = the index default (text) field

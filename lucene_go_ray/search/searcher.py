@@ -303,6 +303,14 @@ class IndexSearcher:
         self.postings = (
             None if self.nrt else _RangeIndex(os.path.join(gdir, "postings"))
         )
+        # reversed-term dictionary (leading-wildcard suffix seeks); absent
+        # in NRT mode and in pre-v6 indexes — expansion then falls back to
+        # the forward full-range scan
+        self.revdict = None
+        if not self.nrt and os.path.exists(
+            os.path.join(gdir, "revdict_index.parquet")
+        ):
+            self.revdict = _RangeIndex(os.path.join(gdir, "revdict"))
         self._doc_bases = [int(p["doc_base"]) for p in self.manifest.partitions]
         self._pids = [int(p["pid"]) for p in self.manifest.partitions]
         self._docmap_cache: dict[int, pa.Table] = {}
@@ -1079,7 +1087,26 @@ class IndexSearcher:
             ),
             re.DOTALL,
         )
-        cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+        # literal suffix after the LAST wildcard: when longer than the
+        # literal prefix and the reversed dictionary exists, seek the
+        # reversed suffix there (a leading-wildcard pattern like `*foo`
+        # otherwise degrades to a full-vocabulary scan — the classic
+        # ReversedWildcardFilter trick; reversing each hit restores the
+        # original term)
+        last = max(pattern.rfind("*"), pattern.rfind("?"))
+        suffix = pattern[last + 1:] if last != -1 else ""
+        if self.revdict is not None and len(suffix) > len(prefix):
+            rsuf = suffix[::-1]
+            cands = [
+                t[::-1]
+                for t in self.revdict.expand_terms(
+                    f_name, rsuf, rsuf + "\U0010ffff"
+                )
+            ]
+            self.last_expand_stats = {"path": "rev", "candidates": len(cands)}
+        else:
+            cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+            self.last_expand_stats = {"path": "fwd", "candidates": len(cands)}
         terms = [t for t in cands if rx.fullmatch(t)]
         if len(terms) > MAX_CLAUSE_COUNT:
             raise ValueError(
