@@ -149,6 +149,12 @@ class StandardAnalyzer:
 
     stop_words: frozenset = DEFAULT_STOP_WORDS
     lowercase: bool = True
+    # Added to the position counter BETWEEN values of a multi-valued field
+    # (list<string> column): Analyzer.GetPositionIncrementGap, reference
+    # default 0 (/root/reference/core/analysis/analyzer.go:123-125; applied
+    # per value instance in defaultindexingchain.go:839). Set >0 (Lucene
+    # users commonly pick 100) to keep phrases from matching across values.
+    position_increment_gap: int = 0
 
     # ---------------- row-at-a-time (reference-exact, incl. offsets) -------
 
@@ -202,15 +208,24 @@ class StandardAnalyzer:
           — computed by the vectorized buffer scan, exact vs ``analyze``.
 
         Null text rows produce no tokens and norm 0 (field absent).
+
+        A list<string> column is a MULTI-VALUED field: every doc's values
+        are analyzed in sequence with ``position_increment_gap`` added to
+        the position counter between values (defaultindexingchain.go:839),
+        so positions stay monotone per doc and phrases never silently
+        span values when a gap is configured.
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        if pa.types.is_list(texts.type) or pa.types.is_large_list(texts.type):
+            return self._analyze_column_multi(texts, emit_offsets)
         n_docs = len(texts)
         empty = {
             "doc_idx": np.empty(0, np.int32),
             "terms": pa.array([], type=pa.large_string()),
             "positions": np.empty(0, np.int32),
             "norms": np.zeros(n_docs, np.int64),
+            "raw_counts": np.zeros(n_docs, np.int64),
         }
         if emit_offsets:
             empty["starts"] = np.empty(0, np.int32)
@@ -260,11 +275,66 @@ class StandardAnalyzer:
             "terms": flat,
             "positions": positions,
             "norms": norms,
+            # raw (pre-filter) stream length per doc — the position counter
+            # a value ends at; null rows have NO stream, not an empty one
+            "raw_counts": (
+                np.where(null_mask, 0, counts) if has_null else counts
+            ).astype(np.int64),
         }
         if emit_offsets:
             out["starts"] = starts
             out["ends"] = ends
         return out
+
+    def _analyze_column_multi(self, lists: pa.Array, emit_offsets: bool) -> dict:
+        """Multi-valued (list<string>) field analysis: flatten values, run
+        the scalar path once over ALL values of the batch, then lift each
+        token's position by its value's per-doc base offset
+        base(value j) = sum over previous values of (raw_token_count + gap)
+        — exactly the reference invert loop, whose position counter ends a
+        value at its raw stream length (End() adds trailing-stopword
+        increments) and then adds GetPositionIncrementGap
+        (defaultindexingchain.go:830-840). Null values inside a list and
+        null list rows contribute nothing."""
+        if emit_offsets:
+            # the reference's offset counter across values involves the
+            # slow/fast quirk AND GetOffsetGap; no consumer here needs
+            # cross-value offsets, so refuse rather than guess
+            raise NotImplementedError(
+                "offsets are not defined for multi-valued fields"
+            )
+        n_docs = len(lists)
+        vcounts = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        values = pc.list_flatten(lists)
+        per_val = self.analyze_column(values)
+        n_vals = len(values)
+        # value -> doc (valid rows only; flatten skipped null lists)
+        val_doc = np.repeat(np.arange(n_docs, dtype=np.int64), vcounts)
+        # exclusive running position base per value, reset per doc
+        adv = per_val["raw_counts"] + int(self.position_increment_gap)
+        gbase = np.zeros(n_vals, dtype=np.int64)
+        np.cumsum(adv[:-1], out=gbase[1:] if n_vals else gbase[:0])
+        first_val = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(vcounts, out=first_val[1:])
+        base = gbase - gbase[first_val[:-1][val_doc]] if n_vals else gbase
+        tok_val = per_val["doc_idx"].astype(np.int64)
+        return {
+            "doc_idx": val_doc[tok_val].astype(np.int32),
+            "terms": per_val["terms"],
+            "positions": (
+                per_val["positions"].astype(np.int64) + base[tok_val]
+            ).astype(np.int32),
+            "norms": np.bincount(
+                val_doc[tok_val], minlength=n_docs
+            ).astype(np.int64),
+            "raw_counts": np.bincount(
+                val_doc, weights=per_val["raw_counts"], minlength=n_docs
+            ).astype(np.int64),
+        }
 
 
 @dataclass(frozen=True)

@@ -127,7 +127,9 @@ class SegmentIndexer:
         self.index_dir = index_dir
         self.cfg = IndexConfig.from_dict(cfg_dict)
         self.analyzer = StandardAnalyzer(
-            stop_words=self.cfg.stop_set(), lowercase=self.cfg.lowercase
+            stop_words=self.cfg.stop_set(),
+            lowercase=self.cfg.lowercase,
+            position_increment_gap=self.cfg.position_increment_gap,
         )
 
     # -- core: one partition -> one segment on disk ------------------------

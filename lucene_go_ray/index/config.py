@@ -40,6 +40,10 @@ class IndexConfig:
         )
     )
     lowercase: bool = True
+    # position gap between values of a multi-valued (list<string>) text
+    # column (Analyzer.GetPositionIncrementGap, analyzer.go:123; reference
+    # default 0). Set >0 so PhraseQuery can't match across value joins.
+    position_increment_gap: int = 0
     # --- scoring (reference defaults, similaritybm25.go:68-75) ---
     similarity: str = "bm25"  # search.scorer.SIMILARITIES registry key
     k1: float = 1.2

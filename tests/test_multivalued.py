@@ -1,0 +1,163 @@
+"""Multi-valued fields: position increment gap between values
+(Analyzer.GetPositionIncrementGap, /root/reference/core/analysis/
+analyzer.go:123-125, applied per value instance in
+defaultindexingchain.go:830-840).
+
+A list<string> text column analyzes each value in sequence; the position
+counter ends a value at its RAW stream length (trailing dropped stopwords
+still advance it, via End()'s accumulated increments) and then adds the
+configured gap. Norms sum kept tokens across values."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import StandardAnalyzer
+from lucene_go_ray.index import IndexConfig, build_index
+from lucene_go_ray.search import IndexSearcher, PhraseQuery, TermQuery
+
+
+def _col(a, lists):
+    return a.analyze_column(pa.array(lists, type=pa.list_(pa.string())))
+
+
+def test_positions_concatenate_with_gap_zero():
+    a = StandardAnalyzer(stop_words=frozenset())
+    out = _col(a, [["alpha beta", "gamma delta"]])
+    assert out["terms"].to_pylist() == ["alpha", "beta", "gamma", "delta"]
+    # reference default gap 0: the second value continues the raw stream
+    assert out["positions"].tolist() == [0, 1, 2, 3]
+    assert out["norms"].tolist() == [4]
+    assert out["raw_counts"].tolist() == [4]
+
+
+def test_positions_with_gap():
+    a = StandardAnalyzer(stop_words=frozenset(), position_increment_gap=100)
+    out = _col(a, [["alpha beta", "gamma", "delta"]])
+    assert out["positions"].tolist() == [0, 1, 102, 203]
+    assert out["norms"].tolist() == [4]
+
+
+def test_trailing_stopword_still_advances_counter():
+    """End() adds the dropped-token increments before the gap, so a value
+    ending in stopwords starts the next value further out."""
+    a = StandardAnalyzer(position_increment_gap=10)
+    out = _col(a, [["alpha the the", "beta"]])
+    assert out["terms"].to_pylist() == ["alpha", "beta"]
+    # value 0 raw length 3 => beta at 3 + 10
+    assert out["positions"].tolist() == [0, 13]
+    assert out["norms"].tolist() == [2]
+
+
+def test_null_value_and_null_row():
+    a = StandardAnalyzer(stop_words=frozenset(), position_increment_gap=7)
+    out = a.analyze_column(
+        pa.array(
+            [["alpha", None, "beta"], None, [], ["gamma"]],
+            type=pa.list_(pa.string()),
+        )
+    )
+    assert out["terms"].to_pylist() == ["alpha", "beta", "gamma"]
+    # the null VALUE has no token stream: no raw tokens, but the gap is
+    # still applied per value boundary => beta at 1 + 7 + 0 + 7
+    assert out["positions"].tolist() == [0, 15, 0]
+    assert out["norms"].tolist() == [2, 0, 0, 1]
+    assert out["doc_idx"].tolist() == [0, 0, 3]
+
+
+def test_matches_row_at_a_time_concat():
+    """Multi path == analyzing the values row-at-a-time with manual bases."""
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "the", "gamma", "of", "delta"]
+    docs = [
+        [" ".join(rng.choice(words, rng.integers(1, 6))) for _ in range(rng.integers(1, 4))]
+        for _ in range(50)
+    ]
+    gap = 100
+    a = StandardAnalyzer(position_increment_gap=gap)
+    out = _col(a, docs)
+    exp_terms, exp_pos, exp_doc = [], [], []
+    for d, values in enumerate(docs):
+        base = 0
+        for v in values:
+            ad = a.analyze(v)
+            exp_terms += ad.terms
+            exp_pos += (ad.positions + base).tolist()
+            exp_doc += [d] * len(ad.terms)
+            base += len(a.tokenize_raw(v)) + gap
+    assert out["terms"].to_pylist() == exp_terms
+    assert out["positions"].tolist() == exp_pos
+    assert out["doc_idx"].tolist() == exp_doc
+
+
+def test_offsets_refused_for_lists():
+    a = StandardAnalyzer()
+    with pytest.raises(NotImplementedError):
+        a.analyze_column(
+            pa.array([["x"]], type=pa.list_(pa.string())), emit_offsets=True
+        )
+
+
+@pytest.fixture(scope="module")
+def mv_index(tmp_path_factory):
+    """Index over a multi-valued text column, gap=100."""
+    docs = [
+        ["alpha beta", "gamma delta"],  # phrase "beta gamma" spans values
+        ["alpha beta gamma", "delta"],  # contiguous within one value
+        ["beta", "gamma"],
+        ["epsilon"],
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, type=pa.list_(pa.string())),
+        }
+    )
+    d = tmp_path_factory.mktemp("mvidx")
+    src = str(d / "docs.parquet")
+    pq.write_table(t, src)
+    index_dir = str(d / "index")
+    cfg = IndexConfig(
+        target_partition_rows=2,
+        block_size=32,
+        position_increment_gap=100,
+        stop_words=(),
+    )
+    build_index([src], index_dir, cfg)
+    return IndexSearcher(index_dir)
+
+
+def test_index_multivalued_phrase_gap(mv_index):
+    s = mv_index
+    # "beta gamma" is adjacent only inside doc 1's first value; in doc 0 it
+    # spans the value join (positions 1 and 102) and must NOT match
+    td = s.search(PhraseQuery(("beta", "gamma")), 10)
+    assert td.doc_ids.tolist() == [1]
+    # terms from any value match, freq sums across values
+    td = s.search(TermQuery("gamma"), 10)
+    assert sorted(td.doc_ids.tolist()) == [0, 1, 2]
+    df, ttf = s.term_statistics("beta")
+    assert (df, ttf) == (3, 3)
+
+
+def test_index_multivalued_norms(mv_index, tmp_path):
+    """Norm = kept tokens across ALL values: docs 0 and 1 both have 4, so
+    the same single-occurrence term scores identically in both."""
+    s = mv_index
+    td = s.search(TermQuery("alpha"), 10)
+    assert sorted(td.doc_ids.tolist()) == [0, 1]
+    assert td.scores[0] == td.scores[1]
+    import os
+
+    import pyarrow.parquet as pq_
+
+    norms = []
+    for p in sorted(os.listdir(os.path.join(s.index_dir, "segments"))):
+        if p.startswith("p="):
+            t = pq_.read_table(
+                os.path.join(s.index_dir, "segments", p, "docmap.parquet"),
+                columns=["norm"],
+            )
+            norms += t["norm"].to_pylist()
+    assert norms == [4, 4, 2, 1]
