@@ -38,6 +38,7 @@ All encode/decode paths are pure numpy — no per-row Python in the hot path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -48,7 +49,10 @@ BLOCK_SIZE = 128
 # schema, range index, stats.json) so cached indexes are never read by
 # incompatible code (pipelines/fulltext.get_searcher includes this in its
 # cache tag; IndexSearcher checks it against the manifest).
-INDEX_FORMAT_VERSION = 6  # v6: global/revdict reversed-term dictionary
+# v6: global/revdict reversed-term dictionary
+# v7: meta/blob split of merged postings (bucket-NNNNN.blob side files;
+#     parquet keeps metadata + byte offsets; block reads become preads)
+INDEX_FORMAT_VERSION = 7
 
 # Separator for the composite (field, term) posting key. \x1f sorts below
 # every printable character and never appears in a field NAME, so combined
@@ -510,6 +514,98 @@ def encode_postings(
     )
 
 
+class BlobFile:
+    """pread-only handle on a merged bucket's raw postings blob side file
+    (``bucket-NNNNN.blob``, the meta/blob split: parquet keeps the per-chunk
+    metadata + byte offsets, this file keeps the FOR-packed streams).
+
+    ``gather`` coalesces nearby block ranges into single preads so a WAND
+    sweep visiting scattered blocks issues O(runs), not O(blocks), reads.
+    ``bytes_read`` / ``reads`` counters expose the measured I/O-level
+    skipping (asserted in tests, reported in BASELINE.md)."""
+
+    COALESCE_GAP = 4096  # merge ranges whose gap is below one page-ish unit
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fd: int | None = None
+        self.bytes_read = 0
+        self.reads = 0
+
+    def _ensure(self) -> int:
+        if self._fd is None:
+            self._fd = os.open(self.path, os.O_RDONLY)
+        return self._fd
+
+    def pread(self, off: int, n: int) -> np.ndarray:
+        if n <= 0:
+            return np.empty(0, np.uint8)
+        data = os.pread(self._ensure(), int(n), int(off))
+        self.bytes_read += len(data)
+        self.reads += 1
+        return np.frombuffer(data, dtype=np.uint8)
+
+    def gather(self, base: int, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = np.asarray(lengths, dtype=np.int64)
+        if len(starts) == 0:
+            return np.empty(0, np.uint8)
+        ends = starts + lengths
+        brk = np.flatnonzero(starts[1:] > ends[:-1] + self.COALESCE_GAP) + 1
+        run_s = np.concatenate([[0], brk])
+        run_e = np.concatenate([brk, [len(starts)]])
+        out = []
+        for i, j in zip(run_s, run_e):
+            lo, hi = int(starts[i]), int(ends[j - 1])
+            chunk = self.pread(base + lo, hi - lo)
+            out.append(chunk[_gather_ranges(starts[i:j] - lo, lengths[i:j])])
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    # never ship the fd across processes
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_fd"] = None
+        return d
+
+
+# per-row blob region layout: docs || freqs || norms || pos (positions
+# last so non-phrase readers touch a contiguous prefix of the region)
+_BLOB_NEXT = {
+    "docs": "freqs_off",
+    "freqs": "norms_off",
+    "norms": "pos_off",
+    "pos": "blob_end",
+}
+
+
+def row_blob(row: dict, kind: str) -> np.ndarray:
+    """Full ``kind`` stream of a postings row as uint8.
+
+    Inline rows (segment files / NRT / tests) carry ``{kind}_blob`` bytes;
+    meta rows (merged index) carry byte offsets + a ``_blob_file``
+    BlobFile, read once here and cached back onto the row."""
+    b = row.get(f"{kind}_blob")
+    if b is not None:
+        return b if isinstance(b, np.ndarray) else np.frombuffer(b, np.uint8)
+    off = int(row[f"{kind}_off"])
+    arr = row["_blob_file"].pread(off, int(row[_BLOB_NEXT[kind]]) - off)
+    row[f"{kind}_blob"] = arr
+    return arr
+
+
+def row_blob_gather(
+    row: dict, kind: str, starts: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """Gathered byte ranges of a row's ``kind`` stream (range starts are
+    stream-relative). Inline/cached rows slice memory; meta rows pread only
+    the requested (coalesced) ranges — the I/O half of block skipping."""
+    b = row.get(f"{kind}_blob")
+    if b is not None:
+        buf = b if isinstance(b, np.ndarray) else np.frombuffer(b, np.uint8)
+        return buf[_gather_ranges(starts, lengths)]
+    return row["_blob_file"].gather(int(row[f"{kind}_off"]), starts, lengths)
+
+
 def decode_docs_freqs_norms(
     row: dict, block: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -522,22 +618,24 @@ def decode_docs_freqs_norms(
     nb = len(wdoc)
     counts = np.full(nb, block, dtype=np.int64)
     counts[-1] = n - block * (nb - 1)
-    deltas = _unpack_segments(
-        np.frombuffer(row["docs_blob"], dtype=np.uint8), counts, wdoc
-    ).astype(np.int64)
+    deltas = _unpack_segments(row_blob(row, "docs"), counts, wdoc).astype(
+        np.int64
+    )
     docs = np.cumsum(deltas) - 1
     wfreq = np.frombuffer(row["freq_widths"], dtype=np.uint8).astype(np.int64)
-    freqs = _unpack_segments(
-        np.frombuffer(row["freqs_blob"], dtype=np.uint8), counts, wfreq
-    ).astype(np.int64)
-    norms8 = np.frombuffer(row["norms_blob"], dtype=np.uint8)
+    freqs = _unpack_segments(row_blob(row, "freqs"), counts, wfreq).astype(
+        np.int64
+    )
+    norms8 = row_blob(row, "norms")
     return docs, freqs, norms8
 
 
 def decode_positions(row: dict, freqs: np.ndarray) -> np.ndarray:
     """Decode flattened absolute positions (len == freqs.sum())."""
     total = int(freqs.sum())
-    pdelta = bitunpack(row["pos_blob"], int(row["pos_width"]), total).astype(np.int64)
+    pdelta = bitunpack(
+        row_blob(row, "pos"), int(row["pos_width"]), total
+    ).astype(np.int64)
     n = len(freqs)
     starts = np.zeros(n, dtype=np.int64)
     starts[1:] = np.cumsum(freqs)[:-1]
@@ -581,12 +679,9 @@ def decode_row_blocks(
     doff = np.cumsum(dbytes) - dbytes
     foff = np.cumsum(fbytes) - fbytes
     sel = np.unique(np.asarray(block_ids, dtype=np.int64))
-    dbuf = np.frombuffer(row["docs_blob"], dtype=np.uint8)
-    fbuf = np.frombuffer(row["freqs_blob"], dtype=np.uint8)
-    nbuf = np.frombuffer(row["norms_blob"], dtype=np.uint8)
     scounts = counts[sel]
-    dsel = dbuf[_gather_ranges(doff[sel], dbytes[sel])]
-    fsel = fbuf[_gather_ranges(foff[sel], fbytes[sel])]
+    dsel = row_blob_gather(row, "docs", doff[sel], dbytes[sel])
+    fsel = row_blob_gather(row, "freqs", foff[sel], fbytes[sel])
     deltas = _unpack_segments(dsel, scounts, wdoc[sel]).astype(np.int64)
     last = np.frombuffer(row["block_last"], dtype=np.int64)
     bases = np.where(sel > 0, last[sel - 1], np.int64(-1))
@@ -595,7 +690,7 @@ def decode_row_blocks(
     carry = c[seg_starts] - deltas[seg_starts]
     docs = c - np.repeat(carry, scounts) + np.repeat(bases, scounts)
     freqs = _unpack_segments(fsel, scounts, wfreq[sel]).astype(np.int64)
-    norms8 = nbuf[_gather_ranges(sel * block, scounts)]
+    norms8 = row_blob_gather(row, "norms", sel * block, scounts)
     return docs, freqs, norms8, scounts
 
 

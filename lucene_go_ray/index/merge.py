@@ -353,10 +353,18 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 merged = _empty_merged_table()
             t2 = _time.perf_counter()
             # tmp + rename: a crash mid-write never leaves a partial bucket
-            # file to be mistaken for a finished one on resume
+            # file to be mistaken for a finished one on resume. Write order
+            # is blob THEN meta — the meta parquet's existence implies its
+            # blob side file is complete (the resume branch relies on it).
             rg_rows = _postings_rg_rows(merged)
+            meta, blob_chunks = split_blob_columns(merged)
+            bpath = fpath[: -len(".parquet")] + ".blob"
+            with open(bpath + ".inprogress", "wb") as bf:
+                for c in blob_chunks:
+                    bf.write(c)
+            os.replace(bpath + ".inprogress", bpath)
             pq.write_table(
-                merged,
+                meta,
                 fpath + ".inprogress",
                 row_group_size=rg_rows,
             )
@@ -488,6 +496,49 @@ _HOT_SAMPLE_SEGMENTS = 64
 
 
 REV_RG_ROWS = 65_536  # reversed-dictionary rows per row group
+
+_BLOB_KINDS = ("docs", "freqs", "norms", "pos")
+
+
+def split_blob_columns(t: pa.Table) -> tuple[pa.Table, list[bytes]]:
+    """Meta/blob split of a merged bucket table: drop the four packed
+    stream columns and replace them with int64 byte offsets into a raw
+    side file (row region = docs || freqs || norms || pos, rows
+    sequential, positions last so non-phrase readers touch a contiguous
+    prefix). Returns (meta table, blob byte chunks to write in order).
+
+    This is what makes block-max skipping an I/O-level win: the parquet
+    row group a lookup reads now holds only metadata (widths, block
+    maxima, offsets), and the searcher preads exactly the byte ranges of
+    the blocks it visits (codec.BlobFile.gather)."""
+    present = [k for k in _BLOB_KINDS if f"{k}_blob" in t.column_names]
+    lens = {
+        k: pc.binary_length(t[f"{k}_blob"])
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        for k in present
+    }
+    n = t.num_rows
+    zeros = np.zeros(n, dtype=np.int64)
+    row_total = sum(lens.values()) if present else zeros
+    row_start = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(row_total[:-1], out=row_start[1:])
+    offs: dict[str, np.ndarray] = {}
+    run = row_start
+    for k in _BLOB_KINDS:
+        offs[f"{k}_off"] = run
+        run = run + lens.get(k, zeros)
+    offs["blob_end"] = run
+    cols = {k: t[f"{k}_blob"].to_pylist() for k in present}
+    chunks: list[bytes] = []
+    for i in range(n):
+        for k in present:
+            chunks.append(cols[k][i])
+    meta = t.drop_columns([f"{k}_blob" for k in present])
+    for name, arr in offs.items():
+        meta = meta.append_column(name, pa.array(arr, type=pa.int64()))
+    return meta, chunks
 
 
 def _revdict_table(fields, terms) -> pa.Table:

@@ -113,14 +113,39 @@ WAND_MAX_K = 512
 # bail is needed; kept (unused) because test fixtures monkeypatch it.
 WAND_BAIL_FACTOR = 4
 
-# Merged-postings columns WITHOUT the position stream — position blobs are
-# the dominant bytes of a hot term's row, so non-phrase lookups never read
-# them (parquet column pruning at the row-group read).
-_NO_POS_COLUMNS = [
+# Merged-index META columns (v7 meta/blob split): the parquet rows hold
+# only metadata + byte offsets into the bucket's .blob side file; packed
+# streams are pread lazily (whole regions for exhaustive decode, visited
+# blocks only under WAND — codec.row_blob / row_blob_gather). There is no
+# pos/no-pos distinction at the parquet read anymore: position BYTES are
+# never in parquet, and the pos_off/blob_end columns are a few int64s.
+_META_COLUMNS = [
     "field",
     "term",
     "salt",
     "chunk_id",
+    "doc_freq",
+    "total_term_freq",
+    "first_doc",
+    "last_doc",
+    "doc_widths",
+    "freq_widths",
+    "block_last",
+    "block_max_freq",
+    "block_min_norm",
+    "pos_width",
+    "docs_off",
+    "freqs_off",
+    "norms_off",
+    "pos_off",
+    "blob_end",
+]
+
+# Per-SEGMENT term tables (NRT path) still store streams inline — segments
+# are small and short-lived; column pruning drops the position blob there.
+_NO_POS_COLUMNS_SEGMENT = [
+    "field",
+    "term",
     "doc_freq",
     "total_term_freq",
     "first_doc",
@@ -184,6 +209,7 @@ class _RangeIndex:
         self.bucket_max = t["bucket_max"].to_numpy(zero_copy_only=False)
         self.dir_path = dir_path
         self._pf_cache: dict[str, pq.ParquetFile] = {}
+        self._bf_cache: dict[str, object] = {}
 
     def candidates(
         self, key: str, buckets: list[int] | None = None
@@ -238,10 +264,30 @@ class _RangeIndex:
                 pc.and_(pc.equal(t["field"], fld), pc.equal(t["term"], term))
             )
             if len(t):
-                tables.append(t)
+                # source file per row, so callers can bind the matching
+                # .blob side file (a term's salted groups may span buckets)
+                tables.append(
+                    t.append_column(
+                        "_file", pa.array([fname] * len(t), type=pa.string())
+                    )
+                )
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables)
+
+    def blob_file(self, fname: str):
+        """Shared pread handle on a bucket's .blob side file (meta/blob
+        split, index format v7): one fd + I/O counters per file per
+        process."""
+        bf = self._bf_cache.get(fname)
+        if bf is None:
+            from ..index.codec import BlobFile
+
+            bf = BlobFile(
+                os.path.join(self.dir_path, fname[: -len(".parquet")] + ".blob")
+            )
+            self._bf_cache[fname] = bf
+        return bf
 
 
 class IndexSearcher:
@@ -421,11 +467,12 @@ class IndexSearcher:
             if self.nrt:
                 rows = self._nrt_term_rows(f_name, term, with_positions)
             else:
-                cols = None if with_positions else _NO_POS_COLUMNS
+                # v7 meta rows carry no streams — positions resolve to the
+                # same meta read; the pos bytes are pread on demand
                 t = self.postings.read_term_rows(
                     f_name,
                     term,
-                    columns=cols,
+                    columns=_META_COLUMNS,
                     buckets=self._term_buckets(posting_key(f_name, term)),
                 )
                 rows = (
@@ -433,6 +480,8 @@ class IndexSearcher:
                     if t.num_rows
                     else []
                 )
+                for r in rows:
+                    r["_blob_file"] = self.postings.blob_file(r.pop("_file"))
             self._rows_cache[key] = rows
         return rows
 
@@ -443,11 +492,7 @@ class IndexSearcher:
         (filter pushdown prunes row groups by the (field, term) sort).
         Row docIDs are segment-local — first/last_doc are rebased here and
         ``doc_base`` is attached for the post-decode offset."""
-        cols = (
-            None
-            if with_positions
-            else [c for c in _NO_POS_COLUMNS if c not in ("salt", "chunk_id")]
-        )
+        cols = None if with_positions else _NO_POS_COLUMNS_SEGMENT
         rows: list[dict] = []
         for p in self.manifest.partitions:
             path = os.path.join(

@@ -485,3 +485,39 @@ def test_term_vectors_roundtrip(tmp_path_factory, sf_dir):
         full = s.term_vector(d)
         assert set(full["field"].to_pylist()) <= {"text", "lang"}
         assert full.num_rows == tv.num_rows + kv.num_rows
+
+
+def test_pruned_blob_io_skipping(tmp_path, monkeypatch):
+    """v7 meta/blob split: block skipping is an I/O-level win, not just a
+    decode-level one — the pruned path preads ONLY the visited blocks'
+    byte ranges from the bucket .blob side file, while exhaustive reads
+    each term row's whole stream region. Coalescing is disabled here so
+    bytes_read counts exactly the visited ranges."""
+    from lucene_go_ray.index.codec import BlobFile
+    from lucene_go_ray.pipelines import corpus
+
+    _force_wand(monkeypatch)
+    monkeypatch.setattr(BlobFile, "COALESCE_GAP", 0)
+    src = str(tmp_path / "bursty.parquet")
+    corpus.synthesize_bursty_corpus(20_000, src)
+    index_dir = str(tmp_path / "idx")
+    build_index([src], index_dir, IndexConfig())
+    q = TermQuery("web")
+
+    def blob_bytes(s):
+        return sum(bf.bytes_read for bf in s.postings._bf_cache.values())
+
+    s1 = IndexSearcher(index_dir)
+    a = s1.search(q, 10, prune=False)
+    read_ex = blob_bytes(s1)
+    s2 = IndexSearcher(index_dir)
+    b = s2.search(q, 10, prune=True)
+    read_pr = blob_bytes(s2)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
+    assert a.scores.tolist() == b.scores.tolist()
+    st = s2.last_prune_stats
+    assert st is not None and st["blocks_skipped"] > 0
+    assert 0 < read_pr < read_ex
+    # and the parquet meta rows carry offsets, not stream bytes
+    meta_keys = set(s2._term_rows("web")[0])
+    assert {"docs_off", "freqs_off", "norms_off", "pos_off", "blob_end"} <= meta_keys
