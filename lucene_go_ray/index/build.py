@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis import StandardAnalyzer
-from .codec import encode_postings_many
+from .codec import get_codec
 from .config import IndexConfig
 from .manifest import (
     Manifest,
@@ -131,6 +131,7 @@ class SegmentIndexer:
             lowercase=self.cfg.lowercase,
             position_increment_gap=self.cfg.position_increment_gap,
         )
+        self.codec = get_codec(self.cfg.codec_name)
 
     # -- core: one partition -> one segment on disk ------------------------
     def build_segment(self, part: dict) -> dict:
@@ -239,7 +240,7 @@ class SegmentIndexer:
         n_terms = len(tstarts)
         if n_terms:
             term_offsets = np.append(tstarts, len(post_doc)).astype(np.int64)
-            enc = encode_postings_many(
+            enc = self.codec.encode_postings_many(
                 post_doc,
                 freqs_all,
                 norms8[post_doc],
@@ -529,7 +530,7 @@ class SegmentIndexer:
             tstarts = np.flatnonzero(tchange)
             term_offsets = np.append(tstarts, n_valid).astype(np.int64)
             used_vocab = [sorted_vocab[r] for r in r_sorted[tstarts]]
-            enc = encode_postings_many(
+            enc = self.codec.encode_postings_many(
                 post_doc,
                 np.ones(n_valid, dtype=np.int64),
                 np.ones(n_valid, dtype=np.uint8),

@@ -697,3 +697,70 @@ def decode_row_blocks(
 def _gather_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Indices covering [start_i, start_i + len_i) for each i, concatenated."""
     return np.repeat(starts, lengths) + _seg_local_idx(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Codec registry (the plug-in slot of the reference's named-codec SPI:
+# /root/reference/codecs/simpletext registers "SimpleText" by name and
+# readers resolve the name recorded in the segment metadata). A codec here
+# is the postings-stream format — the six encode/decode entry points the
+# build, merge and search paths call. The codec NAME is persisted in the
+# index manifest (IndexConfig.codec_name) and resolved again at open, so a
+# third-party format registered via ``register_codec`` round-trips, and an
+# index written by an unregistered codec fails loudly instead of
+# mis-decoding.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PostingsCodec:
+    """Named bundle of the postings-format entry points."""
+
+    name: str
+    encode_postings_many: object
+    decode_postings_many: object
+    decode_positions_many: object
+    decode_docs_freqs_norms: object
+    decode_row_blocks: object
+    decode_positions: object
+    block_metadata: object
+
+
+_CODECS: dict[str, PostingsCodec] = {}
+
+
+def register_codec(codec: PostingsCodec) -> None:
+    _CODECS[codec.name] = codec
+
+
+def get_codec(name: str) -> PostingsCodec:
+    c = _CODECS.get(name)
+    if c is None:
+        # built-in alternates register on import; lazy so every Ray worker
+        # that resolves a codec by name sees them without a package-level
+        # import cycle
+        from . import codec_vbyte  # noqa: F401
+
+        c = _CODECS.get(name)
+    if c is None:
+        raise KeyError(
+            f"unknown postings codec {name!r}; registered: "
+            f"{sorted(_CODECS)} (register_codec() a PostingsCodec first)"
+        )
+    return c
+
+
+# the built-in format: FOR-delta bit-packed blocks of 128 docs with
+# byte-aligned width classes and block-max metadata (format v7 meta/blob)
+register_codec(
+    PostingsCodec(
+        name="for128",
+        encode_postings_many=encode_postings_many,
+        decode_postings_many=decode_postings_many,
+        decode_positions_many=decode_positions_many,
+        decode_docs_freqs_norms=decode_docs_freqs_norms,
+        decode_row_blocks=decode_row_blocks,
+        decode_positions=decode_positions,
+        block_metadata=block_metadata,
+    )
+)

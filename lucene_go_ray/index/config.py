@@ -49,6 +49,12 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     # --- physical layout ---
+    # Postings codec, resolved by NAME through the codec registry
+    # (index/codec.py: register_codec/get_codec — the plug-in slot of the
+    # reference's named-codec SPI, codecs/simpletext). Persisted in the
+    # manifest so readers resolve the same format; unknown names fail
+    # loudly at build/open instead of mis-decoding.
+    codec_name: str = "for128"
     block_size: int = 128  # postings docs per FOR block
     index_positions: bool = True
     # optional per-occurrence byte-offset stream (highlighting parity,

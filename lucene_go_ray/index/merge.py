@@ -51,9 +51,7 @@ from .codec import (
     INDEX_FORMAT_VERSION,
     KEY_SEP,
     _seg_local_idx,
-    decode_positions_many,
-    decode_postings_many,
-    encode_postings_many,
+    get_codec,
 )
 from .config import IndexConfig
 from .manifest import Manifest, save_manifest
@@ -162,6 +160,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     group_size = cfg.salt_group_partitions
     chunk_docs = cfg.chunk_docs
     block = cfg.block_size
+    codec = get_codec(cfg.codec_name)  # captured by the reduce closure
     index_positions = cfg.index_positions
     num_buckets = cfg.merge_buckets
 
@@ -201,7 +200,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         fields, terms = fields[order], terms[order]
         term_code = term_code[order]
         doc_freqs = group["doc_freq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        docs, freqs, norms8, offs = decode_postings_many(
+        docs, freqs, norms8, offs = codec.decode_postings_many(
             doc_freqs,
             group["docs_blob"].to_pylist(),
             group["doc_widths"].to_pylist(),
@@ -213,7 +212,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         docs += np.repeat(bases[pids], doc_freqs)
         pos = None
         if index_positions:
-            pos = decode_positions_many(
+            pos = codec.decode_positions_many(
                 group["pos_blob"].to_pylist(),
                 group["pos_width"].to_numpy(zero_copy_only=False),
                 freqs,
@@ -231,7 +230,7 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
         ci = _seg_local_idx(nchunks)
         ccount = np.minimum(chunk_docs, gcounts[ct] - ci * chunk_docs)
         chunk_offsets = np.concatenate([[0], np.cumsum(ccount)]).astype(np.int64)
-        enc = encode_postings_many(
+        enc = codec.encode_postings_many(
             docs, freqs, norms8, chunk_offsets, pos, block=block
         )
         chunk_terms = terms[grp_row_starts][ct]

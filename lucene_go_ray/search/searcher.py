@@ -41,10 +41,7 @@ import pyarrow.parquet as pq
 from ..index.codec import (
     INDEX_FORMAT_VERSION,
     KEY_SEP,
-    block_metadata,
-    decode_docs_freqs_norms,
-    decode_positions,
-    decode_row_blocks,
+    get_codec,
     posting_key,
 )
 from ..index.config import IndexConfig
@@ -297,6 +294,12 @@ class IndexSearcher:
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.cfg = IndexConfig.from_dict(self.manifest.config)
+        # resolve the postings format recorded at build time by NAME (the
+        # reader side of the reference's named-codec SPI — segment metadata
+        # names the codec, codecs/simpletext/codec.go registers it); an
+        # index written by an unregistered codec fails loudly here instead
+        # of mis-decoding blobs
+        self.codec = get_codec(self.cfg.codec_name)
         # NRT mode (the IndexWriter.GetReader surface,
         # /root/reference/core/index/indexwriter.go:829): an UN-merged
         # commit is searchable directly over its segments — term lookups
@@ -541,7 +544,10 @@ class IndexSearcher:
         if not rows:
             self._postings_cache[key] = None
             return None
-        parts = [decode_docs_freqs_norms(r, self.cfg.block_size) for r in rows]
+        parts = [
+            self.codec.decode_docs_freqs_norms(r, self.cfg.block_size)
+            for r in rows
+        ]
         out = {
             # NRT rows decode segment-LOCAL docIDs; doc_base rebases them
             # (merged rows carry no doc_base — already global)
@@ -553,7 +559,10 @@ class IndexSearcher:
         }
         if with_positions:
             out["positions"] = np.concatenate(
-                [decode_positions(r, p[1]) for r, p in zip(rows, parts)]
+                [
+                    self.codec.decode_positions(r, p[1])
+                    for r, p in zip(rows, parts)
+                ]
             )
         if self._doc_range is not None:
             lo, hi = self._doc_range
@@ -1501,7 +1510,7 @@ class IndexSearcher:
         for ti, rows in enumerate(rows_per_term):
             t_starts, t_ends, t_row, t_local = [], [], [], []
             for ri, r in enumerate(rows):
-                last, maxf, minn = block_metadata(r)
+                last, maxf, minn = self.codec.block_metadata(r)
                 first = np.empty(len(last), dtype=np.int64)
                 first[0] = r["first_doc"]
                 first[1:] = last[:-1] + 1
@@ -1636,8 +1645,10 @@ class IndexSearcher:
                         by_row.setdefault(keys[fb][0], []).append(fb)
                     for ri, fbs in by_row.items():
                         locals_ = tb["local"][fbs]
-                        docs_b, freqs_b, norms_b, cnts = decode_row_blocks(
-                            tb["rows"][ri], locals_, self.cfg.block_size
+                        docs_b, freqs_b, norms_b, cnts = (
+                            self.codec.decode_row_blocks(
+                                tb["rows"][ri], locals_, self.cfg.block_size
+                            )
                         )
                         scores_b = scorers[ti].score(
                             weights[ti], freqs_b, norms_b

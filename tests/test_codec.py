@@ -163,3 +163,50 @@ def test_decode_row_blocks_matches_full_decode():
         assert (f2 == freqs[idx]).all()
         assert (n2 == norms8[idx]).all()
         assert cnts.sum() == len(idx)
+
+
+def test_codec_registry_roundtrip():
+    """The named-codec SPI (reference codecs/simpletext/codec.go registers
+    "SimpleText" by name; readers resolve the name from segment metadata).
+    The built-in format resolves, an unknown name fails loudly, and the
+    name recorded in a manifest round-trips through IndexConfig."""
+    from lucene_go_ray.index.codec import (
+        PostingsCodec,
+        encode_postings_many,
+        get_codec,
+        register_codec,
+    )
+    from lucene_go_ray.index.config import IndexConfig
+
+    c = get_codec("for128")
+    assert c.encode_postings_many is encode_postings_many
+
+    with pytest.raises(KeyError, match="unknown postings codec"):
+        get_codec("no-such-codec")
+
+    # config default carries the name; manifest dict round-trip keeps it
+    cfg = IndexConfig()
+    assert cfg.codec_name == "for128"
+    from dataclasses import asdict
+
+    assert IndexConfig.from_dict(asdict(cfg)).codec_name == "for128"
+    # manifests written before the registry existed (no codec_name key)
+    # resolve to the built-in format
+    d = asdict(cfg)
+    d.pop("codec_name")
+    assert IndexConfig.from_dict(d).codec_name == "for128"
+
+    # third-party registration round-trips by name
+    register_codec(
+        PostingsCodec(
+            name="test-alt",
+            encode_postings_many=encode_postings_many,
+            decode_postings_many=c.decode_postings_many,
+            decode_positions_many=c.decode_positions_many,
+            decode_docs_freqs_norms=c.decode_docs_freqs_norms,
+            decode_row_blocks=c.decode_row_blocks,
+            decode_positions=c.decode_positions,
+            block_metadata=c.block_metadata,
+        )
+    )
+    assert get_codec("test-alt").name == "test-alt"
