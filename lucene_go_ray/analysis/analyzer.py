@@ -155,6 +155,15 @@ class StandardAnalyzer:
     # per value instance in defaultindexingchain.go:839). Set >0 (Lucene
     # users commonly pick 100) to keep phrases from matching across values.
     position_increment_gap: int = 0
+    # Added to the OFFSET counter between values of a multi-valued field:
+    # Analyzer.GetOffsetGap, reference default 1
+    # (/root/reference/core/analysis/analyzer.go:127-129). The counter a
+    # value ends at is the scanner's final ``slow`` — the reported START
+    # of the value's last raw token (tokenizer EOF branch sets
+    # SetOffset(slow, slow+0), standard/tokenizer.go:40-46, and
+    # invertState.Offset += EndOffset() + GetOffsetGap(),
+    # defaultindexingchain.go:833-841).
+    offset_gap: int = 1
 
     # ---------------- row-at-a-time (reference-exact, incl. offsets) -------
 
@@ -230,6 +239,7 @@ class StandardAnalyzer:
         if emit_offsets:
             empty["starts"] = np.empty(0, np.int32)
             empty["ends"] = np.empty(0, np.int32)
+            empty["final_offsets"] = np.zeros(n_docs, np.int64)
         if n_docs == 0:
             return empty
         texts = texts.cast(pa.large_string())
@@ -249,12 +259,20 @@ class StandardAnalyzer:
             np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
         ).astype(np.int32)
         starts = ends = None
+        final_offsets = None
         if emit_offsets:
             rel_starts, tok_bytes, off_counts = _token_byte_offsets(texts)
             assert np.array_equal(off_counts, counts), "scanner disagreement"
             # slow/fast quirk: +1 per preceding delimiter == + token index
             starts = (rel_starts + positions.astype(np.int64)).astype(np.int32)
             ends = (starts + tok_bytes).astype(np.int32)
+            # the offset counter each value ENDS at (scanner final `slow`):
+            # reported start of the last raw token = its actual byte start
+            # + its token index — what a multi-valued field's next value
+            # adds to its offset base (plus offset_gap)
+            final_offsets = rel_starts[np.cumsum(counts) - 1] + (counts - 1)
+            if has_null:
+                final_offsets = np.where(null_mask, 0, final_offsets)
         keep = None
         if has_null:
             keep = ~null_mask[doc_idx]
@@ -284,6 +302,7 @@ class StandardAnalyzer:
         if emit_offsets:
             out["starts"] = starts
             out["ends"] = ends
+            out["final_offsets"] = final_offsets.astype(np.int64)
         return out
 
     def _analyze_column_multi(self, lists: pa.Array, emit_offsets: bool) -> dict:
@@ -295,14 +314,15 @@ class StandardAnalyzer:
         value at its raw stream length (End() adds trailing-stopword
         increments) and then adds GetPositionIncrementGap
         (defaultindexingchain.go:830-840). Null values inside a list and
-        null list rows contribute nothing."""
-        if emit_offsets:
-            # the reference's offset counter across values involves the
-            # slow/fast quirk AND GetOffsetGap; no consumer here needs
-            # cross-value offsets, so refuse rather than guess
-            raise NotImplementedError(
-                "offsets are not defined for multi-valued fields"
-            )
+        null list rows contribute nothing.
+
+        With ``emit_offsets``, byte offsets accumulate across values the
+        same way: a value ends the offset counter at the scanner's final
+        ``slow`` (the reported start of its last raw token — the tokenizer
+        EOF branch sets SetOffset(slow, slow+0), standard/tokenizer.go:
+        40-46) and the next value's base adds that plus ``offset_gap``
+        (invertState.Offset += EndOffset() + GetOffsetGap(),
+        defaultindexingchain.go:833-841)."""
         n_docs = len(lists)
         vcounts = (
             pc.fill_null(pc.list_value_length(lists), 0)
@@ -310,7 +330,7 @@ class StandardAnalyzer:
             .astype(np.int64)
         )
         values = pc.list_flatten(lists)
-        per_val = self.analyze_column(values)
+        per_val = self.analyze_column(values, emit_offsets)
         n_vals = len(values)
         # value -> doc (valid rows only; flatten skipped null lists)
         val_doc = np.repeat(np.arange(n_docs, dtype=np.int64), vcounts)
@@ -322,7 +342,7 @@ class StandardAnalyzer:
         np.cumsum(vcounts, out=first_val[1:])
         base = gbase - gbase[first_val[:-1][val_doc]] if n_vals else gbase
         tok_val = per_val["doc_idx"].astype(np.int64)
-        return {
+        out = {
             "doc_idx": val_doc[tok_val].astype(np.int32),
             "terms": per_val["terms"],
             "positions": (
@@ -335,6 +355,22 @@ class StandardAnalyzer:
                 val_doc, weights=per_val["raw_counts"], minlength=n_docs
             ).astype(np.int64),
         }
+        if emit_offsets:
+            # exclusive running OFFSET base per value, reset per doc —
+            # same shape as the position base above but advancing by
+            # (value-final offset counter + offset_gap)
+            adv_off = per_val["final_offsets"] + int(self.offset_gap)
+            obase = np.zeros(n_vals, dtype=np.int64)
+            np.cumsum(adv_off[:-1], out=obase[1:] if n_vals else obase[:0])
+            if n_vals:
+                obase = obase - obase[first_val[:-1][val_doc]]
+            out["starts"] = (
+                per_val["starts"].astype(np.int64) + obase[tok_val]
+            ).astype(np.int32)
+            out["ends"] = (
+                per_val["ends"].astype(np.int64) + obase[tok_val]
+            ).astype(np.int32)
+        return out
 
 
 @dataclass(frozen=True)

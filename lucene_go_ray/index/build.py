@@ -130,6 +130,7 @@ class SegmentIndexer:
             stop_words=self.cfg.stop_set(),
             lowercase=self.cfg.lowercase,
             position_increment_gap=self.cfg.position_increment_gap,
+            offset_gap=self.cfg.offset_gap,
         )
         self.codec = get_codec(self.cfg.codec_name)
 

@@ -44,6 +44,10 @@ class IndexConfig:
     # column (Analyzer.GetPositionIncrementGap, analyzer.go:123; reference
     # default 0). Set >0 so PhraseQuery can't match across value joins.
     position_increment_gap: int = 0
+    # offset gap between values of a multi-valued field
+    # (Analyzer.GetOffsetGap, analyzer.go:127-129; reference default 1) —
+    # only observable when index_offsets=True on a list<string> column
+    offset_gap: int = 1
     # --- scoring (reference defaults, similaritybm25.go:68-75) ---
     similarity: str = "bm25"  # search.scorer.SIMILARITIES registry key
     k1: float = 1.2

@@ -91,12 +91,100 @@ def test_matches_row_at_a_time_concat():
     assert out["doc_idx"].tolist() == exp_doc
 
 
-def test_offsets_refused_for_lists():
-    a = StandardAnalyzer()
-    with pytest.raises(NotImplementedError):
-        a.analyze_column(
-            pa.array([["x"]], type=pa.list_(pa.string())), emit_offsets=True
-        )
+def test_offsets_concatenate_across_values():
+    """Cross-value offsets: a value ends the offset counter at the
+    reported START of its last raw token (the tokenizer EOF branch sets
+    SetOffset(slow, slow+0), standard/tokenizer.go:40-46); the next value
+    starts at that plus GetOffsetGap (default 1,
+    defaultindexingchain.go:833-841)."""
+    a = StandardAnalyzer(stop_words=frozenset())
+    out = a.analyze_column(
+        pa.array([["ab cd", "ef"]], type=pa.list_(pa.string())),
+        emit_offsets=True,
+    )
+    # value 0: ab(0,2) cd(4,6) — quirk start 3+1; final slow = 4
+    # value 1 base = 4 + gap(1) = 5: ef(5,7)
+    assert out["terms"].to_pylist() == ["ab", "cd", "ef"]
+    assert out["starts"].tolist() == [0, 4, 5]
+    assert out["ends"].tolist() == [2, 6, 7]
+
+
+def test_offsets_null_value_advances_by_gap_only():
+    a = StandardAnalyzer(stop_words=frozenset(), offset_gap=10)
+    out = a.analyze_column(
+        pa.array([["ab", None, "cd"]], type=pa.list_(pa.string())),
+        emit_offsets=True,
+    )
+    # value 0 final slow = 0 (its only raw token starts at 0); null value
+    # has no stream (final 0) but the per-value gap still applies
+    assert out["starts"].tolist() == [0, 0 + 10 + 0 + 10]
+    assert out["ends"].tolist() == [2, 22]
+
+
+def test_offsets_match_row_at_a_time_concat():
+    """Vectorized multi path == per-value analyze() + manual offset bases
+    (incl. multi-byte text, trailing whitespace, empty values)."""
+    from lucene_go_ray.analysis.analyzer import _SPLIT_RE
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "béta", "the", "gamma", "of", "δelta", ""]
+    docs = []
+    for _ in range(40):
+        vals = []
+        for _ in range(rng.integers(1, 4)):
+            v = " ".join(rng.choice(words, rng.integers(1, 6)))
+            if rng.random() < 0.3:
+                v += " "  # trailing whitespace: empty final raw token
+            vals.append(v)
+        docs.append(vals)
+    gap_p, gap_o = 100, 7
+    a = StandardAnalyzer(position_increment_gap=gap_p, offset_gap=gap_o)
+    out = a.analyze_column(
+        pa.array(docs, type=pa.list_(pa.string())), emit_offsets=True
+    )
+    exp_starts, exp_ends = [], []
+    for values in docs:
+        obase = 0
+        for v in values:
+            ad = a.analyze(v)
+            exp_starts += (ad.starts + obase).tolist()
+            exp_ends += (ad.ends + obase).tolist()
+            raw = _SPLIT_RE.split(v)
+            last_start = len(v.encode()) - len(raw[-1].encode())
+            obase += last_start + (len(raw) - 1) + gap_o
+    assert out["starts"].tolist() == exp_starts
+    assert out["ends"].tolist() == exp_ends
+
+
+def test_index_multivalued_offsets_roundtrip(tmp_path):
+    """End-to-end: offsets stream over a multi-valued column; retrieval
+    returns the cross-value byte offsets."""
+    docs = [["alpha beta", "gamma beta"], ["beta"]]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, type=pa.list_(pa.string())),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    index_dir = str(tmp_path / "index")
+    cfg = IndexConfig(
+        target_partition_rows=2,
+        block_size=32,
+        stop_words=(),
+        index_offsets=True,
+        offset_gap=1,
+    )
+    build_index([src], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    # doc 0: value0 "alpha beta" -> alpha(0,5) beta(7,11); final slow 7
+    # value1 base = 7+1=8 -> gamma(8,13) beta(15,19)
+    starts, ends = s.term_offsets("beta", 0)
+    assert starts == [7, 15]
+    assert ends == [11, 19]
+    starts, ends = s.term_offsets("beta", 1)
+    assert (starts, ends) == ([0], [4])
 
 
 @pytest.fixture(scope="module")
