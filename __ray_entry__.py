@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
         "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
         # --- multimodal plumbing (stubbed decode kernels; rows-only) ---
         "multimodal_features": _multimodal_features,
         # --- event-stream aggregates (training-data extension surface) ---
@@ -774,6 +775,8 @@ SELECT rank, vec_id, sim FROM (
   FROM scored)
 WHERE rank <= {_K} ORDER BY rank
 """,
-        # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk:
-        # non-SQL-expressible (hash-family / heuristic pipelines) -> rows-only.
+        # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk /
+        # ann_ivf_topk: non-SQL-expressible (hash-family / heuristic / trained-
+        # quantizer pipelines) -> rows-only; recall oracles live in pytest
+        # (test_lsh_index_recall_at_sf01, test_ivf_index_recall_at_sf01).
     }

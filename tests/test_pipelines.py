@@ -159,3 +159,27 @@ def test_simhash_hamming_pairs_matches_bruteforce(sf_dir):
     }
     assert got == expected
     assert expected  # fixture contains exact-duplicate texts => distance 0
+
+
+def test_ivf_index_recall_at_sf01():
+    """Persisted IVF (k-means coarse quantizer) index: recall@10 >= 0.9 vs
+    exact cosine top-k at sf0.1, probing nprobe=32 of 64 cells (the
+    near-uniform synthetic embeddings are the worst case — real clustered
+    corpora prune much harder at the same recall)."""
+    import os as _os
+
+    from lucene_go_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.1"
+    if not _os.path.exists(_os.path.join(sf, "embeddings.parquet")):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.1 testdata not present")
+    recall = ann.ivf_recall_at_k(sf, n_queries=20, k=10)
+    assert recall >= 0.9, recall
+    # the probe is partition-pruned: cell dirs exist and nprobe < n_cells
+    idx = ann._cached_ivf_index(sf)
+    cells = sorted(
+        d for d in _os.listdir(_os.path.join(idx, "cells")) if d.startswith("cell=")
+    )
+    assert len(cells) > 32  # probing 32 of these reads a strict subset
