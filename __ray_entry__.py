@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_ids": _curated_ids,
         # --- text analysis ---
         "token_counts": lambda sf: textstats.token_counts(sf),
+        "bpe_token_counts": lambda sf: textstats.bpe_token_counts(sf),
         "text_quality": lambda sf: textstats.text_quality(sf),
         "language_id": lambda sf: textstats.language_id(sf),
         "fingerprints": lambda sf: textstats.fingerprints(sf),
@@ -728,6 +729,15 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
 """,
         "token_counts": f"""
 SELECT doc_id, len(string_split_regex(text, '{_WS}'))::BIGINT AS n_tokens
+FROM documents
+""",
+        # the SAME RE2 pattern the Ray pipeline feeds pyarrow
+        # count_substring_regex (both engines are RE2, so the oracle is
+        # exact, not approximate)
+        "bpe_token_counts": r"""
+SELECT doc_id, len(regexp_extract_all(text,
+  '''s|''t|''re|''ve|''m|''ll|''d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+'
+))::BIGINT AS n_bpe_tokens
 FROM documents
 """,
         "curated_ids": f"""

@@ -128,3 +128,34 @@ def fingerprints(
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
     )
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer (contractions | space?+letters | space?+digits |
+# space?+punct-run | whitespace-run), RE2 syntax so the EXACT same pattern
+# runs in pyarrow (count_substring_regex) and DuckDB (regexp_extract_all) —
+# the "BPE-ish regex" token estimate of LLM data pipelines. The lookahead
+# of the original GPT-2 pattern is dropped (RE2 has none); counts differ
+# from tiktoken only on multi-space runs before tokens.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str, key: str = "doc_id", text: str = "text"):
+    """(key, n_bpe_tokens) — vectorized BPE-ish pre-tokenizer match count
+    (an LLM token-budget estimator that needs no vocabulary; one regex
+    scan per batch, map-only)."""
+    import ray.data
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                "n_bpe_tokens": pc.count_substring_regex(
+                    batch[text].cast(pa.large_string()), BPE_ISH_PATTERN
+                ).cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -183,3 +183,30 @@ def test_ivf_index_recall_at_sf01():
         d for d in _os.listdir(_os.path.join(idx, "cells")) if d.startswith("cell=")
     )
     assert len(cells) > 32  # probing 32 of these reads a strict subset
+
+
+def test_bpe_token_counts_matches_duckdb(sf_dir):
+    """The BPE-ish pre-tokenizer count: pyarrow count_substring_regex and
+    DuckDB regexp_extract_all run the SAME RE2 pattern — exact agreement,
+    plus hand-checked values on tricky strings."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_go_ray.pipelines import textstats
+    from lucene_go_ray.pipelines.textstats import BPE_ISH_PATTERN
+
+    tricky = ["Hello world, it's 2024!", "", "  ", "naïve café ☕ x2"]
+    got = pc.count_substring_regex(
+        pa.array(tricky, type=pa.large_string()), BPE_ISH_PATTERN
+    ).to_pylist()
+    assert got == [7, 0, 1, 5]
+
+    t = textstats.bpe_token_counts(sf_dir).take_all()
+    ray_counts = {r["doc_id"]: r["n_bpe_tokens"] for r in t}
+    con = duckdb.connect()
+    sql = con.execute(
+        "select doc_id, length(regexp_extract_all(text, ?)) from read_parquet(?)",
+        [BPE_ISH_PATTERN, os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    assert ray_counts == {d: n for d, n in sql}
