@@ -773,3 +773,115 @@ def embedding_near_dup(
     return ray.data.from_items(tasks).map_batches(
         _pairs, batch_format="pyarrow", batch_size=1
     )
+
+
+def dup_spans(
+    sf_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    *,
+    min_tokens: int = 8,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+):
+    """Exact duplicated-substring spans — the training-data "exact
+    substring dedup" operator (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499: remove spans
+    repeated verbatim across documents). Suffix arrays don't distribute;
+    the scalable equivalent is hashed fixed-length token windows:
+
+    1. map: every ``min_tokens``-token window → (window hash, doc, pos)
+       (vectorized FNV chain over lowercased whitespace tokens);
+    2. one hash-bucketed exchange: windows whose hash occurs in
+       >= ``min_docs`` DISTINCT docs are duplicated (count-distinct via
+       run-length over a single lexsort — no multi-column groupby);
+    3. one doc-bucketed exchange: maximal runs of CONSECUTIVE duplicated
+       window starts merge into spans [first_pos, last_pos+L-1] (inside a
+       verbatim-repeated substring of length M >= L every window start is
+       duplicated, so step-1 runs ARE the maximal spans).
+
+    Returns (doc_id, span_start, span_end) in token positions. Hash
+    collisions could in principle mark a non-duplicated window (p ~
+    windows^2 / 2^64); the SQL oracle groups by the gram STRING, so the
+    gate would catch a collision at test scale.
+
+    100-TB shape: stage 1 is map-only (one row per window — the same
+    volume a suffix-array build would shuffle); both exchanges key on a
+    64-bit hash bucket, so skew is bounded by bucket count, not by hot
+    grams; output is tiny (duplicated spans only)."""
+    import os
+
+    import ray.data
+
+    L = int(min_tokens)
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        th, counts = _token_hashes(batch[text])
+        wh, wc = _exact_shingle_hashes(th, counts, L)
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, wc)
+        out_starts = np.cumsum(wc) - wc
+        pos = np.arange(len(wh), dtype=np.int64) - np.repeat(out_starts, wc)
+        bucket = (wh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(wh, type=pa.uint64()),
+                "doc_id": pa.array(doc),
+                "pos": pa.array(pos),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def _find_hits(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, h))
+        h, doc, pos = h[order], doc[order], pos[order]
+        new_h = np.empty(len(h), dtype=bool)
+        new_h[:1] = True
+        new_h[1:] = h[1:] != h[:-1]
+        gi = np.cumsum(new_h) - 1
+        new_doc = new_h | np.concatenate([[True], doc[1:] != doc[:-1]])
+        ndocs = np.bincount(gi, weights=new_doc).astype(np.int64)
+        keep = ndocs[gi] >= min_docs
+        with np.errstate(over="ignore"):
+            b2 = (_mix(doc[keep].astype(np.uint64), np.uint64(7))
+                  % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep]),
+                "pos": pa.array(pos[keep]),
+                "bucket2": pa.array(b2),
+            }
+        )
+
+    def _merge_spans(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        new = np.empty(len(doc), dtype=bool)
+        new[:1] = True
+        new[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(doc)) - 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts]),
+                "span_start": pa.array(pos[starts]),
+                "span_end": pa.array(pos[ends] + L - 1),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    hits = (
+        ds.map_batches(_windows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_find_hits, batch_format="pyarrow")
+    )
+    return hits.groupby("bucket2").map_groups(
+        _merge_spans, batch_format="pyarrow"
+    )

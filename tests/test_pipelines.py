@@ -210,3 +210,45 @@ def test_bpe_token_counts_matches_duckdb(sf_dir):
         [BPE_ISH_PATTERN, os.path.join(sf_dir, "documents.parquet")],
     ).fetchall()
     assert ray_counts == {d: n for d, n in sql}
+
+
+def test_dup_spans_matches_bruteforce(sf_dir):
+    """Exact duplicated-substring spans == pure-python recompute: L-token
+    windows duplicated across >=2 distinct docs, consecutive window starts
+    merged into maximal spans."""
+    from collections import defaultdict
+
+    from lucene_go_ray.pipelines import dedup
+
+    L = 8
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = {
+        int(i): [x.lower() for x in re.split("[" + GO_WHITESPACE_CHARS + "]", t)]
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    gram_docs = defaultdict(set)
+    for d, ts in toks.items():
+        for p in range(len(ts) - L + 1):
+            gram_docs[tuple(ts[p : p + L])].add(d)
+    expected = set()
+    for d, ts in toks.items():
+        hit = [
+            p
+            for p in range(len(ts) - L + 1)
+            if len(gram_docs[tuple(ts[p : p + L])]) >= 2
+        ]
+        start = None
+        for idx, p in enumerate(hit):
+            if start is None:
+                start = p
+            if idx + 1 == len(hit) or hit[idx + 1] != p + 1:
+                expected.add((d, start, p + L - 1))
+                start = None
+    got = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+        for r in dedup.dup_spans(sf_dir, min_tokens=L).take_all()
+    }
+    assert got == expected
+    assert expected  # the fixture contains verbatim-duplicated texts
