@@ -516,6 +516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
         "dup_spans": lambda sf: dedup.dup_spans(sf, min_tokens=8),
+        "dup_spans_removable": lambda sf: dedup.dup_spans(
+            sf, min_tokens=8, keep_first=True
+        ),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
         # --- end-to-end curation (filters -> dedup -> survivors) ---
         "curated_ids": _curated_ids,
@@ -748,6 +751,29 @@ wins AS (
 ),
 dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
 hits AS (SELECT doc_id, pos FROM wins WHERE gram IN (SELECT gram FROM dup)),
+isl AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end
+FROM isl GROUP BY doc_id, grp
+""",
+        # keep-first removal policy: the lowest doc_id keeps each gram
+        "dup_spans_removable": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '{_WS}'), x -> lower(x)) AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i : i + 7], chr(31)) AS gram
+  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram, min(doc_id) AS keeper FROM wins GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (gram)
+         WHERE w.doc_id > d.keeper),
 isl AS (SELECT doc_id, pos,
         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
         FROM hits)

@@ -782,6 +782,7 @@ def dup_spans(
     *,
     min_tokens: int = 8,
     min_docs: int = 2,
+    keep_first: bool = False,
     num_buckets: int = 64,
 ):
     """Exact duplicated-substring spans — the training-data "exact
@@ -808,7 +809,12 @@ def dup_spans(
     100-TB shape: stage 1 is map-only (one row per window — the same
     volume a suffix-array build would shuffle); both exchanges key on a
     64-bit hash bucket, so skew is bounded by bucket count, not by hot
-    grams; output is tiny (duplicated spans only)."""
+    grams; output is tiny (duplicated spans only).
+
+    ``keep_first=True`` applies the removal policy of the paper: for each
+    duplicated window the LOWEST doc_id keeps its occurrence and only the
+    other docs' windows are reported — the returned spans are exactly the
+    token ranges safe to excise without losing the content corpus-wide."""
     import os
 
     import ray.data
@@ -845,6 +851,12 @@ def dup_spans(
         new_doc = new_h | np.concatenate([[True], doc[1:] != doc[:-1]])
         ndocs = np.bincount(gi, weights=new_doc).astype(np.int64)
         keep = ndocs[gi] >= min_docs
+        if keep_first:
+            # docs are ascending within each hash run, so the group's
+            # first row holds the keeper doc_id
+            group_starts = np.flatnonzero(new_h)
+            keeper = doc[group_starts]
+            keep &= doc > keeper[gi]
         with np.errstate(over="ignore"):
             b2 = (_mix(doc[keep].astype(np.uint64), np.uint64(7))
                   % np.uint64(num_buckets)).astype(np.int32)

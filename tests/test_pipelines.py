@@ -252,3 +252,35 @@ def test_dup_spans_matches_bruteforce(sf_dir):
     }
     assert got == expected
     assert expected  # the fixture contains verbatim-duplicated texts
+
+    # keep-first removal policy: only windows whose gram's LOWEST doc_id
+    # is another doc are removable
+    expected_rm = set()
+    for d, ts in toks.items():
+        hit = [
+            p
+            for p in range(len(ts) - L + 1)
+            if len(gram_docs[tuple(ts[p : p + L])]) >= 2
+            and min(gram_docs[tuple(ts[p : p + L])]) < d
+        ]
+        start = None
+        for idx, p in enumerate(hit):
+            if start is None:
+                start = p
+            if idx + 1 == len(hit) or hit[idx + 1] != p + 1:
+                expected_rm.add((d, start, p + L - 1))
+                start = None
+    got_rm = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+        for r in dedup.dup_spans(sf_dir, min_tokens=L, keep_first=True).take_all()
+    }
+    assert got_rm == expected_rm
+    assert expected_rm
+
+    # removable token coverage is a strict subset of full duplicated
+    # coverage (spans themselves differ: the full variant merges keeper
+    # windows into longer runs)
+    def covered(spans):
+        return {(d, p) for d, s, e in spans for p in range(s, e + 1)}
+
+    assert covered(got_rm) < covered(got)
