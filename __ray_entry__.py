@@ -519,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_removable": lambda sf: dedup.dup_spans(
             sf, min_tokens=8, keep_first=True
         ),
+        "dedup_cleaned_tokens": lambda sf: dedup.dedup_cleaned_tokens(
+            sf, min_tokens=8
+        ),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
         # --- end-to-end curation (filters -> dedup -> survivors) ---
         "curated_ids": _curated_ids,
@@ -779,6 +782,30 @@ isl AS (SELECT doc_id, pos,
         FROM hits)
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end
 FROM isl GROUP BY doc_id, grp
+""",
+        # cleaned token budget: raw count minus the UNION of removable
+        # window coverage (count DISTINCT covered positions)
+        "dedup_cleaned_tokens": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '{_WS}'), x -> lower(x)) AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i : i + 7], chr(31)) AS gram
+  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram, min(doc_id) AS keeper FROM wins GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (gram)
+         WHERE w.doc_id > d.keeper),
+cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS covered
+        FROM hits, unnest(range(pos, pos + 8)) AS u(p) GROUP BY doc_id)
+SELECT t.doc_id,
+       (len(t.t) - coalesce(c.covered, 0))::BIGINT AS n_tokens_clean
+FROM toks t LEFT JOIN cov c USING (doc_id)
 """,
         # the SAME RE2 pattern the Ray pipeline feeds pyarrow
         # count_substring_regex (both engines are RE2, so the oracle is

@@ -897,3 +897,122 @@ def dup_spans(
     return hits.groupby("bucket2").map_groups(
         _merge_spans, batch_format="pyarrow"
     )
+
+
+def dedup_cleaned_tokens(
+    sf_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    *,
+    min_tokens: int = 8,
+    num_buckets: int = 64,
+):
+    """Apply step of exact substring dedup: per-doc token count AFTER
+    excising the keep-first removable spans (:func:`dup_spans` with
+    ``keep_first=True``) — (doc_id, n_tokens_clean), i.e. the cleaned
+    corpus token budget. Spans from distinct islands can overlap in token
+    space, so coverage is the interval UNION per doc; the union sweep runs
+    inside the doc-bucketed combine group (where ALL of a doc's spans are
+    co-located — a map_batches sweep could see a doc's spans split across
+    batches and double-count the overlap)."""
+    import os
+
+    import ray.data
+
+    spans = dup_spans(
+        sf_dir, key, text, min_tokens=min_tokens, keep_first=True,
+        num_buckets=num_buckets,
+    )
+
+    def _span_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                ),
+                "span_start": batch["span_start"].cast(pa.int64()),
+                "span_end": batch["span_end"].cast(pa.int64()),
+            }
+        )
+
+    def _tok_rows(batch: pa.Table) -> pa.Table:
+        _, counts = _token_hashes(batch[text])
+        n = len(counts)
+        return pa.table(
+            {
+                key: batch[key].cast(pa.int64()),
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "span_start": pa.array(np.full(n, -1, dtype=np.int64)),
+                "span_end": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def _bucketed(batch: pa.Table) -> pa.Table:
+        d = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (_mix(d, np.uint64(11)) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("cbucket", pa.array(b))
+
+    def _combine(group: pa.Table) -> pa.Table:
+        d = group[key].to_numpy(zero_copy_only=False)
+        n = group["n_tokens"].to_numpy(zero_copy_only=False)
+        s0 = group["span_start"].to_numpy(zero_copy_only=False)
+        e0 = group["span_end"].to_numpy(zero_copy_only=False)
+        # raw token totals per doc
+        order = np.argsort(d, kind="stable")
+        ds_, ns_ = d[order], n[order]
+        new = np.empty(len(ds_), dtype=bool)
+        new[:1] = True
+        new[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(new)
+        docs_u = ds_[starts]
+        totals = np.add.reduceat(ns_, starts)
+        # interval-union coverage per doc over the span rows
+        sp = s0 >= 0
+        if sp.any():
+            sd, ss, se = d[sp], s0[sp], e0[sp]
+            o = np.lexsort((ss, sd))
+            sd, ss, se = sd[o], ss[o], se[o]
+            nd = np.empty(len(sd), dtype=bool)
+            nd[:1] = True
+            nd[1:] = sd[1:] != sd[:-1]
+            di = np.cumsum(nd) - 1
+            BIG = np.int64(1) << np.int64(40)
+            s2, e2 = ss + di * BIG, se + di * BIG
+            run_end = np.maximum.accumulate(e2)
+            nr = np.empty(len(s2), dtype=bool)
+            nr[:1] = True
+            nr[1:] = s2[1:] > run_end[:-1] + 1
+            rs = np.flatnonzero(nr)
+            re_ = np.append(rs[1:], len(s2)) - 1
+            cov_run = (run_end[re_] - s2[rs] + 1).astype(np.int64)
+            run_doc = sd[rs]
+            nd2 = np.empty(len(rs), dtype=bool)
+            nd2[:1] = True
+            nd2[1:] = run_doc[1:] != run_doc[:-1]
+            dstarts = np.flatnonzero(nd2)
+            per_doc = np.add.reduceat(cov_run, dstarts)
+            cov_docs = run_doc[dstarts]
+            covered = np.zeros(len(docs_u), dtype=np.int64)
+            covered[np.searchsorted(docs_u, cov_docs)] = per_doc
+        else:
+            covered = np.zeros(len(docs_u), dtype=np.int64)
+        return pa.table(
+            {
+                key: pa.array(docs_u),
+                "n_tokens_clean": pa.array(totals - covered),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    )
+    tok = ds.map_batches(_tok_rows, batch_format="pyarrow")
+    sp = spans.map_batches(_span_rows, batch_format="pyarrow")
+    return (
+        tok.union(sp)
+        .map_batches(_bucketed, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(_combine, batch_format="pyarrow")
+    )
