@@ -544,7 +544,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lucene_go_ray.pipelines.textstats import BPE_ISH_PATTERN
+
     qual_stops = _STOPS
+    # single source of truth: the oracle runs the IDENTICAL RE2 pattern
+    # the Ray pipeline feeds pyarrow (both engines are RE2)
+    bpe_pat_sql = BPE_ISH_PATTERN.replace("'", "''")
     return {
         "term_stats": f"""
 WITH {_TOKS}
@@ -810,9 +815,9 @@ FROM toks t LEFT JOIN cov c USING (doc_id)
         # the SAME RE2 pattern the Ray pipeline feeds pyarrow
         # count_substring_regex (both engines are RE2, so the oracle is
         # exact, not approximate)
-        "bpe_token_counts": r"""
+        "bpe_token_counts": f"""
 SELECT doc_id, len(regexp_extract_all(text,
-  '''s|''t|''re|''ve|''m|''ll|''d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+'
+  '{bpe_pat_sql}'
 ))::BIGINT AS n_bpe_tokens
 FROM documents
 """,

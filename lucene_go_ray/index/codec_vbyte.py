@@ -101,12 +101,22 @@ def _block_byte_lengths(
     return c[bstart + bcount] - c[bstart]
 
 
-def _segmented_docs(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Per-segment cumsum of deltas minus 1 (base doc = -1 per segment)."""
+def _segmented_cumsum(
+    deltas: np.ndarray, counts: np.ndarray, bases: np.ndarray | int
+) -> np.ndarray:
+    """Per-segment cumulative sum of ``deltas`` (segments sized by
+    ``counts``) offset by per-segment ``bases`` (scalar or array) — the
+    one delta-reconstruction kernel behind docs (base -1), positions
+    (base 0) and selective block decode (base = previous block's last
+    doc)."""
     starts = np.cumsum(counts) - counts
     c = np.cumsum(deltas.astype(np.int64))
     carry = c[starts] - deltas[starts].astype(np.int64)
-    return c - np.repeat(carry, counts) - 1
+    if isinstance(bases, np.ndarray):
+        base_rep = np.repeat(bases, counts)
+    else:
+        base_rep = np.int64(bases)
+    return c - np.repeat(carry, counts) + base_rep
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +233,7 @@ def decode_postings_many(
     offsets = np.concatenate([[0], np.cumsum(counts)])
     if len(deltas) != offsets[-1]:
         raise ValueError("vbyte docs stream count mismatch")
-    docs = _segmented_docs(deltas, counts)
+    docs = _segmented_cumsum(deltas, counts, -1)
     fbuf = np.frombuffer(b"".join(freqs_blobs), dtype=np.uint8)
     freqs = vbyte_decode(fbuf).astype(np.int64)
     norms8 = np.frombuffer(b"".join(norms_blobs), dtype=np.uint8).copy()
@@ -239,10 +249,7 @@ def decode_positions_many(
     freqs = np.asarray(freqs, dtype=np.int64)
     pbuf = np.frombuffer(b"".join(pos_blobs), dtype=np.uint8)
     pdelta = vbyte_decode(pbuf).astype(np.int64)
-    pstarts = np.cumsum(freqs) - freqs
-    c = np.cumsum(pdelta)
-    carry = c[pstarts] - pdelta[pstarts]
-    return c - np.repeat(carry, freqs)
+    return _segmented_cumsum(pdelta, freqs, 0)
 
 
 def decode_docs_freqs_norms(
@@ -261,10 +268,7 @@ def decode_docs_freqs_norms(
 def decode_positions(row: dict, freqs: np.ndarray) -> np.ndarray:
     pdelta = vbyte_decode(row_blob(row, "pos")).astype(np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
-    pstarts = np.cumsum(freqs) - freqs
-    c = np.cumsum(pdelta)
-    carry = c[pstarts] - pdelta[pstarts]
-    return c - np.repeat(carry, freqs)
+    return _segmented_cumsum(pdelta, freqs, 0)
 
 
 def decode_row_blocks(
@@ -287,10 +291,7 @@ def decode_row_blocks(
         raise ValueError("vbyte block gather count mismatch")
     last = np.frombuffer(row["block_last"], dtype=np.int64)
     bases = np.where(sel > 0, last[sel - 1], np.int64(-1))
-    c = np.cumsum(deltas)
-    seg_starts = np.cumsum(scounts) - scounts
-    carry = c[seg_starts] - deltas[seg_starts]
-    docs = c - np.repeat(carry, scounts) + np.repeat(bases, scounts)
+    docs = _segmented_cumsum(deltas, scounts, bases)
     freqs = vbyte_decode(fsel).astype(np.int64)
     norms8 = row_blob_gather(row, "norms", sel * block, scounts)
     return docs, freqs, norms8, scounts

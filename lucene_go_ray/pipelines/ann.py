@@ -1,8 +1,9 @@
 """Similarity search over an embedding column (list<float>).
 
 - ``brute_force_topk``: exact cosine top-k — per-batch numpy matmul against
-  a broadcast query matrix (``ray.put`` once, read per task), then a tiny
-  driver-side merge of per-block top-k. The baseline and the oracle.
+  the query vector (tiny; shipped once per task in the scorer closure),
+  per-block top-k prune, then a distributed ordered-limit merge. The
+  baseline and the oracle.
 - ``build_lsh_index`` / ``lsh_probe_topk``: scale path — a PERSISTED
   multi-table random-hyperplane LSH index (hive-partitioned by
   (table, code)); per query only the Hamming-ball partitions of each table
@@ -33,6 +34,70 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(len(arr), dim)
 
 
+def _query_vec_from_id(
+    path: str, key: str, col: str, query_vec_id: int
+) -> np.ndarray:
+    """Embedding of the row with ``key == query_vec_id`` (keeps the SQL
+    oracle self-contained)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[key, col])
+    idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
+    return np.asarray(t[col][idx].as_py(), dtype=np.float64)
+
+
+def _cosine_block_scorer(q: np.ndarray, k: int, key: str, col: str):
+    """Per-block scorer shared by every ANN path: cosine against the
+    (normalized) query, then a per-block top-k prune so only k rows per
+    block reach the merge."""
+
+    def _score(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, col)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ q) / np.maximum(norms, 1e-30)
+        ids = batch[key].to_numpy(zero_copy_only=False)
+        if len(sims) > k:
+            part = np.lexsort((ids, -sims))[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
+
+    return _score
+
+
+def _ranked_topk(scored, k: int, key: str, *, dedup: bool = False) -> pa.Table:
+    """Distributed ordered-limit merge shared by every ANN path: the
+    driver only ever holds the final k rows. ``dedup`` collapses a vector
+    surfacing from several partitions (multi-table LSH / multi-assign IVF,
+    identical sim) via groupby-max on the tiny per-block top-k stream."""
+    if dedup:
+        from ray.data.aggregate import Max
+
+        scored = scored.groupby(key).aggregate(Max("sim", alias_name="sim"))
+    out = (
+        scored.sort(["sim", key], descending=[True, False]).limit(k).to_pandas()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+            key: pa.array(out[key].to_numpy().astype(np.int64)),
+            "sim": pa.array(out["sim"].to_numpy()),
+        }
+    )
+
+
+def _empty_topk(key: str) -> pa.Table:
+    return pa.table(
+        {"rank": pa.array([], pa.int64()), key: pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+
+def _leaf_parquet_files(d: str) -> list[str]:
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+
+
 def brute_force_topk(
     sf_dir: str,
     query_vec: np.ndarray | None = None,
@@ -45,49 +110,17 @@ def brute_force_topk(
     """Exact cosine top-k. If ``query_vec`` is None, the embedding of row
     ``query_vec_id`` is used (keeps the SQL oracle self-contained).
     Returns a Dataset of (rank, vec_id, sim) — sim rounded to 6."""
-    import ray
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     if query_vec is None:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path, columns=[key, col])
-        idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
-        query_vec = np.asarray(t[col][idx].as_py(), dtype=np.float64)
+        query_vec = _query_vec_from_id(path, key, col, query_vec_id)
     q = query_vec / np.linalg.norm(query_vec)
-    q_ref = ray.put(q)
-
-    def _score(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
-        m = _emb_matrix(batch, col)
-        norms = np.linalg.norm(m, axis=1)
-        sims = (m @ qv) / np.maximum(norms, 1e-30)
-        ids = batch[key].to_numpy(zero_copy_only=False)
-        # per-block top-k prune before the driver merge
-        if len(sims) > k:
-            part = np.lexsort((ids, -sims))[:k]
-            ids, sims = ids[part], sims[part]
-        return pa.table(
-            {key: pa.array(ids), "sim": pa.array(np.round(sims, 6))}
-        )
-
     ds = ray.data.read_parquet(path, columns=[key, col])
-    # distributed ordered-limit over the per-block top-k rows: the driver
-    # only ever holds the final k rows (no pandas merge of k x blocks)
-    out = (
-        ds.map_batches(_score, batch_format="pyarrow")
-        .sort(["sim", key], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    scored = ds.map_batches(
+        _cosine_block_scorer(q, k, key, col), batch_format="pyarrow"
     )
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
-            key: pa.array(out[key].to_numpy().astype(np.int64)),
-            "sim": pa.array(out["sim"].to_numpy()),
-        }
-    )
+    return _ranked_topk(scored, k, key)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -133,7 +166,17 @@ def build_lsh_index(
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     meta_path = os.path.join(index_dir, "meta.json")
+    want = {"n_tables": int(n_tables), "n_planes": int(n_planes),
+            "seed": int(seed)}
     if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        have = {kk: meta.get(kk) for kk in want}
+        if have != want:
+            raise ValueError(
+                f"LSH index at {index_dir} was built with {have}, "
+                f"requested {want}; use a different index_dir or delete it"
+            )
         return index_dir
     first = pq.ParquetFile(path).read_row_group(0, columns=[col])
     dim = len(first[col][0])
@@ -215,48 +258,14 @@ def lsh_probe_topk(
         for c in _hamming_ball(qc, meta["n_planes"], radius):
             d = os.path.join(tdir, f"bucket={c}")
             if os.path.isdir(d):
-                dirs.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
+                dirs.extend(_leaf_parquet_files(d))
     if not dirs:
-        return pa.table(
-            {"rank": pa.array([], pa.int64()), key: pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
-        )
-
-    def _score(batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch, col)
-        norms = np.linalg.norm(m, axis=1)
-        sims = (m @ q) / np.maximum(norms, 1e-30)
-        ids = batch[key].to_numpy(zero_copy_only=False)
-        if len(sims) > k:
-            part = np.lexsort((ids, -sims))[:k]
-            ids, sims = ids[part], sims[part]
-        return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
-
-    from ray.data.aggregate import Max
-
-    # dedup (same vec surfaces from several tables, identical sim) via a
-    # groupby on the tiny per-block top-k stream, then a distributed
-    # ordered-limit — the driver holds only the final k rows
-    out = (
-        ray.data.read_parquet(dirs, columns=[key, col])
-        .map_batches(_score, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Max("sim", alias_name="sim"))
-        .sort(["sim", key], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+        return _empty_topk(key)
+    scored = ray.data.read_parquet(dirs, columns=[key, col]).map_batches(
+        _cosine_block_scorer(q, k, key, col), batch_format="pyarrow"
     )
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
-            key: pa.array(out[key].to_numpy().astype(np.int64)),
-            "sim": pa.array(out["sim"].to_numpy()),
-        }
-    )
+    # dedup: the same vec surfaces from several tables with identical sim
+    return _ranked_topk(scored, k, key, dedup=True)
 
 
 def _cached_lsh_index(
@@ -292,11 +301,7 @@ def lsh_bucketed_topk(
     (built once per corpus, cached) + Hamming-ball partition probe."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     if query_vec is None:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path, columns=[key, col])
-        idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
-        query_vec = np.asarray(t[col][idx].as_py(), dtype=np.float64)
+        query_vec = _query_vec_from_id(path, key, col, query_vec_id)
     index_dir = _cached_lsh_index(
         sf_dir, n_tables=n_tables, n_planes=n_planes, seed=seed
     )
@@ -355,15 +360,18 @@ def _spherical_kmeans(
     X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
     for _ in range(n_iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = sims.max(axis=1)  # reused for every dead-centroid respawn
         for c in range(len(C)):
             members = X[assign == c]
             if len(members):
                 v = members.sum(axis=0)
                 C[c] = v / np.maximum(np.linalg.norm(v), 1e-30)
-            else:  # dead centroid: respawn on the point farthest from its centroid
-                far = np.argmin((X @ C.T).max(axis=1))
+            else:  # dead centroid: respawn on the worst-covered point
+                far = int(np.argmin(best))
                 C[c] = X[far]
+                best[far] = np.inf  # two dead cells never grab the same point
     return C
 
 
@@ -408,7 +416,16 @@ def build_ivf_index(
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     meta_path = os.path.join(index_dir, "meta.json")
+    want = {"n_cells": int(n_cells), "n_assign": int(n_assign),
+            "n_iters": int(n_iters), "seed": int(seed)}
     if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = json.load(f).get("params")
+        if have is not None and have != want:
+            raise ValueError(
+                f"IVF index at {index_dir} was built with {have}, "
+                f"requested {want}; use a different index_dir or delete it"
+            )
         return index_dir
     pf = pq.ParquetFile(path)
     rows = []
@@ -454,6 +471,7 @@ def build_ivf_index(
                 "n_assign": int(n_assign),
                 "dim": int(C.shape[1]),
                 "seed": seed,
+                "params": want,  # requested build params, checked on reuse
                 "centroids": C.tolist(),
             },
             f,
@@ -490,47 +508,15 @@ def ivf_probe_topk(
     for c in order:
         d = os.path.join(index_dir, "cells", f"cell={int(c)}")
         if os.path.isdir(d):
-            dirs.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+            dirs.extend(_leaf_parquet_files(d))
     if not dirs:
-        return pa.table(
-            {"rank": pa.array([], pa.int64()), key: pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
-        )
-
-    def _score(batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch, col)
-        norms = np.linalg.norm(m, axis=1)
-        sims = (m @ q) / np.maximum(norms, 1e-30)
-        ids = batch[key].to_numpy(zero_copy_only=False)
-        if len(sims) > k:
-            part = np.lexsort((ids, -sims))[:k]
-            ids, sims = ids[part], sims[part]
-        return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
-
-    probed = ray.data.read_parquet(dirs, columns=[key, col]).map_batches(
-        _score, batch_format="pyarrow"
+        return _empty_topk(key)
+    scored = ray.data.read_parquet(dirs, columns=[key, col]).map_batches(
+        _cosine_block_scorer(q, k, key, col), batch_format="pyarrow"
     )
-    if int(meta.get("n_assign", 1)) > 1:
-        from ray.data.aggregate import Max
-
-        # a multi-assigned vector surfaces from several cells with the
-        # same sim — dedup on the tiny per-block top-k stream
-        probed = probed.groupby(key).aggregate(Max("sim", alias_name="sim"))
-    out = (
-        probed.sort(["sim", key], descending=[True, False])
-        .limit(k)
-        .to_pandas()
-    )
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
-            key: pa.array(out[key].to_numpy().astype(np.int64)),
-            "sim": pa.array(out["sim"].to_numpy()),
-        }
+    # multi-assigned vectors surface from several cells with identical sim
+    return _ranked_topk(
+        scored, k, key, dedup=int(meta.get("n_assign", 1)) > 1
     )
 
 
@@ -568,11 +554,7 @@ def ivf_topk(
     index (built once per corpus, cached) + nprobe-cell probe."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     if query_vec is None:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path, columns=[key, col])
-        idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
-        query_vec = np.asarray(t[col][idx].as_py(), dtype=np.float64)
+        query_vec = _query_vec_from_id(path, key, col, query_vec_id)
     index_dir = _cached_ivf_index(
         sf_dir, n_cells=n_cells, n_assign=n_assign, seed=seed
     )
