@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda sf: textstats.fingerprints(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
+        "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
+            sf, query_ids=(0, 1, 2), k=_K
+        ),
         "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
         # --- multimodal plumbing (stubbed decode kernels; rows-only) ---
@@ -865,6 +868,21 @@ SELECT rank, vec_id, sim FROM (
          vec_id, round(sim, 6) AS sim
   FROM scored)
 WHERE rank <= {_K} ORDER BY rank
+""",
+        "ann_cosine_topk_batch": f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), q.qv) AS sim
+           FROM embeddings e, q)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 6) DESC, vec_id) AS rank,
+         vec_id, round(sim, 6) AS sim
+  FROM scored)
+WHERE rank <= {_K} ORDER BY query_id, rank
 """,
         # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk /
         # ann_ivf_topk: non-SQL-expressible (hash-family / heuristic / trained-

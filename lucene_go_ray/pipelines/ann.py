@@ -123,6 +123,93 @@ def brute_force_topk(
     return _ranked_topk(scored, k, key)
 
 
+def brute_force_topk_batch(
+    sf_dir: str,
+    query_ids: tuple = (0, 1, 2),
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+):
+    """Exact cosine top-k for a BATCH of queries in one corpus pass: the
+    normalized query matrix is published to the object store once
+    (``ray.put``) and read zero-copy by every task; each block does ONE
+    (block x dim) @ (dim x Q) matmul and a per-(block, query) top-k prune,
+    then a single distributed sort+limit per query group merges the
+    k x blocks x Q candidate stream. Returns (query_id, rank, vec_id,
+    sim). This is the amortized form of :func:`brute_force_topk` — Q
+    queries cost one corpus scan, not Q."""
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    Q = np.stack(
+        [_query_vec_from_id(path, key, col, qid) for qid in query_ids]
+    )
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(Qn)
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # zero-copy object-store read per task
+        m = _emb_matrix(batch, col)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        sims = (m @ qm.T) / norms[:, None]  # (rows, Q) in one matmul
+        ids = batch[key].to_numpy(zero_copy_only=False)
+        n, nq = sims.shape
+        take = min(k, n)
+        # per-query top-k prune: argpartition per column, then exact order
+        out_q, out_id, out_sim = [], [], []
+        for j in range(nq):  # nq is tiny (the query batch), rows vectorized
+            sj = sims[:, j]
+            part = np.lexsort((ids, -sj))[:take]
+            out_q.append(np.full(take, qids[j], dtype=np.int64))
+            out_id.append(ids[part])
+            out_sim.append(np.round(sj[part], 6))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                key: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    def _reduce_query(group: pa.Table) -> pa.Table:
+        # one group == one query's k x blocks candidates: exact-order top-k
+        ids = group[key].to_numpy(zero_copy_only=False)
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        qid = np.int64(group["query_id"][0].as_py())
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                key: pa.array(ids[order]),
+                "sim": pa.array(sims[order]),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=[key, col])
+    # distributed per-query reduction: the exchange moves only the pruned
+    # k x blocks x Q candidate stream; the driver holds Q x k rows
+    out = (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_reduce_query, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy().astype(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy().astype(np.int64)),
+            key: pa.array(out[key].to_numpy().astype(np.int64)),
+            "sim": pa.array(out["sim"].to_numpy()),
+        }
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, n_planes))
 
