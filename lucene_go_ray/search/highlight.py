@@ -1,0 +1,138 @@
+"""Highlighting — snippet extraction around query-term hits.
+
+The classic Lucene highlighter re-analyzes the stored text per hit doc
+(lucene's highlighter module; the reference repo ships only the core, so
+this is an extension surface like PhraseQuery). Two modes, mirroring
+Lucene's two highlighters:
+
+- ``highlight`` (default): re-analyze the stored text with the index's
+  analyzer and compute ACTUAL byte offsets with the vectorized scanner —
+  works on any index whose source parquet still holds the text (stored
+  fields are the source files here).
+- ``use_offsets=True`` (FastVectorHighlighter analogue): read the
+  persisted offsets side table (``index_offsets=True`` builds) and
+  recover actual byte offsets from the quirk-encoded stream (reported
+  start = actual start + token index, tokenizer.go:168-170; the token
+  index of occurrence j IS its position, so actual = reported − position).
+
+Fragments: hits are merged into windows of ``window`` bytes; fragments
+rank by hit count (then earliest), top ``max_fragments`` returned with
+``pre``/``post`` tags wrapped around each hit, sliced on UTF-8 byte
+boundaries (token offsets are always boundary-aligned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..analysis.analyzer import _SPLIT_RE
+
+
+def _actual_hit_offsets_reanalyze(
+    text: str, terms: set, lowercase: bool
+) -> list[tuple[int, int]]:
+    """(start_byte, end_byte) of every raw token whose analyzed form is in
+    ``terms`` — actual offsets (no quirk), via one pass over the split."""
+    raw = _SPLIT_RE.split(text)
+    delims = _SPLIT_RE.findall(text)
+    out = []
+    pos = 0
+    for i, tok in enumerate(raw):
+        nb = len(tok.encode("utf-8"))
+        term = tok.lower() if lowercase else tok
+        if term in terms:
+            out.append((pos, pos + nb))
+        pos += nb + (len(delims[i].encode("utf-8")) if i < len(delims) else 0)
+    return out
+
+
+def _actual_hit_offsets_from_index(searcher, doc_id: int, terms: set):
+    """Recover actual byte offsets from the quirk-encoded offsets stream:
+    reported start of occurrence j = actual + its full-stream position, and
+    the positions postings give exactly those positions per occurrence.
+    Single-valued text fields only (for multi-valued fields positions
+    carry the increment gap and offsets the offset gap, so the
+    subtraction no longer lands on text bytes — use the re-analyze mode
+    there)."""
+    out = []
+    for t in sorted(terms):
+        starts, ends = searcher.term_offsets(t, doc_id)
+        if not starts:
+            continue
+        post = searcher.term_postings(t, with_positions=True)
+        if post is None:
+            continue
+        docs = post["docs"]
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or docs[i] != doc_id:
+            continue
+        freqs = post["freqs"]
+        pstart = int(freqs[:i].sum())
+        f = int(freqs[i])
+        pos = post["positions"][pstart : pstart + f]
+        for s, e, p in zip(starts, ends, pos.tolist()):
+            out.append((int(s) - p, int(e) - p))
+    return out
+
+
+def highlight(
+    searcher,
+    doc_id: int,
+    terms,
+    *,
+    text_column: str | None = None,
+    max_fragments: int = 3,
+    window: int = 80,
+    pre: str = "<b>",
+    post: str = "</b>",
+    use_offsets: bool = False,
+) -> list[str]:
+    """Top fragments of ``doc_id``'s text with query-term hits tagged.
+
+    ``terms`` are analyzed-form terms (what the query matched on)."""
+    col = text_column or searcher.cfg.text_column
+    text = searcher.document(doc_id, columns=[col])[col]
+    if text is None:
+        return []
+    tset = set(terms)
+    if use_offsets:
+        hits = _actual_hit_offsets_from_index(searcher, doc_id, tset)
+    else:
+        hits = _actual_hit_offsets_reanalyze(
+            text, tset, searcher.cfg.lowercase
+        )
+    if not hits:
+        return []
+    hits.sort()
+    data = text.encode("utf-8")
+    n = len(data)
+    # merge hits into fragment windows
+    frags = []  # (lo, hi, [hit spans])
+    for s, e in hits:
+        lo = max(0, s - window // 2)
+        hi = min(n, e + window // 2)
+        if frags and lo <= frags[-1][1]:
+            frags[-1] = (frags[-1][0], max(frags[-1][1], hi), frags[-1][2] + [(s, e)])
+        else:
+            frags.append((lo, hi, [(s, e)]))
+    # rank: most hits first, then earliest
+    frags.sort(key=lambda f: (-len(f[2]), f[0]))
+    out = []
+    for lo, hi, spans in frags[:max_fragments]:
+        # snap to UTF-8 boundaries (token offsets already are; the window
+        # padding might not be)
+        while lo > 0 and (data[lo] & 0xC0) == 0x80:
+            lo -= 1
+        while hi < n and (data[hi] & 0xC0) == 0x80:
+            hi += 1
+        piece = data[lo:hi]
+        for s, e in sorted(spans, reverse=True):
+            piece = (
+                piece[: s - lo]
+                + pre.encode()
+                + piece[s - lo : e - lo]
+                + post.encode()
+                + piece[e - lo :]
+            )
+        out.append(piece.decode("utf-8"))
+    return out

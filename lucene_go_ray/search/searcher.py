@@ -897,6 +897,14 @@ class IndexSearcher:
             return [], []
         return t["starts"][0].as_py(), t["ends"][0].as_py()
 
+    def highlight(self, doc_id: int, terms, **kw) -> list[str]:
+        """Snippet extraction around query-term hits (see
+        search/highlight.py — re-analyze mode by default, offsets-stream
+        mode with ``use_offsets=True``)."""
+        from .highlight import highlight as _hl
+
+        return _hl(self, doc_id, terms, **kw)
+
     def term_vector(
         self, doc_id: int, field: str | None = None
     ) -> pa.Table:

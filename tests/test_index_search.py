@@ -521,3 +521,47 @@ def test_pruned_blob_io_skipping(tmp_path, monkeypatch):
     # and the parquet meta rows carry offsets, not stream bytes
     meta_keys = set(s2._term_rows("web")[0])
     assert {"docs_off", "freqs_off", "norms_off", "pos_off", "blob_end"} <= meta_keys
+
+
+def test_highlight_modes_agree(tmp_path):
+    """Both highlighter modes (re-analyze vs offsets-stream) produce the
+    SAME fragments, with hits tagged at actual byte offsets (multi-byte
+    text included)."""
+    import pyarrow as pa
+
+    docs = [
+        "alpha béta gamma delta alpha zzz yyy xxx www vvv alpha béta end",
+        "nothing relevant here at all",
+        "café alpha café",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(
+        [src],
+        idx,
+        IndexConfig(
+            target_partition_rows=2, block_size=32, stop_words=(),
+            index_offsets=True,
+        ),
+    )
+    s = IndexSearcher(idx)
+    for use_offsets in (False, True):
+        frags = s.highlight(
+            0, ["alpha", "béta"], window=20, use_offsets=use_offsets
+        )
+        assert frags, use_offsets
+        assert "<b>alpha</b>" in frags[0]
+        assert "<b>béta</b>" in frags[0]
+    assert s.highlight(0, ["alpha"], use_offsets=False) == s.highlight(
+        0, ["alpha"], use_offsets=True
+    )
+    assert s.highlight(1, ["alpha"]) == []
+    f2 = s.highlight(2, ["alpha"], window=10)
+    assert f2 and "<b>alpha</b>" in f2[0] and "café" in f2[0]
