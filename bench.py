@@ -191,10 +191,22 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "jaccard_pairs",
         lambda: dedup.jaccard_ngram_pairs(sf_dir, threshold=0.5).count(),
     )
+    timed(
+        "dup_spans",
+        lambda: dedup.dup_spans(sf_dir, keep_first=True).count(),
+    )
     timed("ann_cosine", lambda: ann.brute_force_topk(sf_dir, k=10))
+    timed(
+        "ann_cosine_batch",
+        lambda: ann.brute_force_topk_batch(sf_dir, query_ids=(0, 1, 2), k=10),
+    )
     timed(
         "ann_lsh_build_probe",
         lambda: ann.lsh_bucketed_topk(sf_dir, k=10),
+    )
+    timed(
+        "ann_ivf_build_probe",
+        lambda: ann.ivf_topk(sf_dir, k=10),
     )
     from lucene_go_ray.pipelines import curate
 
