@@ -138,7 +138,11 @@ def cmd_search(args) -> int:
         }
         if td.keys is not None:
             row["key"] = td.keys[i]
-        print(json.dumps(row))
+        if args.highlight:
+            row["snippets"] = s.highlight(
+                int(td.doc_ids[i]), args.clauses, max_fragments=2
+            )
+        print(json.dumps(row, ensure_ascii=False))
     return 0
 
 
@@ -229,6 +233,8 @@ def main(argv=None) -> int:
                    help=">1: doc-range-sharded parallel evaluation")
     s.add_argument("--prune", action="store_true")
     s.add_argument("--keys", action="store_true", help="resolve stored keys")
+    s.add_argument("--highlight", action="store_true",
+                   help="attach tagged snippets around the query terms")
     s.add_argument("--cluster", action="store_true")
     s.set_defaults(fn=cmd_search)
 
