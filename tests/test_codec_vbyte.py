@@ -165,3 +165,63 @@ def test_vbyte_pruned_equals_exhaustive(two_codec_indexes, monkeypatch):
             assert ex.scores.tolist() == pr.scores.tolist(), (q, k)
     stats = s.last_prune_stats
     assert stats["intervals_visited"] > 0  # the pruned body really ran
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=400
+    )
+)
+def test_vbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf, nb = vb.vbyte_encode(arr)
+    assert int(nb.sum()) == len(buf)
+    assert np.array_equal(vb.vbyte_decode(buf), arr)
+    # stream is self-delimiting: exactly len(vals) terminator bytes
+    assert int((np.asarray(buf) < 0x80).sum()) == len(vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),  # gap to next doc
+            st.integers(min_value=1, max_value=300),  # freq
+        ),
+        min_size=1,
+        max_size=500,
+    ),
+    st.integers(min_value=0, max_value=255),
+)
+def test_vbyte_postings_roundtrip_property(rows, norm_seed):
+    gaps = np.array([g for g, _ in rows], dtype=np.int64)
+    docs = np.cumsum(gaps + 1) - 1  # strictly increasing, may start at 0
+    freqs = np.array([f for _, f in rows], dtype=np.int64)
+    norms = ((docs * 31 + norm_seed) % 256).astype(np.uint8)
+    offsets = np.array([0, len(docs)], dtype=np.int64)
+    enc = vb.encode_postings_many(docs, freqs, norms, offsets)
+    d, f, n, off = vb.decode_postings_many(
+        enc["doc_freq"], enc["docs_blob"], enc["doc_widths"],
+        enc["freqs_blob"], enc["freq_widths"], enc["norms_blob"],
+    )
+    assert np.array_equal(d, docs)
+    assert np.array_equal(f, freqs)
+    assert np.array_equal(n, norms)
+    # selective decode of every single block matches slices of the full
+    row = {k: v[0] if isinstance(v, list) else v[0] for k, v in enc.items()}
+    nblocks = (len(docs) + c.BLOCK_SIZE - 1) // c.BLOCK_SIZE
+    for b in range(nblocks):
+        dd, ff, nn, cnts = vb.decode_row_blocks(dict(row), np.array([b]))
+        lo, hi = b * c.BLOCK_SIZE, min((b + 1) * c.BLOCK_SIZE, len(docs))
+        assert np.array_equal(dd, docs[lo:hi]), b
+        assert np.array_equal(ff, freqs[lo:hi]), b
+        assert np.array_equal(np.asarray(nn), norms[lo:hi]), b
