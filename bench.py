@@ -23,9 +23,27 @@ import sys
 import time
 
 
+def _box_probe() -> float:
+    """Memory-bandwidth state of the (shared, noisy) box: seconds for a
+    fixed 40 MB copy+add+argsort. ~0.2-0.5 s on a clean box; 10-70 s in
+    the host-side degraded windows observed on this VM (during which every
+    pipeline below runs 3-4x slow at identical code). Recorded in the
+    output so a slow bench line is attributable to the box, not the
+    engine."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal(5_000_000)
+    t0 = time.perf_counter()
+    b = a.copy()
+    _ = a + b
+    _ = np.argsort(a[:1_000_000])
+    return round(time.perf_counter() - t0, 3)
+
+
 def _bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    probe = _box_probe()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -43,7 +61,7 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from lucene_go_ray.search import IndexSearcher
 
     results: dict[str, float] = {}
-    meta: dict[str, float] = {}
+    meta: dict[str, float] = {"box_stream_probe_sec": probe}
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -308,7 +326,13 @@ def _scaling_interleaved(sf_dir: str, pairs: int = 6) -> dict:
     for i in range(pairs):
         order = (2, 8) if i % 2 == 0 else (8, 2)
         rep = {c: one_rep(c) for c in order}
-        entry = {"order": list(order)}
+        entry = {
+            "order": list(order),
+            # box state at each rep (attributes a bad quotient to the box)
+            "probe_sec": {
+                f"n{c}": rep[c].get("box_stream_probe_sec") for c in (2, 8)
+            },
+        }
         for k in keys:
             q = rep[8][k] / rep[2][k] / 4.0
             quotients[k].append(q)
