@@ -47,6 +47,15 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """Matches nothing — what the reference's BooleanQuery rewrite emits
+    for degenerate shapes (pure-negative query, required-and-excluded
+    clause, MUST_NOT MatchAll; booleanquery.go:95,157,161)."""
+
+    reason: str = ""
+
+
+@dataclass(frozen=True)
 class BoostQuery(Query):
     query: Query
     boost: float = 1.0
@@ -310,9 +319,31 @@ class BooleanQuery(Query):
         return BooleanQuery(tuple(clauses), minimum_should_match)
 
     def rewrite(self) -> Query:
-        # flatten single positive clause with no prohibitions (booleanquery.go)
+        """The reference's full rewrite pipeline (booleanquery.go:74-330),
+        run to fixpoint: single-clause flattening, clause rewrite,
+        FILTER/MUST_NOT dedup, required-and-excluded detection
+        (MatchNoDocsQuery), MatchAll/duplicate FILTER removal,
+        FILTER∩SHOULD promotion to MUST, and SHOULD/MUST boost-sum
+        dedup. Each modifying rule returns the rebuilt query's own
+        rewrite, so chains converge (every rule strictly shrinks the
+        clause list or promotes occurs monotonically)."""
         clauses = [BooleanClause(c.query.rewrite(), c.occur) for c in self.clauses]
-        # dedup FILTER and MUST_NOT clauses
+        msm = self.minimum_should_match
+
+        # 1. single-clause optimizations (booleanquery.go:80-100)
+        if len(clauses) == 1:
+            c = clauses[0]
+            if msm == 1 and c.occur is Occur.SHOULD:
+                return c.query
+            if msm == 0:
+                if c.occur in (Occur.SHOULD, Occur.MUST):
+                    return c.query
+                if c.occur is Occur.FILTER:
+                    return BoostQuery(ConstantScoreQuery(c.query), 0.0)
+                if c.occur is Occur.MUST_NOT:
+                    return MatchNoDocsQuery("pure negative BooleanQuery")
+
+        # 2. dedup FILTER and MUST_NOT clauses (clauseSets semantics)
         seen, out = set(), []
         for c in clauses:
             if c.occur in (Occur.FILTER, Occur.MUST_NOT):
@@ -321,12 +352,85 @@ class BooleanQuery(Query):
                     continue
                 seen.add(key)
             out.append(c)
-        if len(out) == 1 and out[0].occur in (Occur.MUST, Occur.SHOULD):
-            if self.minimum_should_match <= 1:
-                return out[0].query
-        if out == list(self.clauses):
+        if len(out) != len(clauses):
+            return BooleanQuery(tuple(out), msm).rewrite()
+        clauses = out
+
+        musts = [c.query for c in clauses if c.occur is Occur.MUST]
+        filters = {c.query for c in clauses if c.occur is Occur.FILTER}
+        must_nots = {c.query for c in clauses if c.occur is Occur.MUST_NOT}
+        shoulds = [c.query for c in clauses if c.occur is Occur.SHOULD]
+
+        # 3. required-and-excluded / prohibited MatchAll (go:146-166)
+        for q in must_nots:
+            if q in filters:
+                return MatchNoDocsQuery(
+                    "FILTER or MUST clause also in MUST_NOT"
+                )
+            if isinstance(q, MatchAllDocsQuery):
+                return MatchNoDocsQuery("MUST_NOT clause is MatchAllDocsQuery")
+
+        # 4. drop FILTER clauses that are MatchAll (when other filters or
+        #    musts exist) or that duplicate MUST clauses (go:167-214)
+        if filters:
+            kept = set(filters)
+            if len(filters) > 1 or musts:
+                kept = {q for q in kept if not isinstance(q, MatchAllDocsQuery)}
+            kept -= set(musts)
+            if kept != filters:
+                rebuilt = [c for c in clauses if c.occur is not Occur.FILTER]
+                rebuilt += [BooleanClause(q, Occur.FILTER) for q in sorted(
+                    kept, key=repr
+                )]
+                return BooleanQuery(tuple(rebuilt), msm).rewrite()
+
+        # 5. FILTER clauses that are also SHOULD: promote the SHOULD to
+        #    MUST, drop the FILTER copy, decrement msm (go:216-252)
+        inter = filters & set(shoulds)
+        if inter:
+            rebuilt = []
+            new_msm = msm
+            for c in clauses:
+                if c.query in inter:
+                    if c.occur is Occur.SHOULD:
+                        rebuilt.append(BooleanClause(c.query, Occur.MUST))
+                        new_msm -= 1
+                    # the FILTER copy is dropped
+                    elif c.occur is not Occur.FILTER:
+                        rebuilt.append(c)
+                else:
+                    rebuilt.append(c)
+            return BooleanQuery(tuple(rebuilt), max(0, new_msm)).rewrite()
+
+        # 6./7. boost-sum dedup of SHOULD (msm<=1) and MUST (go:255-330)
+        for occ, cond in ((Occur.SHOULD, msm <= 1), (Occur.MUST, True)):
+            group = [c.query for c in clauses if c.occur is occ]
+            if not group or not cond:
+                continue
+            summed: dict = {}
+            order: list = []
+            for q in group:
+                b = 1.0
+                while isinstance(q, BoostQuery):
+                    b *= q.boost
+                    q = q.query
+                if q not in summed:
+                    order.append(q)
+                summed[q] = summed.get(q, 0.0) + b
+            if len(summed) != len(group):
+                rebuilt = [c for c in clauses if c.occur is not occ]
+                for q in order:
+                    b = summed[q]
+                    rebuilt.append(
+                        BooleanClause(
+                            BoostQuery(q, b) if b != 1.0 else q, occ
+                        )
+                    )
+                return BooleanQuery(tuple(rebuilt), msm).rewrite()
+
+        if clauses == list(self.clauses):
             return self
-        return BooleanQuery(tuple(out), self.minimum_should_match)
+        return BooleanQuery(tuple(clauses), msm)
 
 
 def _as_query(q) -> Query:

@@ -52,6 +52,7 @@ from .query import (
     BooleanQuery,
     FieldExistsQuery,
     BoostQuery,
+    MatchNoDocsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     DocIdRangeQuery,
@@ -1237,6 +1238,9 @@ class IndexSearcher:
             return _Scored(p["docs"], scorer.score(w, p["freqs"], p["norms8"]))
         if isinstance(q, BoostQuery):
             return self._eval(q.query, boost * q.boost, need_scores)
+        if isinstance(q, MatchNoDocsQuery):
+            return _Scored(np.empty(0, np.int64),
+                           np.empty(0) if need_scores else None)
         if isinstance(q, MatchAllDocsQuery):
             lo, hi = self._doc_range or (0, self.manifest.max_doc - 1)
             lo, hi = max(0, lo), min(self.manifest.max_doc - 1, hi)
