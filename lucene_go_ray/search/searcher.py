@@ -746,6 +746,11 @@ class IndexSearcher:
     def _explain(self, q: Query, boost: float, doc: int) -> dict:
         if isinstance(q, BoostQuery):
             return self._explain(q.query, boost * q.boost, doc)
+        if isinstance(q, MatchNoDocsQuery):
+            return {
+                "value": 0.0,
+                "description": f"MatchNoDocsQuery({q.reason!r})",
+            }
         if isinstance(q, TermQuery):
             p = self.term_postings(q.term, fld=q.field)
             f_name = q.field or self.default_field
