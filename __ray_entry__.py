@@ -278,6 +278,151 @@ WHERE rank BETWEEN {lo} AND {hi} ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# suite plumbing: families of related operators share ONE gate entry with a
+# qid column (the driver's correctness window is capped at 50 entries; a
+# suite keeps every operator SQL-checked without overflowing it). The value
+# hash is order-insensitive and qid-disambiguated, so a failure in any
+# sub-query fails the whole entry — same evidentiary strength, fewer rows.
+# ---------------------------------------------------------------------------
+
+
+def _suite(parts: dict[str, Any]) -> Any:
+    """Compose {qid: callable(sf) -> Table/Dataset/DataFrame} into one
+    callable returning a single pyarrow table with a leading qid column."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def run(sf_dir: str):
+        import ray.data
+
+        tabs = []
+        for qid, fn in parts.items():
+            t = fn(sf_dir)
+            if isinstance(t, ray.data.Dataset):
+                t = pa.Table.from_pandas(t.to_pandas(), preserve_index=False)
+            elif isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            tabs.append(
+                t.add_column(0, "qid", pa.array([qid] * t.num_rows, pa.string()))
+            )
+        return pa.concat_tables(tabs)
+
+    return run
+
+
+def _suite_sql(parts: dict[str, str]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, * FROM ({sql})" for qid, sql in parts.items()
+    )
+
+
+def _topk_sort_field_sql(term: str, fld: str, k: int) -> str:
+    """Field-sorted top-k of the term's hit set (TopFieldCollector):
+    order by dv field DESC with missing-last, then docID asc."""
+    return f"""
+WITH {_TOKS},
+mset AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}')
+SELECT rank, doc_id, {fld} FROM (
+  SELECT row_number() OVER (ORDER BY d.{fld} DESC NULLS LAST, d.doc_id) AS rank,
+         d.doc_id, d.{fld}
+  FROM documents d JOIN mset USING (doc_id))
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+# --- multimodal oracle: the deterministic fake kernels are pure functions
+# of the payload bytes (FNV-style end-fold + splitmix64, multimodal.py),
+# so DuckDB can recompute them EXACTLY with 64-bit wrap arithmetic emulated
+# via HUGEINT mod 2^64 (constants split into 32-bit halves so the int128
+# products never overflow). Generated as a chain of one-step CTEs.
+
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mm_wrap(e: str) -> str:
+    return f"((({e}) % {_M64}))::UBIGINT"
+
+
+def _mm_mul64(a: str, b: int) -> str:
+    if b < (1 << 62):
+        return _mm_wrap(f"({a})::HUGEINT * {b}::HUGEINT")
+    hi, lo = b >> 32, b & 0xFFFFFFFF
+    return _mm_wrap(
+        f"(({a})::HUGEINT * {lo}::HUGEINT) % {_M64}"
+        f" + ((({a})::HUGEINT * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+        f" * 4294967296::HUGEINT"
+    )
+
+
+def _mm_mix_steps(h_col: str, seed: int, prefix: str):
+    """splitmix64 _mix(h, seed) (pipelines/dedup.py:105) as CTE steps."""
+    c1 = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    s = [(f"{prefix}z1", _mm_wrap(f"({h_col})::HUGEINT + {c1}::HUGEINT"))]
+    z1, z2, z3 = f"{prefix}z1", f"{prefix}z2", f"{prefix}z3"
+    s.append((z2, _mm_mul64(f"xor({z1}, {z1} >> 30)", 0xBF58476D1CE4E5B9)))
+    s.append((z3, _mm_mul64(f"xor({z2}, {z2} >> 27)", 0x94D049BB133111EB)))
+    s.append((f"{prefix}out", f"xor({z3}, {z3} >> 31)"))
+    return s, f"{prefix}out"
+
+
+def _multimodal_sql(dim: int = 16) -> str:
+    steps = []
+    prev = "h0"
+    for j in range(8):  # b[:8] fold (multimodal._payload_hashes)
+        byte = f"('0x' || substr(hx, {2 * j + 1}, 2))::UBIGINT"
+        steps.append(
+            (
+                f"hf{j}",
+                f"CASE WHEN least(len, 8) > {j} THEN "
+                f"{_mm_mul64(f'xor({prev}, {byte})', 0x100000001B3)} "
+                f"ELSE {prev} END",
+            )
+        )
+        prev = f"hf{j}"
+    for j in range(8):  # b[-8:] fold
+        byte = (
+            f"('0x' || substr(hx, (2*(len::BIGINT - least(len::BIGINT, 8)"
+            f" + {j}) + 1), 2))::UBIGINT"
+        )
+        steps.append(
+            (
+                f"hb{j}",
+                f"CASE WHEN least(len, 8) > {j} THEN "
+                f"{_mm_mul64(f'xor({prev}, {byte})', 0x100000001B3)} "
+                f"ELSE {prev} END",
+            )
+        )
+        prev = f"hb{j}"
+    mix5, H = _mm_mix_steps(prev, 5, "m5_")
+    steps += mix5
+    emb_cols = []
+    for d in range(dim):  # EmbedStage: _mix(H, d + 11) -> float32 value
+        ms, out = _mm_mix_steps(H, d + 11, f"e{d}_")
+        steps += ms
+        emb_cols.append(
+            f"CAST(({out})::DOUBLE / 18446744073709551616.0 - 0.5 AS FLOAT)::DOUBLE"
+        )
+    sql = (
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,"
+        " octet_length(encode(text))::UBIGINT AS len,"
+        " octet_length(encode(text))::UBIGINT AS h0 FROM documents)\n"
+    )
+    prev_cte = "b"
+    for i, (col, expr) in enumerate(steps):
+        sql += f", s{i} AS (SELECT *, {expr} AS {col} FROM {prev_cte})\n"
+        prev_cte = f"s{i}"
+    sq_sum = " + ".join(f"({e}) * ({e})" for e in emb_cols)
+    return sql + f"""
+SELECT doc_id,
+       ({H} % 1920 + 16)::INTEGER AS width,
+       (({H} >> 11) % 1080 + 16)::INTEGER AS height,
+       (({H} >> 22) % 256)::DOUBLE AS mean_luma,
+       round(sqrt({sq_sum}), 6) AS emb_norm
+FROM {prev_cte}
+"""
+
+
 _JACCARD_SQL = f"""
 WITH raw AS (
   SELECT doc_id,
@@ -358,6 +503,14 @@ _RF_Q = (150, 300)  # intersects / contains / crosses query interval
 _RF_WITHIN = (150, 2000)  # wider interval so WITHIN selects a real subset
 # expungeDeletes gate constants (delete lang=es, compact, re-query)
 _EXP_FIELD, _EXP_VALUE, _EXP_TERM = "lang", "es", "spark"
+# non-prefix regexp (no literal prefix: exercises automaton-bounded
+# dictionary expansion instead of the prefix seek)
+_REGEXP_NOPREFIX = "[a-z]*ar[kt]"
+# TopFieldCollector gate constants (top-k of the term's hits by dv desc)
+_SF_TERM, _SF_FIELD = "spark", "n_chars"
+# dv-update gate constants (set n_chars := 999 on lang=fr docs, then a
+# numeric-range-filtered top-k sees the UPDATED values)
+_DVU_TERM, _DVU_FIELD, _DVU_VALUE, _DVU_NEW = "spark", "lang", "fr", 999
 # pluggable-collector gate constants (doc-values histogram over matches)
 _HIST = ("spark", "n_chars", 0, 500, 10)  # term, field, lo, hi, n_buckets
 
@@ -424,31 +577,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    # Families of related operators share one suite entry (qid column) so
+    # that EVERY entry fits inside the driver's 50-entry correctness
+    # window — the round-3 verdict's top item. Newest / least-proven
+    # entries lead.
     return {
+        # --- round-4 surfaces + entries the r3 window dropped ---
+        "topk_sort_field": lambda sf: fulltext.topk_sort_field(
+            sf, _SF_TERM, [(_SF_FIELD, True)], _K
+        ),
+        "topk_after_dv_update": lambda sf: fulltext.topk_after_dv_update(
+            sf, _DVU_TERM, _NR_FIELD, _NR_LO, _NR_HI, _K,
+            upd_field=_DVU_FIELD, upd_value=_DVU_VALUE, new_value=_DVU_NEW,
+        ),
+        "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
+            sf, query_ids=(0, 1, 2), k=_K
+        ),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
+        "multimodal_features": _multimodal_features,
+        "text_quality": lambda sf: textstats.text_quality(sf),
+        "language_id": lambda sf: textstats.language_id(sf),
+        "fingerprints": lambda sf: textstats.fingerprints(sf),
+        "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
+        "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
+        "window_counts": _window_counts,
+        "sessions": _sessions,
         # --- analysis / stats (index-build surfaces) ---
         "term_stats": lambda sf: fulltext.term_stats(sf),
         "collection_stats": lambda sf: fulltext.collection_stats(sf),
         "doc_norms": lambda sf: fulltext.doc_norms(sf),
         # --- top-k BM25 over the merged inverted index ---
         "topk_term": lambda sf: fulltext.topk(sf, "term", [_TERM], _K),
-        "topk_bool_and": lambda sf: fulltext.topk(sf, "bool_and", _AND_TERMS, _K),
-        "topk_bool_or": lambda sf: fulltext.topk(sf, "bool_or", _OR_TERMS, _K),
-        "topk_bool_not": lambda sf: fulltext.topk(sf, "bool_not", _NOT_TERMS, _K),
-        "topk_bool_msm": msm_topk,
+        "topk_bool_suite": _suite(
+            {
+                "and": lambda sf: fulltext.topk(sf, "bool_and", _AND_TERMS, _K),
+                "or": lambda sf: fulltext.topk(sf, "bool_or", _OR_TERMS, _K),
+                "not": lambda sf: fulltext.topk(sf, "bool_not", _NOT_TERMS, _K),
+                "msm": msm_topk,
+            }
+        ),
         "topk_phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
         "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
-        # --- multi-term / constant-score / dismax / filter / paging / sort ---
-        "topk_prefix": lambda sf: fulltext.topk(sf, "prefix", [_PREFIX], _K),
-        "topk_term_range": lambda sf: fulltext.topk(sf, "term_range", _RANGE, _K),
-        "topk_term_set": lambda sf: fulltext.topk(sf, "term_set", _SET_TERMS, _K),
+        # --- multi-term expansion family (constant-score rewrites):
+        #     prefix / range / set / constant / wildcard (+leading via the
+        #     reversed dictionary) / fuzzy / regexp (+non-prefix pattern,
+        #     the automaton-bounded expansion path) ---
+        "topk_multiterm_suite": _suite(
+            {
+                "prefix": lambda sf: fulltext.topk(sf, "prefix", [_PREFIX], _K),
+                "term_range": lambda sf: fulltext.topk(
+                    sf, "term_range", _RANGE, _K
+                ),
+                "term_set": lambda sf: fulltext.topk(
+                    sf, "term_set", _SET_TERMS, _K
+                ),
+                "constant": lambda sf: fulltext.topk(sf, "constant", [_TERM], _K),
+                "wildcard": lambda sf: fulltext.topk(
+                    sf, "wildcard", [_WILDCARD], _K
+                ),
+                "wildcard_leading": lambda sf: fulltext.topk(
+                    sf, "wildcard", [_WILDCARD_LEAD], _K
+                ),
+                "fuzzy": lambda sf: fulltext.topk(
+                    sf,
+                    "fuzzy",
+                    [_FUZZY_TERM, str(_FUZZY_EDITS), str(_FUZZY_PREFIX)],
+                    _K,
+                ),
+                "regexp": lambda sf: fulltext.topk(sf, "regexp", [_REGEXP], _K),
+                "regexp_nonprefix": lambda sf: fulltext.topk(
+                    sf, "regexp", [_REGEXP_NOPREFIX], _K
+                ),
+            }
+        ),
         "topk_dismax": lambda sf: fulltext.topk(sf, "dismax", _DISMAX_TERMS, _K),
-        "topk_constant": lambda sf: fulltext.topk(sf, "constant", [_TERM], _K),
         "topk_range_filter": lambda sf: fulltext.topk(
             sf, "range_filter", [_FILTER_TERM, str(_FILTER_LO), str(_FILTER_HI)], _K
         ),
         "topk_paged": lambda sf: fulltext.topk_paged(sf, "term", [_TERM], page=2),
         "sorted_topn_norms": lambda sf: fulltext.sorted_topn_norms(sf, 20),
-        # --- multi-field (keyword fields), doc-values range, deletes ---
+        # --- multi-field (keyword fields), doc-values, deletes ---
         "topk_field_term": lambda sf: fulltext.topk(
             sf, "field_term", [_KW_FIELD, _KW_VALUE], _K
         ),
@@ -458,49 +666,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_term_stats": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
         "term_vectors": lambda sf: fulltext.term_vectors(sf, modulus=97),
         "dv_histogram": lambda sf: fulltext.dv_histogram(sf, *_HIST),
-        "topk_numeric_range": lambda sf: fulltext.topk(
-            sf, "numeric_range", [_NR_TERM, _NR_FIELD, str(_NR_LO), str(_NR_HI)], _K
-        ),
-        # --- automaton-family expansion + point-set / 2-D box / exists ---
-        "topk_wildcard": lambda sf: fulltext.topk(sf, "wildcard", [_WILDCARD], _K),
-        "topk_fuzzy": lambda sf: fulltext.topk(
-            sf, "fuzzy", [_FUZZY_TERM, str(_FUZZY_EDITS), str(_FUZZY_PREFIX)], _K
-        ),
-        "topk_regexp": lambda sf: fulltext.topk(sf, "regexp", [_REGEXP], _K),
-        "topk_wildcard_leading": lambda sf: fulltext.topk(
-            sf, "wildcard", [_WILDCARD_LEAD], _K
-        ),
-        "topk_numeric_set": lambda sf: fulltext.topk(
-            sf, "numeric_set", [_NS_TERM, _NS_FIELD, *map(str, _NS_VALUES)], _K
-        ),
-        "topk_numeric_box": lambda sf: fulltext.topk(
-            sf, "numeric_box", [str(c) for c in _BOX], _K
+        # --- doc-values queries: 1-D range / point-set / 2-D box ---
+        "topk_numeric_suite": _suite(
+            {
+                "range": lambda sf: fulltext.topk(
+                    sf,
+                    "numeric_range",
+                    [_NR_TERM, _NR_FIELD, str(_NR_LO), str(_NR_HI)],
+                    _K,
+                ),
+                "set": lambda sf: fulltext.topk(
+                    sf, "numeric_set", [_NS_TERM, _NS_FIELD, *map(str, _NS_VALUES)], _K
+                ),
+                "box": lambda sf: fulltext.topk(
+                    sf, "numeric_box", [str(c) for c in _BOX], _K
+                ),
+            }
         ),
         "field_exists_count": lambda sf: fulltext.field_exists_count(sf, _FE_FIELD),
         # --- RangeField relations (per-doc interval vs query interval) ---
-        "topk_range_intersects": lambda sf: fulltext.topk(
-            sf,
-            "range_field",
-            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "intersects"],
-            _K,
-        ),
-        "topk_range_within": lambda sf: fulltext.topk(
-            sf,
-            "range_field",
-            [_RF_TERM, _RF_FIELD, str(_RF_WITHIN[0]), str(_RF_WITHIN[1]), "within"],
-            _K,
-        ),
-        "topk_range_contains": lambda sf: fulltext.topk(
-            sf,
-            "range_field",
-            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "contains"],
-            _K,
-        ),
-        "topk_range_crosses": lambda sf: fulltext.topk(
-            sf,
-            "range_field",
-            [_RF_TERM, _RF_FIELD, str(_RF_Q[0]), str(_RF_Q[1]), "crosses"],
-            _K,
+        "topk_range_relations": _suite(
+            {
+                rel: (
+                    lambda sf, rel=rel, q=q: fulltext.topk(
+                        sf,
+                        "range_field",
+                        [_RF_TERM, _RF_FIELD, str(q[0]), str(q[1]), rel],
+                        _K,
+                    )
+                )
+                for rel, q in (
+                    ("intersects", _RF_Q),
+                    ("within", _RF_WITHIN),
+                    ("contains", _RF_Q),
+                    ("crosses", _RF_Q),
+                )
+            }
         ),
         "topk_after_delete": lambda sf: fulltext.topk_after_delete(
             sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
@@ -515,9 +716,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": lambda sf: dedup.simhash_table(sf),
         "simhash_pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
-        "dup_spans": lambda sf: dedup.dup_spans(sf, min_tokens=8),
-        "dup_spans_removable": lambda sf: dedup.dup_spans(
-            sf, min_tokens=8, keep_first=True
+        "dup_spans_suite": _suite(
+            {
+                "all": lambda sf: dedup.dup_spans(sf, min_tokens=8),
+                "keep_first": lambda sf: dedup.dup_spans(
+                    sf, min_tokens=8, keep_first=True
+                ),
+            }
         ),
         "dedup_cleaned_tokens": lambda sf: dedup.dedup_cleaned_tokens(
             sf, min_tokens=8
@@ -528,21 +733,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_counts": lambda sf: textstats.token_counts(sf),
         "bpe_token_counts": lambda sf: textstats.bpe_token_counts(sf),
-        "text_quality": lambda sf: textstats.text_quality(sf),
-        "language_id": lambda sf: textstats.language_id(sf),
-        "fingerprints": lambda sf: textstats.fingerprints(sf),
-        # --- similarity search ---
-        "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, k=_K),
-        "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
-            sf, query_ids=(0, 1, 2), k=_K
-        ),
-        "ann_lsh_topk": lambda sf: ann.lsh_bucketed_topk(sf, k=_K),
-        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
-        # --- multimodal plumbing (stubbed decode kernels; rows-only) ---
-        "multimodal_features": _multimodal_features,
-        # --- event-stream aggregates (training-data extension surface) ---
-        "window_counts": _window_counts,
-        "sessions": _sessions,
     }
 
 
@@ -573,20 +763,59 @@ WITH {_TOKS}
 SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
 """,
         "topk_term": _topk_term_sql(_TERM, _K),
-        "topk_bool_and": _topk_bool_sql(_AND_TERMS, _K, "and"),
-        "topk_bool_or": _topk_bool_sql(_OR_TERMS, _K, "or"),
-        "topk_bool_not": _topk_bool_sql(_NOT_TERMS, _K, "not"),
-        "topk_bool_msm": _topk_bool_sql(_MSM_TERMS, _K, "or", msm=2),
-        "topk_phrase": _topk_phrase_sql(_PHRASE, _K),
-        "topk_prefix": _constant_topk_sql(f"term LIKE '{_PREFIX}%'", _K),
-        "topk_term_range": _constant_topk_sql(
-            f"term >= '{_RANGE[0]}' AND term <= '{_RANGE[1]}'", _K
+        "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),
+        "topk_after_dv_update": _topk_term_filtered_sql(
+            _DVU_TERM,
+            _K,
+            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"(CASE WHEN {_DVU_FIELD} = '{_DVU_VALUE}' THEN {_DVU_NEW} "
+            f"ELSE {_NR_FIELD} END) BETWEEN {_NR_LO} AND {_NR_HI})",
         ),
-        "topk_term_set": _constant_topk_sql(
-            "term IN (" + ", ".join(f"'{t}'" for t in _SET_TERMS) + ")", _K
+        "multimodal_features": _multimodal_sql(16),
+        "topk_bool_suite": _suite_sql(
+            {
+                "and": _topk_bool_sql(_AND_TERMS, _K, "and"),
+                "or": _topk_bool_sql(_OR_TERMS, _K, "or"),
+                "not": _topk_bool_sql(_NOT_TERMS, _K, "not"),
+                "msm": _topk_bool_sql(_MSM_TERMS, _K, "or", msm=2),
+            }
+        ),
+        "topk_phrase": _topk_phrase_sql(_PHRASE, _K),
+        "topk_multiterm_suite": _suite_sql(
+            {
+                "prefix": _constant_topk_sql(f"term LIKE '{_PREFIX}%'", _K),
+                "term_range": _constant_topk_sql(
+                    f"term >= '{_RANGE[0]}' AND term <= '{_RANGE[1]}'", _K
+                ),
+                "term_set": _constant_topk_sql(
+                    "term IN (" + ", ".join(f"'{t}'" for t in _SET_TERMS) + ")",
+                    _K,
+                ),
+                "constant": _constant_topk_sql(f"term = '{_TERM}'", _K),
+                "wildcard": _constant_topk_sql(
+                    f"term LIKE '{_WILDCARD.replace('*', '%').replace('?', '_')}'",
+                    _K,
+                ),
+                "wildcard_leading": _constant_topk_sql(
+                    f"term LIKE "
+                    f"'{_WILDCARD_LEAD.replace('*', '%').replace('?', '_')}'",
+                    _K,
+                ),
+                "fuzzy": _constant_topk_sql(
+                    f"levenshtein(term, '{_FUZZY_TERM}') <= {_FUZZY_EDITS}"
+                    f" AND substr(term, 1, {_FUZZY_PREFIX}) = "
+                    f"substr('{_FUZZY_TERM}', 1, {_FUZZY_PREFIX})",
+                    _K,
+                ),
+                "regexp": _constant_topk_sql(
+                    f"regexp_full_match(term, '{_REGEXP}')", _K
+                ),
+                "regexp_nonprefix": _constant_topk_sql(
+                    f"regexp_full_match(term, '{_REGEXP_NOPREFIX}')", _K
+                ),
+            }
         ),
         "topk_dismax": _dismax_topk_sql(_DISMAX_TERMS, _K),
-        "topk_constant": _constant_topk_sql(f"term = '{_TERM}'", _K),
         "topk_range_filter": _range_filter_topk_sql(
             _FILTER_TERM, _FILTER_LO, _FILTER_HI, _K
         ),
@@ -616,72 +845,64 @@ SELECT {_KW_FIELD}::VARCHAR AS term, count(*)::BIGINT AS doc_freq,
        count(*)::BIGINT AS total_term_freq
 FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
 """,
-        "topk_numeric_range": _topk_term_filtered_sql(
-            _NR_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_NR_FIELD} BETWEEN {_NR_LO} AND {_NR_HI})",
+        "topk_numeric_suite": _suite_sql(
+            {
+                "range": _topk_term_filtered_sql(
+                    _NR_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"{_NR_FIELD} BETWEEN {_NR_LO} AND {_NR_HI})",
+                ),
+                "set": _topk_term_filtered_sql(
+                    _NS_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"{_NS_FIELD} IN (" + ", ".join(map(str, _NS_VALUES)) + "))",
+                ),
+                "box": _topk_term_filtered_sql(
+                    _BOX[0],
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"{_BOX[1]} BETWEEN {_BOX[2]} AND {_BOX[3]} AND "
+                    f"{_BOX[4]} BETWEEN {_BOX[5]} AND {_BOX[6]})",
+                ),
+            }
         ),
-        "topk_wildcard": _constant_topk_sql(
-            f"term LIKE '{_WILDCARD.replace('*', '%').replace('?', '_')}'", _K
-        ),
-        "topk_fuzzy": _constant_topk_sql(
-            f"levenshtein(term, '{_FUZZY_TERM}') <= {_FUZZY_EDITS}"
-            f" AND substr(term, 1, {_FUZZY_PREFIX}) = "
-            f"substr('{_FUZZY_TERM}', 1, {_FUZZY_PREFIX})",
-            _K,
-        ),
-        "topk_regexp": _constant_topk_sql(
-            f"regexp_full_match(term, '{_REGEXP}')", _K
-        ),
-        "topk_wildcard_leading": _constant_topk_sql(
-            f"term LIKE '{_WILDCARD_LEAD.replace('*', '%').replace('?', '_')}'",
-            _K,
-        ),
-        "topk_numeric_set": _topk_term_filtered_sql(
-            _NS_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_NS_FIELD} IN ("
-            + ", ".join(map(str, _NS_VALUES))
-            + "))",
-        ),
-        "topk_numeric_box": _topk_term_filtered_sql(
-            _BOX[0],
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"{_BOX[1]} BETWEEN {_BOX[2]} AND {_BOX[3]} AND "
-            f"{_BOX[4]} BETWEEN {_BOX[5]} AND {_BOX[6]})",
-        ),
-        "topk_range_intersects": _topk_term_filtered_sql(
-            _RF_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"least(doc_id, n_chars) <= {_RF_Q[1]} AND "
-            f"greatest(doc_id, n_chars) >= {_RF_Q[0]})",
-        ),
-        "topk_range_within": _topk_term_filtered_sql(
-            _RF_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"least(doc_id, n_chars) >= {_RF_WITHIN[0]} AND "
-            f"greatest(doc_id, n_chars) <= {_RF_WITHIN[1]})",
-        ),
-        "topk_range_contains": _topk_term_filtered_sql(
-            _RF_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"least(doc_id, n_chars) <= {_RF_Q[0]} AND "
-            f"greatest(doc_id, n_chars) >= {_RF_Q[1]})",
-        ),
-        "topk_range_crosses": _topk_term_filtered_sql(
-            _RF_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"(least(doc_id, n_chars) <= {_RF_Q[1]} AND "
-            f" greatest(doc_id, n_chars) >= {_RF_Q[0]}) AND NOT "
-            f"(least(doc_id, n_chars) >= {_RF_Q[0]} AND "
-            f" greatest(doc_id, n_chars) <= {_RF_Q[1]}) AND NOT "
-            f"(least(doc_id, n_chars) <= {_RF_Q[0]} AND "
-            f" greatest(doc_id, n_chars) >= {_RF_Q[1]}))",
+        "topk_range_relations": _suite_sql(
+            {
+                "intersects": _topk_term_filtered_sql(
+                    _RF_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"least(doc_id, n_chars) <= {_RF_Q[1]} AND "
+                    f"greatest(doc_id, n_chars) >= {_RF_Q[0]})",
+                ),
+                "within": _topk_term_filtered_sql(
+                    _RF_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"least(doc_id, n_chars) >= {_RF_WITHIN[0]} AND "
+                    f"greatest(doc_id, n_chars) <= {_RF_WITHIN[1]})",
+                ),
+                "contains": _topk_term_filtered_sql(
+                    _RF_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"least(doc_id, n_chars) <= {_RF_Q[0]} AND "
+                    f"greatest(doc_id, n_chars) >= {_RF_Q[1]})",
+                ),
+                "crosses": _topk_term_filtered_sql(
+                    _RF_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"(least(doc_id, n_chars) <= {_RF_Q[1]} AND "
+                    f" greatest(doc_id, n_chars) >= {_RF_Q[0]}) AND NOT "
+                    f"(least(doc_id, n_chars) >= {_RF_Q[0]} AND "
+                    f" greatest(doc_id, n_chars) <= {_RF_Q[1]}) AND NOT "
+                    f"(least(doc_id, n_chars) <= {_RF_Q[0]} AND "
+                    f" greatest(doc_id, n_chars) >= {_RF_Q[1]}))",
+                ),
+            }
         ),
         "field_exists_count": f"""
 SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {_FE_FIELD} IS NOT NULL
@@ -748,7 +969,7 @@ FROM documents
 """,
         # exact substring dedup at the gram-STRING level (the Ray side
         # groups on a 64-bit window hash; a collision would fail this)
-        "dup_spans": f"""
+        "dup_spans_suite": _suite_sql({"all": f"""
 WITH toks AS (
   SELECT doc_id,
          list_transform(string_split_regex(text, '{_WS}'), x -> lower(x)) AS t
@@ -769,7 +990,7 @@ SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_en
 FROM isl GROUP BY doc_id, grp
 """,
         # keep-first removal policy: the lowest doc_id keeps each gram
-        "dup_spans_removable": f"""
+        "keep_first": f"""
 WITH toks AS (
   SELECT doc_id,
          list_transform(string_split_regex(text, '{_WS}'), x -> lower(x)) AS t
@@ -790,7 +1011,7 @@ isl AS (SELECT doc_id, pos,
         FROM hits)
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end
 FROM isl GROUP BY doc_id, grp
-""",
+"""}),
         # cleaned token budget: raw count minus the UNION of removable
         # window coverage (count DISTINCT covered positions)
         "dedup_cleaned_tokens": f"""

@@ -61,6 +61,56 @@ def segment_dead_ords(index_dir: str, pid: int) -> np.ndarray:
     return pq.read_table(p, columns=["ord"])["ord"].to_numpy(zero_copy_only=False)
 
 
+def _bake_dv_updates(index_dir: str, info: PartitionInfo, dv_upd) -> PartitionInfo:
+    """Write pending dv updates into one rewritten segment's docmap and
+    refresh its zone maps (the consumption side of
+    /root/reference/core/index/docvaluesfieldupdates.go: after a merge the
+    updated values ARE the segment's values). Atomic tmp+rename; zone maps
+    recompute over live (non-dead) rows only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .build import segment_path
+
+    path = os.path.join(segment_path(index_dir, info.pid), "docmap.parquet")
+    t = pq.read_table(path)
+    base, n = int(info.doc_base), int(info.num_docs)
+    live = np.ones(n, dtype=bool)
+    dead = segment_dead_ords(index_dir, info.pid)
+    live[dead] = False
+    cols = {name: t[name] for name in t.column_names}
+    new_ranges = dict(info.dv_ranges or {})
+    changed = False
+    for fld, (u_ids, u_vals) in dv_upd.items():
+        col = f"dv_{fld}"
+        if col not in t.column_names:
+            continue
+        a = int(np.searchsorted(u_ids, base))
+        b = int(np.searchsorted(u_ids, base + n))
+        if a == b:
+            continue
+        arr = t[col].combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = u_ids[a:b] - base
+        vals[ords] = u_vals[a:b]
+        valid[ords] = True
+        cols[col] = pa.array(vals, pa.int64(), mask=~valid)
+        lv = valid & live
+        if lv.any():
+            new_ranges[fld] = [int(vals[lv].min()), int(vals[lv].max())]
+        else:
+            new_ranges.pop(fld, None)
+        changed = True
+    if not changed:
+        return info
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    info.dv_ranges = new_ranges
+    return info
+
+
 def expunge_deletes(
     index_dir: str,
     *,
@@ -81,7 +131,17 @@ def expunge_deletes(
         raise FileNotFoundError(f"no manifest in {index_dir}; build first")
     cfg = IndexConfig.from_dict(manifest.config)
 
-    pending = load_deleted(index_dir)  # overlay only (not segment dead files)
+    hard_pending = load_deleted(index_dir)  # overlay only (not dead files)
+    # soft-deleted docs (pendingsoftdeletes.go) are consumed as hard dead
+    # rows at compaction, exactly like Lucene merges drop them
+    from .dv_updates import SOFT_DELETES_FIELD, load_dv_updates
+
+    dv_upd = load_dv_updates(index_dir)
+    soft = dv_upd.pop(SOFT_DELETES_FIELD, None)
+    soft_dead = (
+        soft[0][soft[1] == 1] if soft is not None else np.empty(0, np.int64)
+    )
+    pending = np.union1d(hard_pending, soft_dead)
     parts = [PartitionInfo(**p) for p in manifest.partitions]
     todo: list[dict] = []
     consumed: list[np.ndarray] = []
@@ -122,6 +182,17 @@ def expunge_deletes(
         for info in _run_segment_builds(index_dir, cfg, todo, concurrency,
                                         from_descriptors=True)
     }
+    # bake pending dv updates (docvaluesfieldupdates.go consumption) into
+    # the rewritten segments' docmaps + refresh their zone maps; the
+    # overlay rows for these docID ranges are dropped below. Rebuilt infos
+    # carry doc_base=-1 until finalize; docBases are STABLE across
+    # rewrites, so seed them from the prior manifest first.
+    base_by_pid = {p.pid: p.doc_base for p in parts}
+    for pid, info in rebuilt.items():
+        info.doc_base = base_by_pid[pid]
+    if dv_upd:
+        for pid, info in rebuilt.items():
+            rebuilt[pid] = _bake_dv_updates(index_dir, info, dv_upd)
     merged_parts = [rebuilt.get(p.pid, p) for p in parts]
     new_manifest = finalize_partitions(merged_parts)
     new_manifest.config = asdict(cfg)
@@ -134,11 +205,29 @@ def expunge_deletes(
     new_manifest = merge_index(index_dir, new_manifest, cfg)
     save_manifest(index_dir, new_manifest)
 
-    # shrink the overlay: drop the consumed docIDs, keep the rest. Write the
-    # survivor file FIRST, then unlink the old files (crash-safe: worst case
-    # a docID is listed twice — the union at load time dedups).
+    # shrink the overlays. Tombstones: drop the consumed docIDs, keep the
+    # rest (survivor file FIRST, then unlink — crash-safe: worst case a
+    # docID is listed twice; the union at load time dedups). dv updates +
+    # soft deletes: every overlay row whose docID lies in a rewritten
+    # partition's range is now baked (dv) or dead (soft) — drop those;
+    # soft deletes OUTSIDE rewritten partitions stay soft (they must NOT
+    # become hard tombstones here).
+    from .dv_updates import drop_consumed_updates
+
     eaten = np.concatenate(consumed)
-    left = np.setdiff1d(pending, eaten)
+    rewritten_ranges = [
+        (rebuilt[d["pid"]].doc_base,
+         rebuilt[d["pid"]].doc_base + rebuilt[d["pid"]].num_docs)
+        for d in todo
+    ]
+    upd_eaten = [eaten]
+    for fi, fv in list(dv_upd.values()) + ([soft] if soft is not None else []):
+        m = np.zeros(len(fi), dtype=bool)
+        for lo, hi in rewritten_ranges:
+            m |= (fi >= lo) & (fi < hi)
+        upd_eaten.append(fi[m])
+    drop_consumed_updates(index_dir, np.unique(np.concatenate(upd_eaten)))
+    left = np.setdiff1d(hard_pending, eaten)
     ddir = os.path.join(index_dir, DELETES_DIR)
     old_files = (
         sorted(

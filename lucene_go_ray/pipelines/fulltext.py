@@ -197,11 +197,13 @@ def _search_past_rounded_ties(s, q, k: int, round_to: int, margin: int = 200):
             return td, scores6
         fetch *= 4
 
-_searcher_cache: dict[str, IndexSearcher] = {}
+_searcher_cache: dict[object, IndexSearcher] = {}
 
 
 def get_searcher(sf_dir: str, cfg: IndexConfig = _GATE_CFG) -> IndexSearcher:
-    key = os.path.abspath(sf_dir)
+    # cache key includes the config: two calls with different IndexConfigs
+    # (codec_name, range_fields, ...) must not share a searcher
+    key = (os.path.abspath(sf_dir), repr(cfg))
     s = _searcher_cache.get(key)
     if s is not None:
         return s
@@ -435,6 +437,58 @@ def topk_after_expunge(
     )
 
 
+def topk_after_dv_update(
+    sf_dir: str,
+    term: str,
+    nr_field: str = "n_chars",
+    nr_lo: int = 150,
+    nr_hi: int = 350,
+    k: int = 10,
+    *,
+    upd_field: str = "lang",
+    upd_value: str = "fr",
+    new_value: int = 999,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Numeric doc-values update then a dv-filtered top-k: docs matching
+    ``upd_field = upd_value`` get ``nr_field := new_value`` via the
+    generation-stamped overlay (docvaluesfieldupdates.go semantics,
+    index/dv_updates.py), so the numeric-range FILTER sees the UPDATED
+    values while BM25 stats/scoring are untouched. Runs on a cached
+    private copy of the gate index."""
+    import shutil
+
+    from ..index.dv_updates import update_numeric_docvalues_by_query
+    from ..search.query import TermQuery
+
+    base = get_searcher(sf_dir, cfg)
+    ddir = base.index_dir + f"_dvu_{upd_field}_{upd_value}_{new_value}"
+    s = _searcher_cache.get(ddir)
+    if s is None:
+        if not os.path.isdir(ddir):
+            tmp = ddir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(base.index_dir, tmp)
+            update_numeric_docvalues_by_query(
+                tmp, TermQuery(upd_value, field=upd_field), nr_field, new_value
+            )
+            os.replace(tmp, ddir)
+        s = IndexSearcher(ddir)
+        _searcher_cache[ddir] = s
+    q = query_from_descriptor(
+        "numeric_range", [term, nr_field, str(nr_lo), str(nr_hi)]
+    )
+    td, scores6 = _search_past_rounded_ties(s, q, k, 6)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
 def term_doc_count(sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG) -> pa.Table:
     """Total hit count for a term query (TotalHitCountCollector)."""
     s = get_searcher(sf_dir, cfg)
@@ -465,6 +519,29 @@ def sorted_topn_norms(sf_dir: str, n: int = 20, cfg: IndexConfig = _GATE_CFG):
     (distributed ordered-limit, no full materialization)."""
     ds = doc_norms(sf_dir, cfg)
     return ds.sort(["norm", "doc_id"], descending=[True, False]).limit(n)
+
+
+def topk_sort_field(
+    sf_dir: str,
+    term: str,
+    fields: list[tuple[str, bool]] = (("n_chars", True),),
+    k: int = 10,
+    num_shards: int = 8,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Top-K hits of THIS query ordered by SortField comparators over
+    doc-values (field desc/asc, missing last, docID tiebreak) — the
+    TopFieldCollector surface (/root/reference/core/search/
+    topfieldcollector.go, sortfield.go) run as a sharded
+    CollectorManager, NOT a whole-dataset sort: only the query's match
+    set is gathered, k rows per shard travel back."""
+    from ..search import SortField, TermQuery, TopFieldCollectorManager
+
+    s = get_searcher(sf_dir, cfg)
+    mgr = TopFieldCollectorManager(
+        [SortField(f, reverse=r) for f, r in fields], k
+    )
+    return s.search_with_collector_sharded(TermQuery(term), mgr, num_shards)
 
 
 def topk_paged(

@@ -127,6 +127,113 @@ class TopDocsCollectorManager(CollectorManager):
         )
 
 
+class SortField:
+    """Comparator spec for field-sorted top-K — the SortField surface
+    (/root/reference/core/search/sortfield.go, fieldvaluehitqueue.go):
+    order by a numeric doc-values field, ascending or ``reverse`` (desc).
+    Docs missing the field sort LAST under both orders; the final
+    tiebreak is always global docID ascending (shardIndex/doc order of
+    topfieldcollector.go)."""
+
+    def __init__(self, field: str, reverse: bool = False) -> None:
+        self.field, self.reverse = field, bool(reverse)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SortField({self.field!r}, reverse={self.reverse})"
+
+
+def _sort_order(docs, per_field, sort_fields):
+    """Indices sorting (docs, [(vals, valid)]) by the SortField chain then
+    docID asc; missing-last. np.lexsort: LAST key is primary, so emit
+    (docs, vkey_n, inv_n, ..., vkey_1, inv_1)."""
+    keys = [docs]
+    for sf, (vals, valid) in zip(reversed(sort_fields), reversed(per_field)):
+        inv = ~valid
+        v = np.where(valid, vals, 0)
+        keys.append(-v if sf.reverse else v)
+        keys.append(inv)
+    return np.lexsort(tuple(keys))
+
+
+class TopFieldCollector(Collector):
+    """Top-k of the match set ordered by SortField comparators — the
+    TopFieldCollector surface (/root/reference/core/search/
+    topfieldcollector.go, ~500 LoC of comparator/queue machinery) under
+    the vectorized array contract: gather each sort field's doc values
+    for the incoming candidate block, merge with the bounded k-entry
+    state, keep the k best. No scoring (ScoreMode.COMPLETE_NO_SCORES)."""
+
+    needs_scores = False
+
+    def __init__(self, sort_fields: list[SortField], k: int) -> None:
+        self.sort_fields = list(sort_fields)
+        self.k = int(k)
+        self.docs = np.empty(0, np.int64)
+        self.vals = [np.empty(0, np.int64) for _ in self.sort_fields]
+        self.valid = [np.empty(0, bool) for _ in self.sort_fields]
+        self.total = 0
+        self._searcher = None
+
+    def set_context(self, searcher) -> None:
+        self._searcher = searcher
+
+    def collect(self, docs, scores) -> None:
+        self.total += len(docs)
+        d = np.concatenate([self.docs, docs])
+        per_field = []
+        for i, sf in enumerate(self.sort_fields):
+            v, ok = self._searcher.dv_values(docs, sf.field)
+            per_field.append(
+                (
+                    np.concatenate([self.vals[i], v]),
+                    np.concatenate([self.valid[i], ok]),
+                )
+            )
+        order = _sort_order(d, per_field, self.sort_fields)[: self.k]
+        self.docs = d[order]
+        self.vals = [v[order] for v, _ in per_field]
+        self.valid = [ok[order] for _, ok in per_field]
+
+    def finish(self) -> None:
+        self._searcher = None
+
+
+class TopFieldCollectorManager(CollectorManager):
+    """Sharded field-sorted top-K; ``reduce`` returns a pyarrow table
+    (rank, doc_id, one nullable int64 column per sort field)."""
+
+    def __init__(self, sort_fields: list[SortField], k: int) -> None:
+        self.sort_fields = list(sort_fields)
+        self.k = int(k)
+
+    def new_collector(self) -> TopFieldCollector:
+        return TopFieldCollector(self.sort_fields, self.k)
+
+    def reduce(self, collectors) -> pa.Table:
+        docs = np.concatenate([c.docs for c in collectors])
+        per_field = [
+            (
+                np.concatenate([c.vals[i] for c in collectors]),
+                np.concatenate([c.valid[i] for c in collectors]),
+            )
+            for i in range(len(self.sort_fields))
+        ]
+        order = _sort_order(docs, per_field, self.sort_fields)[: self.k]
+        cols: dict[str, pa.Array] = {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(docs[order]),
+        }
+        for sf, (vals, valid) in zip(self.sort_fields, per_field):
+            cols[sf.field] = pa.array(
+                vals[order], type=pa.int64(), mask=~valid[order]
+            )
+        t = pa.table(cols)
+        t = t.replace_schema_metadata(
+            {b"total_hits": str(sum(c.total for c in collectors)).encode()}
+        )
+        return t
+
+
 class NumericHistogramCollector(Collector):
     """Histogram of a doc-values field over the matching docs — the
     custom-Collector exemplar (a facet/range-aggregation collector):

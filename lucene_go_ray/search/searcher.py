@@ -289,7 +289,7 @@ class _RangeIndex:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, *, include_soft_deleted: bool = False):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
@@ -396,6 +396,22 @@ class IndexSearcher:
                 for p in seg_dead
             ]
             self.deleted = np.unique(np.concatenate(arrs))
+        # numeric doc-values update overlay (docvaluesfieldupdates.go) +
+        # soft deletes (pendingsoftdeletes.go): newest generation per
+        # (field, doc_id) overlays the segment dv columns at column-load
+        # time (_dv_column); soft-deleted docs join the collect-time
+        # filter unless this reader was opened include_soft_deleted=True
+        # (the retention / NRT reader). Zone pruning is disabled for
+        # updated fields — their manifest dv_ranges may be stale.
+        from ..index.dv_updates import SOFT_DELETES_FIELD, load_dv_updates
+
+        self._dv_upd = load_dv_updates(index_dir)
+        soft = self._dv_upd.get(SOFT_DELETES_FIELD)
+        if soft is not None and not include_soft_deleted:
+            sd_ids, sd_vals = soft
+            self.deleted = np.unique(
+                np.concatenate([self.deleted, sd_ids[sd_vals == 1]])
+            )
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
         self._num_buckets = self.cfg.merge_buckets
@@ -956,9 +972,38 @@ class IndexSearcher:
             arr = t[f"dv_{fld}"].combine_chunks()
             valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
             vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            upd = self._dv_upd.get(fld)
+            if upd is not None:
+                # overlay the newest-generation updates for this segment's
+                # docID range (docvaluesfieldupdates.go applied at read)
+                i = self._pids.index(pid)
+                base = self._doc_bases[i]
+                u_ids, u_vals = upd
+                a = int(np.searchsorted(u_ids, base))
+                b = int(np.searchsorted(u_ids, base + len(vals)))
+                if a < b:
+                    vals = vals.copy()
+                    valid = valid.copy()
+                    ords = u_ids[a:b] - base
+                    vals[ords] = u_vals[a:b]
+                    valid[ords] = True
             cached = (vals, valid)
             self._dv_cache[key] = cached
         return cached
+
+    def _dv_zone(self, p, fld: str):
+        """Segment zone range for pruning, widened by the dv-update
+        overlay's value envelope when ``fld`` has pending updates (the
+        manifest range may be stale for updated docs; the envelope keeps
+        pruning sound without a rebuild). None = no recorded range."""
+        zr = (p.get("dv_ranges") or {}).get(fld)
+        upd = self._dv_upd.get(fld)
+        if zr is not None and upd is not None and len(upd[1]):
+            return [
+                min(int(zr[0]), int(upd[1].min())),
+                max(int(zr[1]), int(upd[1].max())),
+            ]
+        return zr
 
     def _numeric_range_docs(self, fld: str, lo: int, hi: int) -> np.ndarray:
         """Sorted global docIDs whose doc-values ``fld`` ∈ [lo, hi].
@@ -974,7 +1019,7 @@ class IndexSearcher:
             base, n = int(p["doc_base"]), int(p["num_docs"])
             if base + n - 1 < rlo or base > rhi:
                 continue
-            zr = (p.get("dv_ranges") or {}).get(fld)
+            zr = self._dv_zone(p, fld)
             if zr is None or zr[1] < lo or zr[0] > hi:
                 continue
             vals, valid = self._dv_column(int(p["pid"]), fld)
@@ -1032,7 +1077,7 @@ class IndexSearcher:
         vmin, vmax = int(varr[0]), int(varr[-1])
 
         def mask_fn(p):
-            zr = (p.get("dv_ranges") or {}).get(fld)
+            zr = self._dv_zone(p, fld)
             if zr is None or zr[1] < vmin or zr[0] > vmax:
                 return None
             vals, valid = self._dv_column(int(p["pid"]), fld)
@@ -1047,8 +1092,7 @@ class IndexSearcher:
         vectorized mask over the two docmap columns."""
 
         def mask_fn(p):
-            zs = p.get("dv_ranges") or {}
-            zx, zy = zs.get(q.field_x), zs.get(q.field_y)
+            zx, zy = self._dv_zone(p, q.field_x), self._dv_zone(p, q.field_y)
             if zx is None or zx[1] < q.lo_x or zx[0] > q.hi_x:
                 return None
             if zy is None or zy[1] < q.lo_y or zy[0] > q.hi_y:
@@ -1076,8 +1120,7 @@ class IndexSearcher:
         flo, fhi = f"{q.field}_lo", f"{q.field}_hi"
 
         def mask_fn(p):
-            zs = p.get("dv_ranges") or {}
-            zlo, zhi = zs.get(flo), zs.get(fhi)
+            zlo, zhi = self._dv_zone(p, flo), self._dv_zone(p, fhi)
             if zlo is None or zhi is None:
                 return None
             if q.relation in ("intersects", "crosses"):

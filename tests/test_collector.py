@@ -24,7 +24,7 @@ from .naive_oracle import NaiveEngine
 
 CFG = IndexConfig(
     target_partition_rows=120,  # several segments on 500 docs
-    docvalue_fields=("n_chars",),
+    docvalue_fields=("n_chars", "doc_id"),
 )
 
 
@@ -108,6 +108,84 @@ def test_histogram_manager_matches_recount(built_dv):
             got = np.zeros(n, np.int64)
             got[t["bucket"].to_numpy()] = t["cnt"].to_numpy()
             assert got.tolist() == want.tolist(), (q.term, shards)
+
+
+def test_top_field_collector_vs_brute_force(built_dv):
+    """TopFieldCollector (topfieldcollector.go / sortfield.go): top-k of
+    the query's hit set ordered by dv comparators, single- and
+    multi-field, both directions, sharded and not — vs a brute-force sort
+    of the full oracle match set."""
+    from lucene_go_ray.search import SortField, TopFieldCollectorManager
+
+    s, oracle, n_chars = built_dv
+    for q in _queries(oracle):
+        if not isinstance(q, TermQuery):
+            continue
+        match = sorted(oracle.postings[q.term])
+        for fields in (
+            [("n_chars", True)],
+            [("n_chars", False)],
+            [("n_chars", True), ("doc_id", True)],
+        ):
+            keyf = lambda d: tuple(
+                (-(n_chars[d] if f == "n_chars" else d))
+                if rev
+                else (n_chars[d] if f == "n_chars" else d)
+                for f, rev in fields
+            ) + (d,)
+            want = sorted(match, key=keyf)[:10]
+            for shards in (1, 5):
+                mgr = TopFieldCollectorManager(
+                    [SortField(f, reverse=r) for f, r in fields], 10
+                )
+                t = (
+                    s.search_with_collector(q, mgr)
+                    if shards == 1
+                    else s.search_with_collector_sharded(q, mgr, num_shards=shards)
+                )
+                assert t["doc_id"].to_pylist() == want, (q.term, fields, shards)
+                assert t["rank"].to_pylist() == list(range(1, len(want) + 1))
+                got_vals = t[fields[0][0]].to_pylist()
+                assert got_vals == [
+                    n_chars[d] if fields[0][0] == "n_chars" else d for d in want
+                ]
+
+
+def test_top_field_collector_missing_values_sort_last(tmp_path):
+    """Docs whose sort field is null rank after all valued docs under BOTH
+    directions (SortField missing-value policy), with docID tiebreak."""
+    import pyarrow as pa
+
+    from lucene_go_ray.search import SortField, TopFieldCollectorManager
+
+    src = str(tmp_path / "docs.parquet")
+    n = 12
+    score = [None if i % 3 == 0 else (i * 7) % 50 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["alpha beta"] * n),
+                "score": pa.array(score, pa.int64()),
+            }
+        ),
+        src,
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index([src], index_dir, IndexConfig(
+        target_partition_rows=5, docvalue_fields=("score",)
+    ))
+    s = IndexSearcher(index_dir)
+    for rev in (True, False):
+        mgr = TopFieldCollectorManager([SortField("score", reverse=rev)], n)
+        t = s.search_with_collector(TermQuery("alpha"), mgr)
+        valued = [i for i in range(n) if score[i] is not None]
+        missing = [i for i in range(n) if score[i] is None]
+        want = sorted(
+            valued, key=lambda d: (-score[d] if rev else score[d], d)
+        ) + missing
+        assert t["doc_id"].to_pylist() == want, rev
+        assert t["score"].to_pylist() == [score[d] for d in want]
 
 
 def test_custom_user_collector(built_dv):
