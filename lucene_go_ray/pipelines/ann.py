@@ -34,16 +34,35 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(len(arr), dim)
 
 
+def _query_vecs_from_ids(
+    path: str, key: str, col: str, query_ids
+) -> np.ndarray:
+    """(len(query_ids), dim) embedding matrix for the given key values, in
+    the requested order — ONE row-group-pruned filtered read (the parquet
+    key-column statistics skip every non-overlapping row group), never a
+    full-column driver materialization: at corpus scale this reads a few
+    row groups, not the table."""
+    import pyarrow.parquet as pq
+
+    ids = [int(q) for q in query_ids]
+    t = pq.read_table(
+        path, columns=[key, col], filters=[(key, "in", ids)]
+    )
+    got = t[key].to_numpy(zero_copy_only=False)
+    m = _emb_matrix(t, col)
+    pos = {int(v): i for i, v in enumerate(got)}
+    missing = [q for q in ids if q not in pos]
+    if missing:
+        raise KeyError(f"{key} values {missing} not found in {path}")
+    return m[[pos[q] for q in ids]]
+
+
 def _query_vec_from_id(
     path: str, key: str, col: str, query_vec_id: int
 ) -> np.ndarray:
     """Embedding of the row with ``key == query_vec_id`` (keeps the SQL
     oracle self-contained)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=[key, col])
-    idx = t[key].to_numpy(zero_copy_only=False).tolist().index(query_vec_id)
-    return np.asarray(t[col][idx].as_py(), dtype=np.float64)
+    return _query_vecs_from_ids(path, key, col, [query_vec_id])[0]
 
 
 def _cosine_block_scorer(q: np.ndarray, k: int, key: str, col: str):
@@ -143,9 +162,7 @@ def brute_force_topk_batch(
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    Q = np.stack(
-        [_query_vec_from_id(path, key, col, qid) for qid in query_ids]
-    )
+    Q = _query_vecs_from_ids(path, key, col, query_ids)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
     q_ref = ray.put(Qn)
     qids = np.asarray(query_ids, dtype=np.int64)

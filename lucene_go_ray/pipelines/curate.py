@@ -81,11 +81,23 @@ def curate(
     max_chars: int = 1_000_000,
     min_tokens: int = 10,
     max_stopword_ratio: float = 0.6,
+    out_partitions: int = 64,
 ):
     """Surviving doc_ids after quality filters + exact dedup (keep the
     smallest doc_id per content hash). With ``out_dir``, also writes the
-    curated corpus as partitioned parquet (full rows re-read only for
-    survivors) and still returns the survivor Dataset."""
+    curated corpus as partitioned parquet and still returns the survivor
+    Dataset.
+
+    The write path is a BROADCAST semi-join, never a shuffle join of the
+    full corpus: quality gates are pure per-batch functions, so the
+    re-read re-applies them map-only; the only state needed is the
+    DUP-LOSER id set (docs whose content_hash has a smaller doc_id) —
+    the small complement of the survivor set, 8 bytes per duplicate —
+    published once via ``ray.put`` and probed with a vectorized
+    membership test in every write task. Text bytes therefore cross no
+    exchange at all. (At extreme duplicate rates swap the sorted array
+    for a bloom filter; the plan shape is unchanged.)"""
+    import ray
     import ray.data
     from ray.data.aggregate import Min
 
@@ -104,28 +116,78 @@ def curate(
             stop_list=stops,
         )
 
-    survivors = (
-        ray.data.read_parquet(path, columns=["doc_id", "text"])
-        .map_batches(_f, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+    hashed = ray.data.read_parquet(
+        path, columns=["doc_id", "text"]
+    ).map_batches(_f, batch_format="pyarrow")
+    if out_dir is None:
+        return (
+            hashed.groupby("content_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"])
+        )
+
+    # one (hash, id) exchange produces BOTH outputs: per-group survivor
+    # (min doc_id) and the loser ids
+    def _split_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        lo = ids.min()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "is_loser": pa.array(ids != lo),
+            }
+        )
+
+    marked = (
+        hashed.groupby("content_hash")
+        .map_groups(_split_group, batch_format="pyarrow")
+        .materialize()
     )
-    if out_dir is not None:
-        # semi-join the survivor ids back to the full rows and write
-        # hive-partitioned output (resumable: one dir per hash bucket)
-        ids = survivors.materialize()
-        full = ray.data.read_parquet(path)
-        joined = full.join(
-            ids, "inner", num_partitions=8, on=("doc_id",)
+    # reduce to the loser ids DISTRIBUTED (workers drop the survivor
+    # rows); only the small loser stream ever reaches the driver
+    def _losers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["is_loser"].combine_chunks()).select(
+            ["doc_id"]
         )
 
-        def _bucket(batch: pa.Table) -> pa.Table:
-            b = pc.bit_wise_and(batch["doc_id"], 7)
-            return batch.append_column("part", b.cast(pa.int32()))
-
-        joined.map_batches(_bucket, batch_format="pyarrow").write_parquet(
-            out_dir, partition_cols=["part"]
+    losers = np.sort(
+        np.concatenate(
+            [
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                for b in marked.map_batches(
+                    _losers_only, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            + [np.empty(0, np.int64)]
         )
-        return ids
-    return survivors
+    )
+    losers_ref = ray.put(losers)
+
+    def _write_filter(batch: pa.Table) -> pa.Table:
+        drop = ray.get(losers_ref)  # zero-copy object-store read
+        kept = _quality_filter_batch(
+            batch,
+            min_chars=min_chars,
+            max_chars=max_chars,
+            min_tokens=min_tokens,
+            max_stopword_ratio=max_stopword_ratio,
+            stop_list=stops,
+        )
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        # sorted-array membership: idx bounds differ exactly for present ids
+        a = np.searchsorted(drop, ids, side="left")
+        b = np.searchsorted(drop, ids, side="right")
+        keep_ids = ids[a == b]
+        out = batch.filter(pc.is_in(batch["doc_id"], pa.array(keep_ids)))
+        part = pc.bit_wise_and(out["doc_id"], out_partitions - 1)
+        return out.append_column("part", part.cast(pa.int32()))
+
+    ray.data.read_parquet(path).map_batches(
+        _write_filter, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["part"])
+
+    def _survivors_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["is_loser"].combine_chunks())
+        return batch.filter(keep).select(["doc_id"])
+
+    return marked.map_batches(_survivors_only, batch_format="pyarrow")

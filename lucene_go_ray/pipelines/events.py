@@ -8,10 +8,10 @@ aggregate and gap-based sessionization, both expressed Dataset-first.
   aggregation over (user, window)), then a small ``groupby().aggregate``
   over partial rows — the exchange is proportional to distinct
   (user, window) pairs, never to event count;
-- sessionization: ``groupby(user_id).map_groups`` — the per-key ordered
-  scan that defines a session cannot be split below the key, so the user
-  is the partitioning key (documented assumption: one user's events fit a
-  worker; salt heavy users by day if that ever breaks).
+- sessionization: salted two-level plan — pre-sessionize per
+  (user, day-bucket) in a vectorized pair_groupby, then stitch boundary
+  sessions per user over SESSION rows, so a heavy user's exchange weight
+  is O(their sessions), never O(their events).
 """
 
 from __future__ import annotations
@@ -101,37 +101,112 @@ def tumbling_window_counts(sf_dir: str, window_seconds: int = 3600):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, gap_seconds: int = 1800):
+def sessionize(
+    sf_dir: str, gap_seconds: int = 1800, *, salt_seconds: int = 86_400
+):
     """Gap-based sessions: (user_id, session_id, n_events, session_start_us).
 
     ``session_id`` is the 0-based ordinal of the session within the user's
     (ts, event_id)-ordered event stream; a new session starts when the gap
-    to the previous event exceeds ``gap_seconds``."""
+    to the previous event exceeds ``gap_seconds``.
+
+    Salted two-level plan (a bot user with 10^9 events must NOT land on
+    one worker as raw events):
+
+    1. pre-sessionize per (user, time-bucket of ``salt_seconds``) — a
+       vectorized ``pair_groupby`` whose reduce scans ALL of a bucket's
+       groups in one lexsort + run-length pass, emitting LOCAL sessions
+       (user, start_us, end_us, n_events);
+    2. stitch per user over the local-SESSION rows — sessions that touch
+       a bucket boundary merge when the cross-boundary gap is within
+       ``gap_seconds`` (two local sessions in the same bucket are >gap
+       apart by construction, so only boundary adjacency can merge).
+
+    Per-user memory in step 2 is O(sessions), not O(events) — the heavy
+    user's exchange weight collapses by their events-per-session factor.
+    (Degenerate bound: a user whose every event is its own session still
+    carries O(events) rows — that is the size of the OUTPUT itself.)
+    """
     import ray.data
 
-    gap_us = gap_seconds * _US_PER_SEC
+    from .dedup import pair_groupby
 
-    def _sessions(group: pa.Table) -> pa.Table:
-        us = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, us))
-        us = us[order]
-        brk = np.ones(len(us), dtype=np.int64)
-        brk[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
-        sid = np.cumsum(brk) - 1
-        starts = np.flatnonzero(brk)
-        n = np.diff(np.append(starts, len(us)))
+    gap_us = gap_seconds * _US_PER_SEC
+    salt_us = salt_seconds * _US_PER_SEC
+
+    def _project(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": batch["user_id"],
+                "b": pa.array(us // salt_us, type=pa.int64()),
+                "us": pa.array(us, type=pa.int64()),
+                "eid": batch["event_id"],
+            }
+        )
+
+    def _local_sessions(a, b, starts, sizes, values) -> pa.Table:
+        # one vectorized pass over every (user, bucket) group in this
+        # shuffle bucket: order within groups by (ts, event_id), then
+        # run-length the gap breaks
+        if not len(starts):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        group_of = np.repeat(np.arange(len(starts)), sizes)
+        us, eid = values["us"], values["eid"]
+        order = np.lexsort((eid, us, group_of))
+        us, g = us[order], group_of[order]
+        brk = np.ones(len(us), dtype=bool)
+        brk[1:] = (g[1:] != g[:-1]) | (us[1:] - us[:-1] > gap_us)
+        sess_start = np.flatnonzero(brk)
+        sess_end = np.append(sess_start[1:], len(us)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(a[g[sess_start]], type=pa.int64()),
+                "start_us": pa.array(us[sess_start], type=pa.int64()),
+                "end_us": pa.array(us[sess_end], type=pa.int64()),
+                "n_events": pa.array(
+                    sess_end - sess_start + 1, type=pa.int64()
+                ),
+            }
+        )
+
+    def _stitch(group: pa.Table) -> pa.Table:
+        st = group["start_us"].to_numpy(zero_copy_only=False)
+        en = group["end_us"].to_numpy(zero_copy_only=False)
+        ne = group["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((en, st))
+        st, en, ne = st[order], en[order], ne[order]
+        brk = np.ones(len(st), dtype=bool)
+        brk[1:] = st[1:] - en[:-1] > gap_us
+        heads = np.flatnonzero(brk)
         uid = group["user_id"][0].as_py()
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
-                "session_id": pa.array(np.arange(len(starts), dtype=np.int64)),
-                "n_events": pa.array(n, type=pa.int64()),
-                "session_start_us": pa.array(us[starts], type=pa.int64()),
+                "user_id": pa.array(np.full(len(heads), uid, dtype=np.int64)),
+                "session_id": pa.array(np.arange(len(heads), dtype=np.int64)),
+                "n_events": pa.array(
+                    np.add.reduceat(ne, heads) if len(heads) else ne,
+                    type=pa.int64(),
+                ),
+                "session_start_us": pa.array(st[heads], type=pa.int64()),
             }
         )
 
     ds = ray.data.read_parquet(
         _events_path(sf_dir), columns=["ts", "user_id", "event_id"]
     )
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+    local = pair_groupby(
+        ds.map_batches(_project, batch_format="pyarrow"),
+        _local_sessions,
+        value_cols=("us", "eid"),
+    )
+    return local.groupby("user_id").map_groups(
+        _stitch, batch_format="pyarrow"
+    )

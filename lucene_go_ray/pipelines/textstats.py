@@ -115,10 +115,14 @@ def fingerprints(
         order = np.lexsort((hv, doc_of))
         hv_s, doc_s = hv[order], doc_of[order]
         starts = np.searchsorted(doc_s, np.arange(n))
-        ends = np.searchsorted(doc_s, np.arange(n) + 1)
-        for d in range(n):
-            vals = hv_s[starts[d] : min(ends[d], starts[d] + keep)]
-            out[d, : len(vals)] = (vals >> np.uint64(1)).astype(np.int64)
+        # vectorized "first `keep` of each doc's sorted hash run": rank of
+        # each row within its doc, scatter the rank<keep rows — no per-doc
+        # Python loop (the batch is one fancy-indexed assignment)
+        rank = np.arange(len(doc_s)) - starts[doc_s]
+        sel = rank < keep
+        out[doc_s[sel], rank[sel]] = (hv_s[sel] >> np.uint64(1)).astype(
+            np.int64
+        )
         cols = {key: batch[key]}
         for i in range(keep):
             cols[f"fp{i}"] = pa.array(out[:, i])
