@@ -96,6 +96,16 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    # offline integrity validation (CheckIndex,
+    # /root/reference/core/index/checkindex.go) — no Ray session needed
+    from .index.check import check_index
+
+    res = check_index(args.index, sample_per_bucket=args.sample)
+    print(json.dumps(res, indent=2))
+    return 0 if res["ok"] else 1
+
+
 def cmd_add(args) -> int:
     _ensure_ray()
     from .index.build import add_documents
@@ -206,6 +216,17 @@ def main(argv=None) -> int:
                         "(Lucene forceMergeDeletes default is 0.1)")
     e.add_argument("--cluster", action="store_true")
     e.set_defaults(fn=cmd_expunge)
+
+    ck = sub.add_parser(
+        "check",
+        help="offline integrity validation: re-derive sampled term stats "
+        "from blob decodes, verify manifest/stats/offsets/revdict "
+        "(CheckIndex analogue; exit 1 on any problem)",
+    )
+    ck.add_argument("index")
+    ck.add_argument("--sample", type=int, default=16,
+                    help="terms decoded per bucket (default 16)")
+    ck.set_defaults(fn=cmd_check)
 
     c = sub.add_parser("clean", help="remove orphan tmp/retired artifacts")
     c.add_argument("--index", required=True)

@@ -81,7 +81,28 @@ from .scorer import BM25Scorer, idf, make_scorer
 # sweep, ~0.8 ms measured on a 31-block term) only amortizes once the
 # candidate postings volume is large. Since round 3's batched sweep the
 # floor is 100k postings (was 2M for the per-interval python sweep).
+#
+# Round 4: the floor is MODE/K-AWARE, from the clean-window grid in
+# BASELINE.md ("block-max WAND, batched sweep" table):
+#   - multi-term OR wins from 100k postings at every measured size (the
+#     batched aggregation beats one giant unique+select even with ~0%
+#     skippable blocks)            -> WAND_MIN_POSTINGS
+#   - single term, k large (=100) wins from ~100k df (1.5x at 101k)
+#                                  -> WAND_MIN_POSTINGS
+#   - single term, k small (=10) loses at 101k (0.7x), parity at 203k,
+#     wins at 406k (1.5x)          -> WAND_TERM_MIN_POSTINGS = 250k
+#   - pure AND never beat the exhaustive intersect-first path at any
+#     measured size (0.90-0.93x, adaptive bail's bounded waste)
+#                                  -> WAND_AND_MIN_POSTINGS = 1M
+# A df-FRACTION guard (engage at f*doc_count) was considered and
+# rejected by the same data: df = 0.4*doc_count LOSES at 250k docs and
+# WINS 1.5x at 1M docs — the fraction is scale-invariant on self-similar
+# corpora while the sweep's fixed cost is absolute, so absolute postings
+# volume is the correct engage variable.
 WAND_MIN_POSTINGS = 100_000
+WAND_TERM_MIN_POSTINGS = 250_000
+WAND_AND_MIN_POSTINGS = 1_000_000
+WAND_TERM_SMALL_K = 64
 
 # Legacy pre-sweep spread guard of the round-2 python sweep — NO LONGER
 # READ. Measured with the batched sweep: a 3-hot-term OR with ~0% skippable
@@ -1178,6 +1199,27 @@ class IndexSearcher:
 
         return self._segment_mask_docs(mask_fn)
 
+    def _factor_prune(
+        self, cands: list[str], factors: list[str], skip: str = ""
+    ) -> list[str]:
+        """Vectorized required-literal-factor pruning before the Python
+        ``fullmatch`` loop: every match must CONTAIN each mandatory
+        literal factor, so one Arrow ``match_substring`` pass per factor
+        (longest two) cuts the candidate list to the factor hits — the
+        trigram/factor prefilter of automaton-intersected terms enums
+        (/root/reference/core/index/automatontermsenum.go intent).
+        ``skip`` drops the factor already consumed by the range seek."""
+        use = sorted(
+            (f for f in factors if f and f != skip), key=len, reverse=True
+        )[:2]
+        if not use or not cands:
+            return cands
+        arr = pa.array(cands, type=pa.large_string())
+        mask = pc.match_substring(arr, use[0])
+        for f in use[1:]:
+            mask = pc.and_(mask, pc.match_substring(arr, f))
+        return arr.filter(mask).to_pylist()
+
     def _expand_wildcard(self, f_name: str, pattern: str) -> list[str]:
         """Dictionary expansion for WildcardQuery: seek the longest literal
         prefix, regex-filter candidates (only ``*``/``?`` are wild, the
@@ -1206,6 +1248,7 @@ class IndexSearcher:
         # original term)
         last = max(pattern.rfind("*"), pattern.rfind("?"))
         suffix = pattern[last + 1:] if last != -1 else ""
+        factors = [r for r in re.split(r"[*?]+", pattern) if r]
         if self.revdict is not None and len(suffix) > len(prefix):
             rsuf = suffix[::-1]
             cands = [
@@ -1214,9 +1257,11 @@ class IndexSearcher:
                     f_name, rsuf, rsuf + "\U0010ffff"
                 )
             ]
+            cands = self._factor_prune(cands, factors, skip=suffix)
             self.last_expand_stats = {"path": "rev", "candidates": len(cands)}
         else:
             cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+            cands = self._factor_prune(cands, factors, skip=prefix)
             self.last_expand_stats = {"path": "fwd", "candidates": len(cands)}
         terms = [t for t in cands if rx.fullmatch(t)]
         if len(terms) > MAX_CLAUSE_COUNT:
@@ -1227,22 +1272,45 @@ class IndexSearcher:
         return terms
 
     def _expand_regexp(self, f_name: str, pattern: str) -> list[str]:
-        """Dictionary expansion for RegexpQuery: seek the longest literal
-        prefix of the pattern (chars before the first regex metachar),
-        full-match-filter the candidates with the compiled expression,
-        cap at maxClauseCount=1024. Mirrors Lucene's CompiledAutomaton
-        common-prefix seek without the automaton machinery (the
-        reference's impl panics, automatonquery.go)."""
+        """Dictionary expansion for RegexpQuery, automaton-bounded in the
+        sense of Lucene's CompiledAutomaton seek
+        (/root/reference/core/index/automatontermsenum.go,
+        core/util/automaton/ — the reference's impl panics): the parsed
+        pattern yields its mandatory literal runs (prefix / suffix /
+        inner factors, _regexp_literals), then
+
+        1. literal prefix        -> forward dictionary range seek,
+        2. else literal suffix   -> reversed-dictionary range seek,
+        3. else                  -> full term range,
+
+        and in every case the remaining mandatory factors prune the
+        candidates VECTORIZED (match_substring) before the Python
+        ``fullmatch`` loop — a non-prefix pattern like ``[a-z]*ar[kt]``
+        fullmatches only the terms containing ``ar``, not the whole
+        vocabulary. Capped at maxClauseCount=1024."""
         import re
 
-        cut = len(pattern)
-        for i, c in enumerate(pattern):
-            if c in ".[](){}*+?|^$\\":
-                cut = i
-                break
-        prefix = pattern[:cut]
+        prefix, suffix, factors = _regexp_literals(pattern)
         rx = re.compile(pattern, re.DOTALL)
-        cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+        if prefix:
+            cands = self.expand_terms(f_name, prefix, prefix + "\U0010ffff")
+            cands = self._factor_prune(cands, factors, skip=prefix)
+            path = "fwd"
+        elif self.revdict is not None and suffix:
+            rsuf = suffix[::-1]
+            cands = [
+                t[::-1]
+                for t in self.revdict.expand_terms(
+                    f_name, rsuf, rsuf + "\U0010ffff"
+                )
+            ]
+            cands = self._factor_prune(cands, factors, skip=suffix)
+            path = "rev"
+        else:
+            cands = self.expand_terms(f_name, "", "\U0010ffff")
+            cands = self._factor_prune(cands, factors)
+            path = "scan+factor" if factors else "scan"
+        self.last_expand_stats = {"path": path, "candidates": len(cands)}
         terms = [t for t in cands if rx.fullmatch(t)]
         if len(terms) > MAX_CLAUSE_COUNT:
             raise ValueError(
@@ -1550,7 +1618,14 @@ class IndexSearcher:
         # per query up front, so pruning only pays off once the candidate
         # postings volume is large (exactly when it matters at web scale).
         total_df = sum(r["doc_freq"] for rows in rows_per_term for r in rows)
-        floor = WAND_MIN_POSTINGS if min_postings is None else min_postings
+        floor = min_postings
+        if floor is None:  # mode/k-aware defaults (see constants above)
+            if mode == "and":
+                floor = WAND_AND_MIN_POSTINGS
+            elif len(tqs) == 1 and k <= WAND_TERM_SMALL_K:
+                floor = WAND_TERM_MIN_POSTINGS
+            else:
+                floor = WAND_MIN_POSTINGS
         if total_df < floor:
             return None
         if min_postings is None and k > WAND_MAX_K:
@@ -1957,6 +2032,64 @@ class IndexSearcher:
         return ds.groupby("_route").map_groups(
             _search_group, batch_format="pyarrow", num_cpus=1
         )
+
+
+def _regexp_literals(pattern: str) -> tuple[str, str, list[str]]:
+    """(prefix, suffix, mandatory_factors) of a regular expression: the
+    literal character runs every match MUST contain, derived from the
+    stdlib parse tree (top-level sequence only — alternations/classes
+    conservatively contribute nothing). ``prefix``/``suffix`` are the
+    runs anchored at the pattern's start/end (usable as dictionary range
+    seeks); ``factors`` lists all runs (usable as contains-prefilters).
+    This is the literal-factor extraction of trigram-index regexp
+    matching (Cox, "Regular Expression Matching with a Trigram Index",
+    public) applied to a sorted term dictionary."""
+    try:
+        import re._parser as sre  # py >= 3.11
+    except ImportError:  # pragma: no cover
+        import sre_parse as sre
+    try:
+        tree = sre.parse(pattern)
+    except Exception:
+        return "", "", []
+    runs: list[list] = []  # [text, anchored_at_start, anchored_at_end]
+    cur: list[str] = []
+    cur_at_start = True
+
+    def flush(at_end: bool = False) -> None:
+        nonlocal cur, cur_at_start
+        if cur:
+            runs.append(["".join(cur), cur_at_start, at_end])
+        cur = []
+        cur_at_start = False  # anything after the first token is unanchored
+
+    broke = False
+    for op, av in tree:
+        if op is sre.LITERAL:
+            cur.append(chr(av))
+            continue
+        if op in (sre.MAX_REPEAT, sre.MIN_REPEAT):
+            lo, hi, sub = av
+            items = list(sub)
+            if (
+                int(lo) >= 1
+                and len(items) == 1
+                and items[0][0] is sre.LITERAL
+            ):
+                cur.append(chr(items[0][1]) * min(int(lo), 8))
+                if lo == hi:  # exact count: the run continues unbroken
+                    continue
+        flush()
+        broke = True
+    flush(at_end=True)
+    if not runs:
+        return "", "", []
+    prefix = runs[0][0] if runs[0][1] else ""
+    suffix = runs[-1][0] if runs[-1][2] else ""
+    if len(runs) == 1 and not broke:
+        # fully literal pattern: the single run is both anchors
+        prefix = suffix = runs[0][0]
+    return prefix, suffix, [r[0] for r in runs]
 
 
 def _within_edits(a: str, b: str, k: int) -> bool:

@@ -148,6 +148,8 @@ def test_vbyte_pruned_equals_exhaustive(two_codec_indexes, monkeypatch):
     import lucene_go_ray.search.searcher as sm
 
     monkeypatch.setattr(sm, "WAND_MIN_POSTINGS", 0)
+    monkeypatch.setattr(sm, "WAND_TERM_MIN_POSTINGS", 0)
+    monkeypatch.setattr(sm, "WAND_AND_MIN_POSTINGS", 0)
     monkeypatch.setattr(sm, "WAND_MIN_UB_SPREAD", 0.0)
     monkeypatch.setattr(sm, "WAND_MAX_K", 10**9)
     monkeypatch.setattr(sm, "WAND_BAIL_FACTOR", 10**9)

@@ -161,6 +161,8 @@ def _force_wand(monkeypatch):
     import lucene_go_ray.search.searcher as searcher_mod
 
     monkeypatch.setattr(searcher_mod, "WAND_MIN_POSTINGS", 0)
+    monkeypatch.setattr(searcher_mod, "WAND_TERM_MIN_POSTINGS", 0)
+    monkeypatch.setattr(searcher_mod, "WAND_AND_MIN_POSTINGS", 0)
     monkeypatch.setattr(searcher_mod, "WAND_MIN_UB_SPREAD", 0.0)
     monkeypatch.setattr(searcher_mod, "WAND_MAX_K", 10**9)
     monkeypatch.setattr(searcher_mod, "WAND_BAIL_FACTOR", 10**9)

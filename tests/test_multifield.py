@@ -270,6 +270,34 @@ def test_regexp_expansion(mf):
     assert s.count(RegexpQuery(base[1:-1])) == 0 or base[1:-1] in vocab
 
 
+def test_regexp_nonprefix_factor_pruning(mf):
+    """A regexp with NO literal prefix must not fullmatch the whole
+    vocabulary: the mandatory literal factor (here the inner run of
+    '[a-z]*<mid>[a-z]*') prunes candidates vectorized BEFORE the Python
+    loop (automatontermsenum.go intent via _regexp_literals +
+    _factor_prune), and the hit set still matches brute force."""
+    import re
+
+    from lucene_go_ray.search import RegexpQuery
+
+    index_dir, _, raw, oracle = mf
+    s = IndexSearcher(index_dir)
+    vocab = sorted(t for t in oracle.postings if t)
+    base = _text_term(oracle)
+    mid = base[1:-1]  # inner factor, not a prefix
+    pattern = f"[a-z]*{re.escape(mid)}[a-z]*"
+    rx = re.compile(pattern, re.DOTALL)
+    exp_terms = [t for t in vocab if rx.fullmatch(t)]
+    exp_docs = sorted({d for t in exp_terms for d in oracle.postings.get(t, {})})
+    td = s.search(RegexpQuery(pattern), len(raw))
+    assert td.doc_ids.tolist() == exp_docs
+    st = s.last_expand_stats
+    assert st["path"] == "scan+factor"
+    n_contain = sum(1 for t in vocab if mid in t)
+    assert st["candidates"] == n_contain
+    assert st["candidates"] < len(vocab) / 2, (st, len(vocab))
+
+
 def test_numeric_range_sharded(mf):
     index_dir, _, raw, oracle = mf
     s = IndexSearcher(index_dir)
