@@ -134,6 +134,7 @@ def cmd_search(args) -> int:
 
     s = IndexSearcher(args.index)
     q = query_from_descriptor(args.kind, args.clauses)
+    hl_terms = s.highlight_terms(q) if args.highlight else None
     if args.shards > 1:
         td = s.search_sharded(q, args.k, num_shards=args.shards)
         if args.keys:
@@ -149,8 +150,11 @@ def cmd_search(args) -> int:
         if td.keys is not None:
             row["key"] = td.keys[i]
         if args.highlight:
+            # highlight the terms the REWRITTEN query actually matches on
+            # (expansion queries contribute their dictionary expansions;
+            # numeric/range clause args are never mistaken for terms)
             row["snippets"] = s.highlight(
-                int(td.doc_ids[i]), args.clauses, max_fragments=2
+                int(td.doc_ids[i]), hl_terms, max_fragments=2
             )
         print(json.dumps(row, ensure_ascii=False))
     return 0

@@ -81,6 +81,10 @@ def vbyte_decode(buf: np.ndarray) -> np.ndarray:
     buf = np.asarray(buf, dtype=np.uint8)
     if len(buf) == 0:
         return np.zeros(0, dtype=np.uint64)
+    if buf[-1] >= 0x80:  # final byte must terminate a value
+        raise ValueError(
+            "truncated vbyte stream: last byte has the continuation bit set"
+        )
     ends = np.flatnonzero(buf < 0x80)  # last byte of each value
     starts = np.empty(len(ends), dtype=np.int64)
     starts[0] = 0

@@ -531,13 +531,27 @@ def build_ivf_index(
                 f"requested {want}; use a different index_dir or delete it"
             )
         return index_dir
+    # STRIDED training sample: take rows from row groups spread across the
+    # whole file, not the leading ones — on a sorted/clustered corpus the
+    # leading row groups are a biased region and the centroids would
+    # under-cover the tail (degrading recall at a given nprobe). Within
+    # each visited group an even row stride keeps the per-group take flat.
     pf = pq.ParquetFile(path)
+    n_rg = pf.num_row_groups
+    rng = np.random.default_rng(seed)
+    rg_order = np.sort(
+        rng.permutation(n_rg)[: max(1, min(n_rg, 64))]
+    )  # up to 64 groups, uniform over the file
+    per_rg = max(1, sample_rows // len(rg_order))
     rows = []
     got = 0
-    for rg in range(pf.num_row_groups):
-        t = pf.read_row_group(rg, columns=[col])
-        rows.append(_emb_matrix(t, col))
-        got += len(rows[-1])
+    for rg in rg_order:
+        m = _emb_matrix(pf.read_row_group(int(rg), columns=[col]), col)
+        if len(m) > per_rg:
+            stride = len(m) / per_rg
+            m = m[(np.arange(per_rg) * stride).astype(np.int64)]
+        rows.append(m)
+        got += len(m)
         if got >= sample_rows:
             break
     sample = np.concatenate(rows)[:sample_rows]

@@ -95,15 +95,37 @@ def highlight(
     if text is None:
         return []
     tset = set(terms)
-    if use_offsets:
-        hits = _actual_hit_offsets_from_index(searcher, doc_id, tset)
-    else:
-        hits = _actual_hit_offsets_reanalyze(
-            text, tset, searcher.cfg.lowercase
-        )
+    multi = isinstance(text, (list, tuple, np.ndarray))
+    values = list(text) if multi else [text]
+    if use_offsets and multi:
+        # ENFORCED limitation (was docstring-only): on multi-valued
+        # fields positions carry the increment gap and offsets the offset
+        # gap, so the quirk subtraction no longer lands on text bytes —
+        # fall back to the re-analyze mode instead of returning corrupted
+        # snippets.
+        use_offsets = False
+    ranked: list[tuple[int, int, str]] = []
+    for v in values:
+        if v is None:
+            continue
+        if use_offsets:
+            hits = _actual_hit_offsets_from_index(searcher, doc_id, tset)
+        else:
+            hits = _actual_hit_offsets_reanalyze(
+                v, tset, searcher.cfg.lowercase
+            )
+        ranked.extend(_fragments(v, sorted(hits), window, pre, post))
+    # rank across values: most hits first, then earliest
+    ranked.sort(key=lambda f: (-f[0], f[1]))
+    return [f[2] for f in ranked[:max_fragments]]
+
+
+def _fragments(
+    text: str, hits, window: int, pre: str, post: str
+) -> list[tuple[int, int, str]]:
+    """(n_hits, start_byte, snippet) fragments of one text value."""
     if not hits:
         return []
-    hits.sort()
     data = text.encode("utf-8")
     n = len(data)
     # merge hits into fragment windows
@@ -115,10 +137,8 @@ def highlight(
             frags[-1] = (frags[-1][0], max(frags[-1][1], hi), frags[-1][2] + [(s, e)])
         else:
             frags.append((lo, hi, [(s, e)]))
-    # rank: most hits first, then earliest
-    frags.sort(key=lambda f: (-len(f[2]), f[0]))
     out = []
-    for lo, hi, spans in frags[:max_fragments]:
+    for lo, hi, spans in frags:
         # snap to UTF-8 boundaries (token offsets already are; the window
         # padding might not be)
         while lo > 0 and (data[lo] & 0xC0) == 0x80:
@@ -134,5 +154,5 @@ def highlight(
                 + post.encode()
                 + piece[e - lo :]
             )
-        out.append(piece.decode("utf-8"))
+        out.append((len(spans), lo, piece.decode("utf-8")))
     return out

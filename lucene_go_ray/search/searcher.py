@@ -940,6 +940,59 @@ class IndexSearcher:
             return [], []
         return t["starts"][0].as_py(), t["ends"][0].as_py()
 
+    def highlight_terms(self, query: Query) -> list[str]:
+        """The DEFAULT-text-field terms a query actually matches on,
+        collected after rewrite — what a highlighter should mark. Literal
+        terms come from TermQuery/PhraseQuery/TermInSetQuery; expansion
+        queries (prefix/range/wildcard/fuzzy/regexp) contribute their
+        dictionary expansions; MUST_NOT clauses and non-text queries
+        (numeric/range/exists/docID) contribute nothing."""
+        out: list[str] = []
+        seen: set[str] = set()
+
+        def is_text(f) -> bool:
+            return f is None or f == self.default_field
+
+        def add(ts) -> None:
+            for t in ts:
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
+
+        def walk(q: Query) -> None:
+            if isinstance(q, TermQuery) and is_text(q.field):
+                add([q.term])
+            elif isinstance(q, PhraseQuery) and is_text(q.field):
+                add(q.terms)
+            elif isinstance(q, TermInSetQuery) and is_text(q.field):
+                add(q.terms)
+            elif isinstance(q, PrefixQuery) and is_text(q.field):
+                add(self.expand_terms(
+                    self.default_field, q.prefix, q.prefix + "\U0010ffff"
+                ))
+            elif isinstance(q, TermRangeQuery) and is_text(q.field):
+                add(self.expand_terms(self.default_field, q.lower, q.upper))
+            elif isinstance(q, WildcardQuery) and is_text(q.field):
+                add(self._expand_wildcard(self.default_field, q.pattern))
+            elif isinstance(q, RegexpQuery) and is_text(q.field):
+                add(self._expand_regexp(self.default_field, q.pattern))
+            elif isinstance(q, FuzzyQuery) and is_text(q.field):
+                add(self._expand_fuzzy(
+                    self.default_field, q.term, q.max_edits, q.prefix_length
+                ))
+            elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+                walk(q.query)
+            elif isinstance(q, DisjunctionMaxQuery):
+                for d in q.disjuncts:
+                    walk(d)
+            elif isinstance(q, BooleanQuery):
+                for c in q.clauses:
+                    if c.occur is not Occur.MUST_NOT:
+                        walk(c.query)
+
+        walk(query.rewrite())
+        return out
+
     def highlight(self, doc_id: int, terms, **kw) -> list[str]:
         """Snippet extraction around query-term hits (see
         search/highlight.py — re-analyze mode by default, offsets-stream
