@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries lead.
     return {
         # --- round-4 surfaces + entries the r3 window dropped ---
+        "payload_stats": lambda sf: fulltext.payload_stats(sf, _TERM),
         "topk_sort_field": lambda sf: fulltext.topk_sort_field(
             sf, _SF_TERM, [(_SF_FIELD, True)], _K
         ),
@@ -763,6 +764,19 @@ WITH {_TOKS}
 SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
 """,
         "topk_term": _topk_term_sql(_TERM, _K),
+        # payload values are the RAW (pre-lowercase) token's UTF-8 byte
+        # length — strlen (byte length) of the un-lowered token recomputes them
+        "payload_stats": f"""
+SELECT doc_id,
+       count(*)::BIGINT AS freq,
+       sum(strlen(tok))::BIGINT AS sum_payload,
+       min(strlen(tok))::BIGINT AS min_payload,
+       max(strlen(tok))::BIGINT AS max_payload
+FROM (SELECT doc_id, unnest(string_split_regex(text, '{_WS}')) AS tok
+      FROM documents)
+WHERE lower(tok) = '{_TERM}'
+GROUP BY doc_id ORDER BY doc_id
+""",
         "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),
         "topk_after_dv_update": _topk_term_filtered_sql(
             _DVU_TERM,

@@ -192,7 +192,8 @@ class SegmentIndexer:
                 )
 
         tok = self.analyzer.analyze_column(
-            table[cfg.text_column], emit_offsets=cfg.index_offsets
+            table[cfg.text_column],
+            emit_offsets=cfg.index_offsets or cfg.payload_kind is not None,
         )
         norms = tok["norms"]  # int64 per doc
         doc_idx = tok["doc_idx"].astype(np.int64)
@@ -362,6 +363,34 @@ class SegmentIndexer:
             pq.write_table(
                 off_table,
                 os.path.join(tmp_dir, "offsets.parquet"),
+                row_group_size=65536,
+            )
+
+        if cfg.payload_kind is not None and len(t_sorted):
+            # per-occurrence payload side table (hasPayload prox surface,
+            # freqproxtermswriterperfield.go:124-218 — see index/payloads):
+            # same (term, ord) + list-column layout as the offsets stream,
+            # values aligned with occurrence order of the positions stream
+            from .payloads import payload_values
+
+            pay_sorted = payload_values(cfg.payload_kind, tok)[perm]
+            pay_offsets = np.zeros(len(post_doc) + 1, dtype=np.int64)
+            np.cumsum(freqs_all, out=pay_offsets[1:])
+            vocab_arr_p = np.asarray(sorted_vocab, dtype=object)
+            pay_table = pa.table(
+                {
+                    "term": pa.array(
+                        vocab_arr_p[post_term].tolist(), type=pa.large_string()
+                    ),
+                    "ord": pa.array(post_doc.astype(np.int32)),
+                    "payloads": pa.LargeListArray.from_arrays(
+                        pay_offsets, pa.array(pay_sorted, type=pa.int32())
+                    ),
+                }
+            )
+            pq.write_table(
+                pay_table,
+                os.path.join(tmp_dir, "payloads.parquet"),
                 row_group_size=65536,
             )
 

@@ -66,6 +66,14 @@ class IndexConfig:
     # the widest per-token stream and only highlighters read them. Stored
     # as a segment-local side table (offsets.parquet), never shuffled.
     index_offsets: bool = False
+    # per-occurrence payload stream (the reference's hasPayload prox bit,
+    # freqproxtermswriterperfield.go:124-218 + PayloadAttribute): a NAMED
+    # vectorized function over the token arrays (index/payloads.py
+    # registry; e.g. "token_bytes" = raw token UTF-8 byte length) whose
+    # int32 values are stored per (term, ord) in a segment-local side
+    # table (payloads.parquet), aligned 1:1 with occurrence order. None
+    # (default) stores no payloads.
+    payload_kind: str | None = None
     # per-document term vectors (FieldType.StoreTermVectors,
     # /root/reference/core/document/fieldtype.go:10-25 + the simpletext
     # term-vector writer): a doc-major mini inverted index per segment

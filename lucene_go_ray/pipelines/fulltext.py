@@ -41,6 +41,9 @@ _GATE_CFG = IndexConfig(
     # per-doc term vectors stored at build (FieldType.StoreTermVectors
     # parity surface; gate entry `term_vectors` reads them back)
     index_term_vectors=True,
+    # per-occurrence payload stream (hasPayload prox surface; gate entry
+    # `payload_stats` reads it back, oracle recomputes via octet_length)
+    payload_kind="token_bytes",
 )
 
 
@@ -301,6 +304,94 @@ def term_vectors(
                         ),
                     }
                 )
+            )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(segs).map_batches(
+        _read_seg, batch_format="pyarrow", batch_size=4
+    )
+
+
+def payload_stats(
+    sf_dir: str, term: str, cfg: IndexConfig = _GATE_CFG
+):
+    """Per-doc digest of one term's posting payloads as
+    (doc_id, freq, sum_payload, min_payload, max_payload) — the
+    PayloadAttribute read surface over the segment-local payload side
+    tables (index/payloads.py; hasPayload prox bit,
+    /root/reference/core/index/freqproxtermswriterperfield.go:124-218).
+    Streams one read task per segment with the term filter pushed to the
+    parquet scan (term-sorted side table => row-group stats prune);
+    per-list aggregation is np.reduceat over the flattened list column —
+    no per-row loop. Requires ``IndexConfig.payload_kind`` (on in the
+    gate config: "token_bytes", the raw pre-lowercase token's UTF-8 byte
+    length)."""
+    import ray.data
+
+    s = get_searcher(sf_dir, cfg)
+    segs = [
+        {
+            "path": os.path.join(
+                s.index_dir,
+                "segments",
+                f"p={int(p['pid']):05d}",
+                "payloads.parquet",
+            ),
+            "doc_base": int(p["doc_base"]),
+        }
+        for p in s.manifest.partitions
+    ]
+
+    def _read_seg(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, base in zip(
+            batch["path"].to_pylist(), batch["doc_base"].to_pylist()
+        ):
+            if not os.path.exists(path):  # segment with zero postings
+                continue
+            t = pq.read_table(path, filters=[("term", "=", term)])
+            if t.num_rows == 0:
+                continue
+            lists = t["payloads"].combine_chunks()
+            offs = lists.offsets.to_numpy(zero_copy_only=False)
+            # flatten() yields exactly the window [offs[0], offs[-1]) of
+            # the values buffer, so rebase the reduceat segment starts
+            vals = lists.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            starts = (offs[:-1] - offs[0]).astype(np.int64)
+            freq = np.diff(offs)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            t["ord"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                            + base
+                        ),
+                        "freq": pa.array(freq.astype(np.int64)),
+                        "sum_payload": pa.array(
+                            np.add.reduceat(vals, starts)
+                        ),
+                        "min_payload": pa.array(
+                            np.minimum.reduceat(vals, starts)
+                        ),
+                        "max_payload": pa.array(
+                            np.maximum.reduceat(vals, starts)
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "freq": pa.array([], type=pa.int64()),
+                    "sum_payload": pa.array([], type=pa.int64()),
+                    "min_payload": pa.array([], type=pa.int64()),
+                    "max_payload": pa.array([], type=pa.int64()),
+                }
             )
         return pa.concat_tables(outs)
 

@@ -87,10 +87,11 @@ from .scorer import BM25Scorer, idf, make_scorer
 #   - multi-term OR wins from 100k postings at every measured size (the
 #     batched aggregation beats one giant unique+select even with ~0%
 #     skippable blocks)            -> WAND_MIN_POSTINGS
-#   - single term, k large (=100) wins from ~100k df (1.5x at 101k)
-#                                  -> WAND_MIN_POSTINGS
-#   - single term, k small (=10) loses at 101k (0.7x), parity at 203k,
-#     wins at 406k (1.5x)          -> WAND_TERM_MIN_POSTINGS = 250k
+#   - single term: k=10 loses at df 101k (0.7x), parity at 203k, wins at
+#     406k (1.5x); k=100 measured 0.97x at 203k in the round-4 clean
+#     window and 1.4x at 406k      -> WAND_TERM_MIN_POSTINGS = 250k
+#     (all k — an earlier 1.5x k=100 reading at df 101k did not
+#     reproduce, so the conservative shared floor stands)
 #   - pure AND never beat the exhaustive intersect-first path at any
 #     measured size (0.90-0.93x, adaptive bail's bounded waste)
 #                                  -> WAND_AND_MIN_POSTINGS = 1M
@@ -102,7 +103,6 @@ from .scorer import BM25Scorer, idf, make_scorer
 WAND_MIN_POSTINGS = 100_000
 WAND_TERM_MIN_POSTINGS = 250_000
 WAND_AND_MIN_POSTINGS = 1_000_000
-WAND_TERM_SMALL_K = 64
 
 # Legacy pre-sweep spread guard of the round-2 python sweep — NO LONGER
 # READ. Measured with the batched sweep: a 3-hot-term OR with ~0% skippable
@@ -940,6 +940,32 @@ class IndexSearcher:
             return [], []
         return t["starts"][0].as_py(), t["ends"][0].as_py()
 
+    def term_payloads(self, term: str, doc_id: int) -> list[int]:
+        """Per-occurrence payload values of ``term`` in one doc, in
+        positions-stream occurrence order — the PayloadAttribute read
+        surface (/root/reference/core/index/freqproxtermswriterperfield.go
+        :124-218 hasPayload prox bit; see index/payloads.py). Requires an
+        index built with ``IndexConfig.payload_kind`` set. Reads only the
+        doc's segment's payloads side table, term-pruned by parquet
+        row-group statistics."""
+        d = int(doc_id)
+        i = bisect.bisect_right(self._doc_bases, d) - 1
+        pid = self._pids[i]
+        ord_ = d - self._doc_bases[i]
+        path = os.path.join(
+            self.index_dir, "segments", f"p={pid:05d}", "payloads.parquet"
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "payload stream absent — build with IndexConfig(payload_kind=...)"
+            )
+        t = pq.read_table(
+            path, filters=[("term", "=", term), ("ord", "=", ord_)]
+        )
+        if t.num_rows == 0:
+            return []
+        return t["payloads"][0].as_py()
+
     def highlight_terms(self, query: Query) -> list[str]:
         """The DEFAULT-text-field terms a query actually matches on,
         collected after rewrite — what a highlighter should mark. Literal
@@ -1672,10 +1698,10 @@ class IndexSearcher:
         # postings volume is large (exactly when it matters at web scale).
         total_df = sum(r["doc_freq"] for rows in rows_per_term for r in rows)
         floor = min_postings
-        if floor is None:  # mode/k-aware defaults (see constants above)
+        if floor is None:  # mode-aware defaults (see constants above)
             if mode == "and":
                 floor = WAND_AND_MIN_POSTINGS
-            elif len(tqs) == 1 and k <= WAND_TERM_SMALL_K:
+            elif len(tqs) == 1:
                 floor = WAND_TERM_MIN_POSTINGS
             else:
                 floor = WAND_MIN_POSTINGS
