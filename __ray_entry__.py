@@ -159,6 +159,88 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+_TOKPOS = f"""tokpos AS (
+  SELECT doc_id, lower(tok) AS term, idx - 1 AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '{_WS}')) AS tok,
+               generate_subscripts(string_split_regex(text, '{_WS}'), 1) AS idx
+        FROM documents)
+)"""
+
+
+def _span_scored_sql(matches_cte: str, idf_sum: str, k: int) -> str:
+    """Shared tail for span oracles: BM25 over the span freq with the
+    summed-idf weight (PhraseQuery scoring shape — mirrors the engine's
+    _span_scored)."""
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+{_TOKPOS},
+{matches_cte},
+scored AS (
+  SELECT m.doc_id,
+         {_bm25_score_expr("(" + idf_sum + ")", "m.freq", "n.norm")} AS score
+  FROM matches m JOIN norms n ON n.doc_id = m.doc_id, stats
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _span_idf_sum(terms: list[str]) -> str:
+    return " + ".join(
+        _idf_expr(
+            f"(SELECT count(DISTINCT doc_id)::DOUBLE FROM toks WHERE term = '{t}')"
+        )
+        for t in terms
+    )
+
+
+def _topk_span_near_sql(terms: list[str], slop: int, in_order: bool, k: int) -> str:
+    """SpanNearQuery oracle: freq = count of first-term occurrences that
+    anchor a qualifying window (exists-an-increasing-chain for ordered —
+    equivalent to the engine's greedy minimal-successor chain; a
+    different-position partner within +-(slop+1) for unordered)."""
+    n = len(terms)
+    plists = ",\n".join(
+        f"p{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
+        for i, t in enumerate(terms)
+    )
+    if in_order:
+        joins = "\n  ".join(
+            f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos"
+            for i in range(1, n)
+        )
+        window = f"p{n - 1}.pos - p0.pos <= {slop + n - 1}"
+    else:  # exactly 2 terms (the engine enforces the same bound)
+        joins = (
+            "JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos != p0.pos "
+            f"AND abs(p1.pos - p0.pos) <= {slop + 1}"
+        )
+        window = "TRUE"
+    matches = f"""{plists},
+matches AS (
+  SELECT p0.doc_id, count(DISTINCT p0.pos)::DOUBLE AS freq
+  FROM p0
+  {joins}
+  WHERE {window}
+  GROUP BY p0.doc_id
+)"""
+    return _span_scored_sql(matches, _span_idf_sum(terms), k)
+
+
+def _topk_span_first_sql(term: str, end: int, k: int) -> str:
+    """SpanFirstQuery oracle: freq = occurrences at position < end."""
+    matches = f"""matches AS (
+  SELECT doc_id, count(*)::DOUBLE AS freq FROM tokpos
+  WHERE term = '{term}' AND pos < {end}
+  GROUP BY doc_id
+)"""
+    return _span_scored_sql(matches, _span_idf_sum([term]), k)
+
+
 def _constant_topk_sql(term_pred: str, k: int) -> str:
     """Constant-score top-k (MultiTermQuery CONSTANT_SCORE_REWRITE): every
     matching doc scores 1.0; ties by docID ascending."""
@@ -513,6 +595,16 @@ _SF_TERM, _SF_FIELD = "spark", "n_chars"
 _DVU_TERM, _DVU_FIELD, _DVU_VALUE, _DVU_NEW = "spark", "lang", "fr", 999
 # pluggable-collector gate constants (doc-values histogram over matches)
 _HIST = ("spark", "n_chars", 0, 500, 10)  # term, field, lo, hi, n_buckets
+# span proximity gate constants (SpanNearQuery/SpanFirstQuery — the spans
+# surface the reference declares but stubs, core/search/spans/)
+_SPAN_ORD2_TERMS, _SPAN_ORD2_SLOP = ["batch", "scan"], 2
+_SPAN_ORD3_TERMS, _SPAN_ORD3_SLOP = ["sort", "merge", "batch"], 6
+_SPAN_UNORD_TERMS, _SPAN_UNORD_SLOP = ["spark", "window"], 3
+_SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 5
+# kd point-index gate constants: inclusive 3-D box over lineitem
+# (l_quantity, l_extendedprice, l_discount) — the BKD >2-D regime
+_KD_LO = (10.0, 20000.0, 0.02)
+_KD_HI = (30.0, 60000.0, 0.06)
 
 
 def entry() -> Any:
@@ -542,6 +634,12 @@ def _curated_ids(sf):
     from lucene_go_ray.pipelines import curate
 
     return curate.curate(sf)
+
+
+def _points_kd_box(sf):
+    from lucene_go_ray.pipelines import points
+
+    return points.kd_box(sf, _KD_LO, _KD_HI)
 
 
 def _window_counts(sf):
@@ -583,6 +681,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries lead.
     return {
         # --- round-4 surfaces + entries the r3 window dropped ---
+        "points_kd_box": _points_kd_box,
+        "topk_span_suite": _suite(
+            {
+                "ordered2": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [str(_SPAN_ORD2_SLOP), "1", *_SPAN_ORD2_TERMS], _K,
+                ),
+                "ordered3": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [str(_SPAN_ORD3_SLOP), "1", *_SPAN_ORD3_TERMS], _K,
+                ),
+                "unordered2": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [str(_SPAN_UNORD_SLOP), "0", *_SPAN_UNORD_TERMS], _K,
+                ),
+                "first": lambda sf: fulltext.topk(
+                    sf, "span_first",
+                    [_SPAN_FIRST_TERM, str(_SPAN_FIRST_END)], _K,
+                ),
+            }
+        ),
         "payload_stats": lambda sf: fulltext.payload_stats(sf, _TERM),
         "topk_sort_field": lambda sf: fulltext.topk_sort_field(
             sf, _SF_TERM, [(_SF_FIELD, True)], _K
@@ -777,6 +896,29 @@ FROM (SELECT doc_id, unnest(string_split_regex(text, '{_WS}')) AS tok
 WHERE lower(tok) = '{_TERM}'
 GROUP BY doc_id ORDER BY doc_id
 """,
+        "points_kd_box": f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
+  AND l_extendedprice >= {_KD_LO[1]} AND l_extendedprice <= {_KD_HI[1]}
+  AND l_discount >= {_KD_LO[2]} AND l_discount <= {_KD_HI[2]}
+""",
+        "topk_span_suite": _suite_sql(
+            {
+                "ordered2": _topk_span_near_sql(
+                    _SPAN_ORD2_TERMS, _SPAN_ORD2_SLOP, True, _K
+                ),
+                "ordered3": _topk_span_near_sql(
+                    _SPAN_ORD3_TERMS, _SPAN_ORD3_SLOP, True, _K
+                ),
+                "unordered2": _topk_span_near_sql(
+                    _SPAN_UNORD_TERMS, _SPAN_UNORD_SLOP, False, _K
+                ),
+                "first": _topk_span_first_sql(
+                    _SPAN_FIRST_TERM, _SPAN_FIRST_END, _K
+                ),
+            }
+        ),
         "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),
         "topk_after_dv_update": _topk_term_filtered_sql(
             _DVU_TERM,

@@ -291,6 +291,56 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Positional proximity query — the spans surface the reference
+    DECLARES but never implements (`/root/reference/core/search/spans/
+    spans.go` + `spancollector.go` are interface-only stubs, 62 LoC, no
+    concrete Spans); semantics follow Lucene's SpanNearQuery over the
+    positions stream this index already stores for PhraseQuery.
+
+    A document matches when one occurrence of every term can be chosen
+    with at most ``slop`` intervening positions between the first and
+    last chosen occurrence (window width - n_terms <= slop; slop=0 with
+    in_order=True degenerates to PhraseQuery). ``in_order`` additionally
+    requires the chosen occurrences to appear in clause order (strictly
+    increasing positions). freq = number of first-term occurrences that
+    anchor at least one qualifying window; scored like PhraseQuery
+    (weight = summed per-term idf, BM25 over anchor freq with the first
+    term's norms).
+
+    Unordered matching is implemented for 2 terms (nearest-partner
+    check); unordered >=3 is the minimal-cover problem and raises —
+    ordered supports any clause count."""
+
+    terms: tuple
+    slop: int = 0
+    in_order: bool = True
+    field: str | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(self.terms))
+        if self.slop < 0:
+            raise ValueError("slop must be >= 0")
+        if not self.in_order and len(self.terms) > 2:
+            raise NotImplementedError(
+                "unordered span_near supports exactly 2 terms; "
+                "use in_order=True for longer chains"
+            )
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """SpanFirst analogue: matches docs where ``term`` occurs at a
+    position strictly below ``end`` (spans ending within the first
+    ``end`` positions). freq = number of qualifying occurrences; scored
+    like a positional TermQuery (idf weight, BM25 over qualifying freq)."""
+
+    term: str
+    end: int
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: Occur

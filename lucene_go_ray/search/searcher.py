@@ -66,6 +66,8 @@ from .query import (
     PrefixQuery,
     Query,
     RangeFieldQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -1535,6 +1537,10 @@ class IndexSearcher:
             return _Scored(base, scores)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, boost, need_scores)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q, boost, need_scores)
+        if isinstance(q, SpanFirstQuery):
+            return self._eval_span_first(q, boost, need_scores)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, boost, need_scores)
         raise TypeError(f"unsupported query: {q!r}")
@@ -1597,6 +1603,123 @@ class IndexSearcher:
         p0 = plists[0]
         norms8 = p0["norms8"][np.searchsorted(p0["docs"], mdocs)]
         return _Scored(mdocs, scorer.score(w, freqs.astype(np.float64), norms8))
+
+    def _span_scored(
+        self,
+        terms: tuple,
+        fld: str | None,
+        p0: dict,
+        mdocs: np.ndarray,
+        freqs: np.ndarray,
+        boost: float,
+        need_scores: bool,
+    ) -> _Scored:
+        """Shared span scoring (PhraseQuery shape): weight = boost x summed
+        per-term idf, BM25 over the span freq with the FIRST term's norms."""
+        if not need_scores:
+            return _Scored(mdocs, None)
+        scorer = self.scorer_for(fld)
+        w = boost * float(
+            sum(
+                idf(self.term_statistics(t, fld=fld)[0], scorer.doc_count)
+                for t in terms
+            )
+        )
+        norms8 = p0["norms8"][np.searchsorted(p0["docs"], mdocs)]
+        return _Scored(mdocs, scorer.score(w, freqs.astype(np.float64), norms8))
+
+    def _eval_span_near(
+        self, q: SpanNearQuery, boost: float, need_scores: bool
+    ) -> _Scored:
+        """Proximity matching over the positions stream (SpanNearQuery —
+        the reference's spans module is an interface stub,
+        spans/spans.go; semantics documented on the query class).
+
+        Ordered: greedy minimal-successor chain per anchor — for each
+        occurrence of term 0, take the smallest strictly-greater position
+        of term 1, then of term 2, ... The greedy end is minimal over all
+        increasing chains, so the anchor matches iff the greedy chain
+        fits the window (exchange argument). One searchsorted per term —
+        no per-doc loop.
+
+        Unordered (2 terms): an anchor matches iff the partner term has
+        an occurrence at a DIFFERENT position within +-(slop+1), found by
+        two searchsorteds into the packed key space with the window
+        clamped to the anchor's ordinal block."""
+        n = len(q.terms)
+        if n == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        plists = [
+            self.term_postings(t, fld=q.field, with_positions=True)
+            for t in q.terms
+        ]
+        if any(p is None for p in plists):
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        docs = plists[0]["docs"]
+        for p in plists[1:]:
+            docs = _intersect_sorted(docs, p["docs"])
+        if len(docs) == 0:
+            return _Scored(docs, np.empty(0))
+        BIG = np.int64(1) << 32
+        keys = [_doc_pos_keys(p, docs, BIG) for p in plists]
+        anchors = keys[0]
+        if n == 1:
+            matched = anchors
+        elif q.in_order:
+            cur = anchors
+            ok = np.ones(len(cur), dtype=bool)
+            for ki in keys[1:]:
+                idx = np.searchsorted(ki, cur, side="right")
+                valid = idx < len(ki)
+                nxt = ki[np.minimum(idx, len(ki) - 1)]
+                valid &= (nxt // BIG) == (cur // BIG)
+                ok &= valid
+                cur = np.where(ok, nxt, cur)
+                if not ok.any():
+                    break
+            # same ordinal block, so the key delta IS the position delta
+            matched = anchors[ok & ((cur - anchors) <= q.slop + (n - 1))]
+        else:  # unordered, exactly 2 terms (enforced by the query class)
+            k1 = keys[1]
+            w = np.int64(q.slop + 1)
+            blk = (anchors // BIG) * BIG
+            lo_b = np.maximum(anchors - w, blk)
+            hi_b = np.minimum(anchors + w, blk + BIG - 1)
+            l = np.searchsorted(k1, lo_b, side="left")
+            r = np.searchsorted(k1, hi_b, side="right")
+            at = np.searchsorted(k1, anchors, side="left")
+            self_hit = (at < len(k1)) & (
+                k1[np.minimum(at, len(k1) - 1)] == anchors
+            )
+            matched = anchors[(r - l - self_hit.astype(np.int64)) >= 1]
+        if len(matched) == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        mdocs, freqs = np.unique(docs[(matched // BIG)], return_counts=True)
+        return self._span_scored(
+            q.terms, q.field, plists[0], mdocs, freqs, boost, need_scores
+        )
+
+    def _eval_span_first(
+        self, q: SpanFirstQuery, boost: float, need_scores: bool
+    ) -> _Scored:
+        """SpanFirstQuery: occurrences at position < end (span end
+        position <= end in Lucene terms). freq = qualifying occurrences."""
+        p = self.term_postings(q.term, fld=q.field, with_positions=True)
+        if p is None or len(p["docs"]) == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        BIG = np.int64(1) << 32
+        keys = _doc_pos_keys(p, p["docs"], BIG)
+        qual = keys[(keys % BIG) < q.end]
+        if len(qual) == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        counts = np.bincount(
+            (qual // BIG).astype(np.int64), minlength=len(p["docs"])
+        )
+        sel = counts > 0
+        mdocs = p["docs"][sel]
+        return self._span_scored(
+            (q.term,), q.field, p, mdocs, counts[sel], boost, need_scores
+        )
 
     def _eval_bool(self, q: BooleanQuery, boost: float, need_scores: bool) -> _Scored:
         must = [c.query for c in q.clauses if c.occur is Occur.MUST]
@@ -2278,6 +2401,15 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
                 )
             ],
         )
+    if kind == "span_near":
+        # clauses = [slop, in_order(0/1), term1, term2, ...]
+        return SpanNearQuery(
+            tuple(clauses[2:]), slop=int(clauses[0]),
+            in_order=bool(int(clauses[1])),
+        )
+    if kind == "span_first":
+        # clauses = [term, end]
+        return SpanFirstQuery(clauses[0], int(clauses[1]))
     if kind == "field_exists":
         return FieldExistsQuery(clauses[0])
     raise ValueError(f"unknown query kind {kind!r}")

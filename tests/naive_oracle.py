@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+from itertools import product
+
 from lucene_go_ray.search.query import (
     BooleanQuery,
     BoostQuery,
@@ -20,6 +22,8 @@ from lucene_go_ray.search.query import (
     Occur,
     PhraseQuery,
     PrefixQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -120,6 +124,51 @@ class NaiveEngine:
                         self._score(w, len(cand), self.norms[d])
                         if need_scores
                         else 0.0
+                    )
+            return out
+        if isinstance(q, SpanNearQuery):
+            # independent check: EXHAUSTIVE enumeration of occurrence
+            # combinations per anchor (the engine uses a greedy
+            # minimal-successor chain / windowed partner search instead)
+            plists = [self.postings.get(t) for t in q.terms]
+            if any(p is None for p in plists):
+                return {}
+            docs = set(plists[0])
+            for p in plists[1:]:
+                docs &= set(p)
+            w = boost * sum(self.idf(len(self.postings.get(t, {}))) for t in q.terms)
+            n = len(q.terms)
+            out = {}
+            for d in docs:
+                freq = 0
+                for a in plists[0][d]:
+                    hit = False
+                    for combo in product(*(p[d] for p in plists[1:])):
+                        chain = (a, *combo)
+                        if len(set(chain)) < n:
+                            continue
+                        if q.in_order and any(
+                            chain[i] >= chain[i + 1] for i in range(n - 1)
+                        ):
+                            continue
+                        if max(chain) - min(chain) <= q.slop + (n - 1):
+                            hit = True
+                            break
+                    freq += hit
+                if freq:
+                    out[d] = (
+                        self._score(w, freq, self.norms[d]) if need_scores else 0.0
+                    )
+            return out
+        if isinstance(q, SpanFirstQuery):
+            pl = self.postings.get(q.term, {})
+            w = boost * self.idf(len(pl))
+            out = {}
+            for d, ps in pl.items():
+                freq = sum(1 for p in ps if p < q.end)
+                if freq:
+                    out[d] = (
+                        self._score(w, freq, self.norms[d]) if need_scores else 0.0
                     )
             return out
         if isinstance(q, BooleanQuery):

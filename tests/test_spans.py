@@ -1,0 +1,120 @@
+"""SpanNearQuery / SpanFirstQuery vs the exhaustive oracle.
+
+The engine's ordered path is a greedy minimal-successor chain and its
+unordered path a windowed partner search (searcher.py:_eval_span_near);
+the oracle here enumerates every occurrence combination per anchor
+(naive_oracle.py) — agreement is evidence the greedy reduction is sound.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import StandardAnalyzer
+from lucene_go_ray.index import IndexConfig, build_index
+from lucene_go_ray.search import IndexSearcher, PhraseQuery
+from lucene_go_ray.search.query import SpanFirstQuery, SpanNearQuery
+
+from .naive_oracle import NaiveEngine
+
+CFG = IndexConfig(
+    target_partition_rows=100,
+    chunk_docs=96,
+    block_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, sf_dir):
+    index_dir = str(tmp_path_factory.mktemp("spanidx"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    build_index([src], index_dir, CFG)
+    texts = pq.read_table(src, columns=["text"])["text"].to_pylist()
+    oracle = NaiveEngine(
+        texts, StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    )
+    return IndexSearcher(index_dir), oracle
+
+
+def _assert_identical(s, oracle, q):
+    ev = s._apply_live(s._eval(q, 1.0, True))
+    exp = oracle._eval(q)
+    got = dict(zip(ev.docs.tolist(), ev.scores.tolist()))
+    assert set(got) == set(exp), (q, len(got), len(exp))
+    for d, sc in got.items():
+        assert sc == pytest.approx(exp[d], rel=1e-12, abs=1e-12), (q, d)
+
+
+SPAN_CASES = [
+    (("batch", "scan"), 0, True),
+    (("batch", "scan"), 2, True),
+    (("spark", "merge"), 4, True),
+    (("sort", "merge", "batch"), 6, True),
+    (("sort", "merge", "batch"), 1, True),
+    (("spark", "window"), 0, False),
+    (("spark", "window"), 3, False),
+    (("window", "spark"), 3, False),
+    (("spark", "spark"), 5, True),  # repeated term: distinct occurrences
+    (("spark", "spark"), 5, False),
+]
+
+
+@pytest.mark.parametrize("terms,slop,in_order", SPAN_CASES)
+def test_span_near_score_identical(built, terms, slop, in_order):
+    s, oracle = built
+    _assert_identical(s, oracle, SpanNearQuery(terms, slop=slop, in_order=in_order))
+
+
+def test_span_slop0_ordered_equals_phrase(built):
+    """slop=0 + in_order degenerates to PhraseQuery: same docs, same
+    scores (both use the summed-idf weight and first-term norms)."""
+    s, _ = built
+    terms = ("batch", "scan")
+    sp = s._apply_live(s._eval(SpanNearQuery(terms, slop=0, in_order=True), 1.0, True))
+    ph = s._apply_live(s._eval(PhraseQuery(terms), 1.0, True))
+    assert sp.docs.tolist() == ph.docs.tolist()
+    assert sp.scores.tolist() == pytest.approx(ph.scores.tolist(), rel=1e-12)
+
+
+def test_span_unordered_doc_set_symmetric(built):
+    """Unordered matching is symmetric in the DOC SET (freq counts the
+    first clause's anchors, so scores may differ with order)."""
+    s, _ = built
+    a = s._apply_live(
+        s._eval(SpanNearQuery(("spark", "window"), slop=3, in_order=False), 1.0, True)
+    )
+    b = s._apply_live(
+        s._eval(SpanNearQuery(("window", "spark"), slop=3, in_order=False), 1.0, True)
+    )
+    assert set(a.docs.tolist()) == set(b.docs.tolist())
+
+
+@pytest.mark.parametrize("term,end", [("spark", 1), ("spark", 5), ("batch", 12)])
+def test_span_first_score_identical(built, term, end):
+    s, oracle = built
+    _assert_identical(s, oracle, SpanFirstQuery(term, end))
+
+
+def test_span_near_missing_term_empty(built):
+    s, _ = built
+    ev = s._apply_live(
+        s._eval(SpanNearQuery(("spark", "zzzznotaterm"), slop=9), 1.0, True)
+    )
+    assert len(ev.docs) == 0
+
+
+def test_span_near_validation():
+    with pytest.raises(NotImplementedError):
+        SpanNearQuery(("a", "b", "c"), slop=2, in_order=False)
+    with pytest.raises(ValueError):
+        SpanNearQuery(("a", "b"), slop=-1)
+
+
+def test_span_near_topk_searchable(built):
+    """Spans run through the normal search()/top-k collector path."""
+    s, oracle = built
+    q = SpanNearQuery(("batch", "scan"), slop=2, in_order=True)
+    td = s.search(q, 10)
+    exp = sorted(oracle._eval(q).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert td.doc_ids.tolist() == [d for d, _ in exp]
