@@ -214,12 +214,14 @@ def _topk_span_near_sql(terms: list[str], slop: int, in_order: bool, k: int) -> 
             for i in range(1, n)
         )
         window = f"p{n - 1}.pos - p0.pos <= {slop + n - 1}"
-    else:  # exactly 2 terms (the engine enforces the same bound)
-        joins = (
-            "JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos != p0.pos "
-            f"AND abs(p1.pos - p0.pos) <= {slop + 1}"
+    else:  # any clause count: pairwise-distinct positions, span bound
+        joins = "\n  ".join(
+            f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND "
+            + " AND ".join(f"p{i}.pos != p{j}.pos" for j in range(i))
+            for i in range(1, n)
         )
-        window = "TRUE"
+        allpos = ", ".join(f"p{i}.pos" for i in range(n))
+        window = f"greatest({allpos}) - least({allpos}) <= {slop + n - 1}"
     matches = f"""{plists},
 matches AS (
   SELECT p0.doc_id, count(DISTINCT p0.pos)::DOUBLE AS freq
@@ -229,6 +231,20 @@ matches AS (
   GROUP BY p0.doc_id
 )"""
     return _span_scored_sql(matches, _span_idf_sum(terms), k)
+
+
+def _topk_span_not_sql(inc: str, exc: str, pre: int, post: int, k: int) -> str:
+    """SpanNotQuery oracle: freq = include occurrences with no exclude
+    occurrence in [pos - pre, pos + post]; only include carries weight."""
+    matches = f"""matches AS (
+  SELECT i.doc_id, count(*)::DOUBLE AS freq FROM tokpos i
+  WHERE i.term = '{inc}' AND NOT EXISTS (
+    SELECT 1 FROM tokpos e
+    WHERE e.doc_id = i.doc_id AND e.term = '{exc}'
+      AND e.pos >= i.pos - {pre} AND e.pos <= i.pos + {post})
+  GROUP BY i.doc_id
+)"""
+    return _span_scored_sql(matches, _span_idf_sum([inc]), k)
 
 
 def _topk_span_first_sql(term: str, end: int, k: int) -> str:
@@ -600,7 +616,9 @@ _HIST = ("spark", "n_chars", 0, 500, 10)  # term, field, lo, hi, n_buckets
 _SPAN_ORD2_TERMS, _SPAN_ORD2_SLOP = ["batch", "scan"], 2
 _SPAN_ORD3_TERMS, _SPAN_ORD3_SLOP = ["sort", "merge", "batch"], 6
 _SPAN_UNORD_TERMS, _SPAN_UNORD_SLOP = ["spark", "window"], 3
+_SPAN_UNORD3_TERMS, _SPAN_UNORD3_SLOP = ["sort", "merge", "batch"], 4
 _SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 5
+_SPAN_NOT = ("spark", "window", 2, 2)  # include, exclude, pre, post
 # kd point-index gate constants: inclusive 3-D box over lineitem
 # (l_quantity, l_extendedprice, l_discount) — the BKD >2-D regime
 _KD_LO = (10.0, 20000.0, 0.02)
@@ -696,9 +714,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     sf, "span_near",
                     [str(_SPAN_UNORD_SLOP), "0", *_SPAN_UNORD_TERMS], _K,
                 ),
+                "unordered3": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [str(_SPAN_UNORD3_SLOP), "0", *_SPAN_UNORD3_TERMS], _K,
+                ),
                 "first": lambda sf: fulltext.topk(
                     sf, "span_first",
                     [_SPAN_FIRST_TERM, str(_SPAN_FIRST_END)], _K,
+                ),
+                "not": lambda sf: fulltext.topk(
+                    sf, "span_not", [str(c) for c in _SPAN_NOT], _K,
                 ),
             }
         ),
@@ -914,9 +939,13 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
                 "unordered2": _topk_span_near_sql(
                     _SPAN_UNORD_TERMS, _SPAN_UNORD_SLOP, False, _K
                 ),
+                "unordered3": _topk_span_near_sql(
+                    _SPAN_UNORD3_TERMS, _SPAN_UNORD3_SLOP, False, _K
+                ),
                 "first": _topk_span_first_sql(
                     _SPAN_FIRST_TERM, _SPAN_FIRST_END, _K
                 ),
+                "not": _topk_span_not_sql(*_SPAN_NOT, _K),
             }
         ),
         "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),

@@ -213,6 +213,29 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "dup_spans",
         lambda: dedup.dup_spans(sf_dir, keep_first=True).count(),
     )
+    def run_spans():
+        # proximity probes over the sf-dir gate index (spans are the
+        # positions-stream surface the reference stubs)
+        fulltext.topk(sf_dir, "span_near", ["4", "1", "sort", "merge", "batch"], 10)
+        fulltext.topk(sf_dir, "span_near", ["4", "0", "sort", "merge", "batch"], 10)
+        fulltext.topk(sf_dir, "span_not", ["spark", "window", "2", "2"], 10)
+        return None
+
+    timed("span_queries", run_spans)
+
+    from lucene_go_ray.pipelines import points
+
+    timed("points_kd_build", lambda: points._cached_kd_index(sf_dir))
+
+    def run_kd_box():
+        t = points.kd_box(sf_dir, (10.0, 20000.0, 0.02), (30.0, 60000.0, 0.06))
+        meta["kd_box_prune"] = points.kd_box_stats(
+            sf_dir, (10.0, 20000.0, 0.02), (30.0, 60000.0, 0.06)
+        )
+        return len(t)
+
+    timed("points_kd_box", run_kd_box)
+
     timed("ann_cosine", lambda: ann.brute_force_topk(sf_dir, k=10))
     timed(
         "ann_cosine_batch",

@@ -51,6 +51,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# On-disk layout version (bump on layout changes so cached index dirs
+# and tags never mix layouts): 2 = leaf-clustered write (sort before the
+# hive write, file count <= leaves + blocks instead of blocks x leaves).
+KD_LAYOUT_VERSION = 2
+
 # Relation of a leaf cell's actual bounds to the query box
 # (pointrangequery.go:130-150).
 CELL_OUTSIDE = "outside"
@@ -252,6 +257,7 @@ def build_kd_index(
         "leaf_points": int(leaf_points),
         "sample_rows": int(sample_rows),
         "seed": int(seed),
+        "layout": KD_LAYOUT_VERSION,
     }
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
@@ -284,7 +290,13 @@ def build_kd_index(
     os.makedirs(tmp, exist_ok=True)
     cols = list(dict.fromkeys([*payload_cols, *dims]))  # prune at the read
     ds = ray.data.read_parquet(table_path, columns=cols)
-    ds.map_batches(_route, batch_format="pyarrow").write_parquet(
+    # Cluster by leaf BEFORE the partitioned write: without it every input
+    # block writes one fragment into every leaf it touches — O(blocks x
+    # leaves) tiny files (measured 9.7k files for 600k rows / 147 leaves,
+    # and the box probe paid ~2.7k read tasks). The one-time sort is the
+    # standard cluster-by-key step before a hive write; after it the file
+    # count is <= leaves + output blocks.
+    ds.map_batches(_route, batch_format="pyarrow").sort("leaf").write_parquet(
         os.path.join(tmp, "cells"), partition_cols=["leaf"]
     )
     bounds = _leaf_bounds_from_footers(os.path.join(tmp, "cells"), dims)

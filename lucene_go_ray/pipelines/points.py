@@ -28,7 +28,8 @@ def _cached_kd_index(
 ) -> str:
     path = os.path.join(sf_dir, f"{table}.parquet")
     tag = hashlib.md5(
-        f"kd:{os.path.abspath(path)}:{os.path.getmtime(path)}:"
+        f"kd{bkd.KD_LAYOUT_VERSION}:{os.path.abspath(path)}:"
+        f"{os.path.getmtime(path)}:"
         f"{dims}:{payload_cols}:{leaf_points}:{seed}".encode()
     ).hexdigest()[:16]
     return bkd.build_kd_index(

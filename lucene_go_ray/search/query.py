@@ -308,9 +308,11 @@ class SpanNearQuery(Query):
     (weight = summed per-term idf, BM25 over anchor freq with the first
     term's norms).
 
-    Unordered matching is implemented for 2 terms (nearest-partner
-    check); unordered >=3 is the minimal-cover problem and raises —
-    ordered supports any clause count."""
+    Both orders support any clause count, including repeated terms
+    (a repeated term must be covered by that many DISTINCT occurrence
+    positions — the unordered matcher enforces the multiplicity via a
+    per-distinct-term window count, which by Hall's condition is exactly
+    when a distinct-position selection exists)."""
 
     terms: tuple
     slop: int = 0
@@ -321,11 +323,27 @@ class SpanNearQuery(Query):
         object.__setattr__(self, "terms", tuple(self.terms))
         if self.slop < 0:
             raise ValueError("slop must be >= 0")
-        if not self.in_order and len(self.terms) > 2:
-            raise NotImplementedError(
-                "unordered span_near supports exactly 2 terms; "
-                "use in_order=True for longer chains"
-            )
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """SpanNot analogue (Lucene SpanNotQuery with pre/post): matches
+    occurrences of ``include`` whose position p has NO occurrence of
+    ``exclude`` in [p - pre, p + post]. pre=post=0 is the token-span
+    overlap case (a no-op for distinct terms since one position holds one
+    token — pass pre/post to express "not near"). freq = qualifying
+    include occurrences; scored like a positional TermQuery on ``include``
+    (the exclude clause contributes no weight, as in Lucene)."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    field: str | None = None
+
+    def __post_init__(self):
+        if self.pre < 0 or self.post < 0:
+            raise ValueError("pre/post must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -68,6 +68,7 @@ from .query import (
     RangeFieldQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -1541,6 +1542,8 @@ class IndexSearcher:
             return self._eval_span_near(q, boost, need_scores)
         if isinstance(q, SpanFirstQuery):
             return self._eval_span_first(q, boost, need_scores)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_span_not(q, boost, need_scores)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, boost, need_scores)
         raise TypeError(f"unsupported query: {q!r}")
@@ -1642,10 +1645,17 @@ class IndexSearcher:
         fits the window (exchange argument). One searchsorted per term —
         no per-doc loop.
 
-        Unordered (2 terms): an anchor matches iff the partner term has
-        an occurrence at a DIFFERENT position within +-(slop+1), found by
-        two searchsorteds into the packed key space with the window
-        clamped to the anchor's ordinal block."""
+        Unordered (any clause count, repeated terms allowed): a fixed
+        window width W = slop + n - 1 bounds any qualifying selection, and
+        an optimal window's left edge aligns with some occurrence — so
+        candidate windows are [p, p+W] for every occurrence p of any
+        clause term. A window is VALID iff it holds >= multiplicity(t)
+        occurrences of each distinct term t (positions are unique per
+        doc, so by Hall's condition that is exactly when a
+        distinct-position selection exists). An anchor matches iff some
+        valid window start lies in [anchor-W, anchor] (clamped to the
+        doc's ordinal block). Everything is searchsorted over the packed
+        key space — no per-doc loop."""
         n = len(q.terms)
         if n == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
@@ -1679,19 +1689,30 @@ class IndexSearcher:
                     break
             # same ordinal block, so the key delta IS the position delta
             matched = anchors[ok & ((cur - anchors) <= q.slop + (n - 1))]
-        else:  # unordered, exactly 2 terms (enforced by the query class)
-            k1 = keys[1]
-            w = np.int64(q.slop + 1)
-            blk = (anchors // BIG) * BIG
-            lo_b = np.maximum(anchors - w, blk)
-            hi_b = np.minimum(anchors + w, blk + BIG - 1)
-            l = np.searchsorted(k1, lo_b, side="left")
-            r = np.searchsorted(k1, hi_b, side="right")
-            at = np.searchsorted(k1, anchors, side="left")
-            self_hit = (at < len(k1)) & (
-                k1[np.minimum(at, len(k1) - 1)] == anchors
+        else:  # unordered: window-cover with per-distinct-term multiplicity
+            W = np.int64(q.slop + (n - 1))
+            dkeys: dict = {}  # distinct term -> (keys, multiplicity)
+            for t, ki in zip(q.terms, keys):
+                if t in dkeys:
+                    dkeys[t] = (dkeys[t][0], dkeys[t][1] + 1)
+                else:
+                    dkeys[t] = (ki, 1)
+            starts = (
+                anchors
+                if len(dkeys) == 1
+                else np.unique(np.concatenate([k for k, _ in dkeys.values()]))
             )
-            matched = anchors[(r - l - self_hit.astype(np.int64)) >= 1]
+            s_hi = np.minimum(starts + W, (starts // BIG) * BIG + BIG - 1)
+            valid = np.ones(len(starts), dtype=bool)
+            for ki, m in dkeys.values():
+                lo_i = np.searchsorted(ki, starts, side="left")
+                hi_i = np.searchsorted(ki, s_hi, side="right")
+                valid &= (hi_i - lo_i) >= m
+            vstarts = starts[valid]
+            lo_a = np.maximum(anchors - W, (anchors // BIG) * BIG)
+            l = np.searchsorted(vstarts, lo_a, side="left")
+            r = np.searchsorted(vstarts, anchors, side="right")
+            matched = anchors[r > l]
         if len(matched) == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
         mdocs, freqs = np.unique(docs[(matched // BIG)], return_counts=True)
@@ -1719,6 +1740,49 @@ class IndexSearcher:
         mdocs = p["docs"][sel]
         return self._span_scored(
             (q.term,), q.field, p, mdocs, counts[sel], boost, need_scores
+        )
+
+    def _eval_span_not(
+        self, q: SpanNotQuery, boost: float, need_scores: bool
+    ) -> _Scored:
+        """SpanNotQuery: include occurrences with no exclude occurrence in
+        [p - pre, p + post]. Exclude keys are rebuilt in the INCLUDE doc
+        ordinal space (only for docs both terms share — include-only docs
+        qualify wholesale), then each include occurrence checks its window
+        with two searchsorteds. No per-doc loop."""
+        pi = self.term_postings(q.include, fld=q.field, with_positions=True)
+        if pi is None or len(pi["docs"]) == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        pe = self.term_postings(q.exclude, fld=q.field, with_positions=True)
+        BIG = np.int64(1) << 32
+        ikeys = _doc_pos_keys(pi, pi["docs"], BIG)
+        if pe is None or len(pe["docs"]) == 0:
+            qual = ikeys
+        else:
+            docs_both = _intersect_sorted(pi["docs"], pe["docs"])
+            if len(docs_both) == 0:
+                qual = ikeys
+            else:
+                bkeys = _doc_pos_keys(pe, docs_both, BIG)
+                # remap both-doc ordinals into include-doc ordinals
+                # (monotone, so the key array stays sorted)
+                ord_inc = np.searchsorted(pi["docs"], docs_both)
+                ekeys = ord_inc[bkeys // BIG] * BIG + bkeys % BIG
+                blk = (ikeys // BIG) * BIG
+                lo = np.maximum(ikeys - np.int64(q.pre), blk)
+                hi = np.minimum(ikeys + np.int64(q.post), blk + BIG - 1)
+                l = np.searchsorted(ekeys, lo, side="left")
+                r = np.searchsorted(ekeys, hi, side="right")
+                qual = ikeys[r == l]
+        if len(qual) == 0:
+            return _Scored(np.empty(0, np.int64), np.empty(0))
+        counts = np.bincount(
+            (qual // BIG).astype(np.int64), minlength=len(pi["docs"])
+        )
+        sel = counts > 0
+        return self._span_scored(
+            (q.include,), q.field, pi, pi["docs"][sel], counts[sel],
+            boost, need_scores,
         )
 
     def _eval_bool(self, q: BooleanQuery, boost: float, need_scores: bool) -> _Scored:
@@ -2410,6 +2474,11 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
     if kind == "span_first":
         # clauses = [term, end]
         return SpanFirstQuery(clauses[0], int(clauses[1]))
+    if kind == "span_not":
+        # clauses = [include, exclude, pre, post]
+        return SpanNotQuery(
+            clauses[0], clauses[1], pre=int(clauses[2]), post=int(clauses[3])
+        )
     if kind == "field_exists":
         return FieldExistsQuery(clauses[0])
     raise ValueError(f"unknown query kind {kind!r}")

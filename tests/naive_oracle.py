@@ -24,6 +24,7 @@ from lucene_go_ray.search.query import (
     PrefixQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -155,6 +156,23 @@ class NaiveEngine:
                             hit = True
                             break
                     freq += hit
+                if freq:
+                    out[d] = (
+                        self._score(w, freq, self.norms[d]) if need_scores else 0.0
+                    )
+            return out
+        if isinstance(q, SpanNotQuery):
+            pl = self.postings.get(q.include, {})
+            ex = self.postings.get(q.exclude, {})
+            w = boost * self.idf(len(pl))
+            out = {}
+            for d, ps in pl.items():
+                eps = ex.get(d, [])
+                freq = sum(
+                    1
+                    for p in ps
+                    if not any(p - q.pre <= e <= p + q.post for e in eps)
+                )
                 if freq:
                     out[d] = (
                         self._score(w, freq, self.norms[d]) if need_scores else 0.0

@@ -1,9 +1,10 @@
 """SpanNearQuery / SpanFirstQuery vs the exhaustive oracle.
 
 The engine's ordered path is a greedy minimal-successor chain and its
-unordered path a windowed partner search (searcher.py:_eval_span_near);
-the oracle here enumerates every occurrence combination per anchor
-(naive_oracle.py) — agreement is evidence the greedy reduction is sound.
+unordered path a fixed-width window cover with per-distinct-term
+multiplicity counts (searcher.py:_eval_span_near); the oracle here
+enumerates every occurrence combination per anchor (naive_oracle.py) —
+agreement is evidence both reductions are sound.
 """
 
 import os
@@ -14,7 +15,11 @@ import pytest
 from lucene_go_ray.analysis import StandardAnalyzer
 from lucene_go_ray.index import IndexConfig, build_index
 from lucene_go_ray.search import IndexSearcher, PhraseQuery
-from lucene_go_ray.search.query import SpanFirstQuery, SpanNearQuery
+from lucene_go_ray.search.query import (
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+)
 
 from .naive_oracle import NaiveEngine
 
@@ -57,6 +62,12 @@ SPAN_CASES = [
     (("window", "spark"), 3, False),
     (("spark", "spark"), 5, True),  # repeated term: distinct occurrences
     (("spark", "spark"), 5, False),
+    # unordered beyond 2 terms: the minimal-cover regime (window-cover
+    # matcher with Hall-condition multiplicity counts)
+    (("sort", "merge", "batch"), 6, False),
+    (("sort", "merge", "batch"), 2, False),
+    (("spark", "spark", "window"), 4, False),  # repeated + mixed
+    (("sort", "merge", "batch", "scan"), 9, False),
 ]
 
 
@@ -96,6 +107,26 @@ def test_span_first_score_identical(built, term, end):
     _assert_identical(s, oracle, SpanFirstQuery(term, end))
 
 
+@pytest.mark.parametrize(
+    "inc,exc,pre,post",
+    [
+        ("spark", "window", 0, 0),
+        ("spark", "window", 2, 2),
+        ("spark", "window", 5, 0),
+        ("batch", "scan", 0, 3),
+        ("spark", "zzzznotaterm", 1, 1),  # absent exclude: all occurrences
+    ],
+)
+def test_span_not_score_identical(built, inc, exc, pre, post):
+    s, oracle = built
+    _assert_identical(s, oracle, SpanNotQuery(inc, exc, pre=pre, post=post))
+
+
+def test_span_not_validation():
+    with pytest.raises(ValueError):
+        SpanNotQuery("a", "b", pre=-1)
+
+
 def test_span_near_missing_term_empty(built):
     s, _ = built
     ev = s._apply_live(
@@ -105,10 +136,43 @@ def test_span_near_missing_term_empty(built):
 
 
 def test_span_near_validation():
-    with pytest.raises(NotImplementedError):
-        SpanNearQuery(("a", "b", "c"), slop=2, in_order=False)
     with pytest.raises(ValueError):
         SpanNearQuery(("a", "b"), slop=-1)
+
+
+def test_span_near_random_dense_vocab(tmp_path):
+    """Stress the window-cover matcher where it is hardest: a 6-token
+    vocabulary so every doc is saturated with repeats and near-misses,
+    random clause lists (with repeats) at every slop, BOTH orders, vs the
+    exhaustive combination oracle."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for _ in range(150)
+    ]
+    src = str(tmp_path / "dense.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}), src
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index([src], index_dir, CFG)
+    s = IndexSearcher(index_dir)
+    oracle = NaiveEngine(
+        texts, StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
+    )
+    for _ in range(40):
+        n = rng.randint(2, 4)
+        terms = tuple(rng.choice(vocab) for _ in range(n))
+        slop = rng.randint(0, 6)
+        in_order = rng.random() < 0.5
+        _assert_identical(
+            s, oracle, SpanNearQuery(terms, slop=slop, in_order=in_order)
+        )
 
 
 def test_span_near_topk_searchable(built):
