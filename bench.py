@@ -145,11 +145,16 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
     from lucene_go_ray.search.query import BooleanQuery, TermQuery
 
     ws = IndexSearcher(widx)
+    # and_skew: rare (df ~500) AND hot (df ~200k) — the lead-with-rarest
+    # conjunction path (searcher._lead_conjunction); the rare term is a
+    # mid-rank vocabulary word, deterministic for the corpus seed
+    rare_term = corpus._vocabulary(10_000)[4000]
     wand_cases = {
         "term_k10": (TermQuery("web"), 10),
         "term_k100": (TermQuery("web"), 100),
         "or3_k10": (BooleanQuery.build(should=["web", "page", "data"]), 10),
         "and2_k10": (BooleanQuery.build(must=["web", "page"]), 10),
+        "and_skew_k10": (BooleanQuery.build(must=["web", rare_term]), 10),
     }
 
     def run_wand():

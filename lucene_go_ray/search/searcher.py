@@ -95,9 +95,12 @@ from .scorer import BM25Scorer, idf, make_scorer
 #     window and 1.4x at 406k      -> WAND_TERM_MIN_POSTINGS = 250k
 #     (all k — an earlier 1.5x k=100 reading at df 101k did not
 #     reproduce, so the conservative shared floor stands)
-#   - pure AND never beat the exhaustive intersect-first path at any
-#     measured size (0.90-0.93x, adaptive bail's bounded waste)
+#   - pure AND (the interval SWEEP) never beat the exhaustive
+#     intersect-first path on balanced conjunctions at any measured size
+#     (0.90-0.93x, adaptive bail's bounded waste)
 #                                  -> WAND_AND_MIN_POSTINGS = 1M
+#     df-SKEWED conjunctions take the lead-with-rarest path below
+#     instead (measured 1.7-3.5x, bench and_skew_k10)
 # A df-FRACTION guard (engage at f*doc_count) was considered and
 # rejected by the same data: df = 0.4*doc_count LOSES at 250k docs and
 # WINS 1.5x at 1M docs — the fraction is scale-invariant on self-similar
@@ -106,6 +109,19 @@ from .scorer import BM25Scorer, idf, make_scorer
 WAND_MIN_POSTINGS = 100_000
 WAND_TERM_MIN_POSTINGS = 250_000
 WAND_AND_MIN_POSTINGS = 1_000_000
+
+# Lead-with-rarest conjunction (ConjunctionDISI semantics,
+# /root/reference/core/search/conjunctiondisi.go — the leapfrog where the
+# rarest iterator drives advance()): decode the rarest term's postings
+# fully, then for every other term decode ONLY the blocks that contain a
+# candidate docID. Skipping here scales with DF SKEW (independent of the
+# score distribution the block-max sweep needs), so it engages exactly
+# where the sweep's AND mode measured 0.90-0.93x: engage when the
+# candidate set is expected to touch at most this fraction of the other
+# terms' blocks (touch <= min(df_lead, blocks_j) per term j), with a
+# postings-volume floor below which exhaustive decode is already cheap.
+LEAD_CONJ_MIN_POSTINGS = 200_000
+LEAD_CONJ_MAX_TOUCH_FRAC = 0.5
 
 # Legacy pre-sweep spread guard of the round-2 python sweep — NO LONGER
 # READ. Measured with the batched sweep: a 3-hot-term OR with ~0% skippable
@@ -1838,12 +1854,123 @@ class IndexSearcher:
 
     # ---------------- block-max pruned path (perf; rank-identical) ---------
 
+    def _lead_conjunction(
+        self, tqs: list, rows_per_term: list, k: int, *, force: bool = False
+    ) -> TopDocs | None:
+        """Candidate-driven conjunction: lead with the rarest term
+        (ConjunctionDISI, /root/reference/core/search/conjunctiondisi.go —
+        the rarest iterator drives advance()), decode its postings fully,
+        then for each other term (ascending df, so candidates shrink
+        fastest) decode ONLY the blocks containing a candidate docID via
+        block-range pread. Exact — the full conjunction is computed, so
+        the result is rank-identical to exhaustive by construction and
+        ``total_hits`` is exact (unlike the sweep's lower bound). Returns
+        None when the engage heuristic predicts insufficient skipping."""
+        dfs = [sum(int(r["doc_freq"]) for r in rows) for rows in rows_per_term]
+        t_order = np.argsort(np.asarray(dfs), kind="stable")
+        lead = int(t_order[0])
+        bs = self.cfg.block_size
+        n_blocks = [
+            sum(max(1, -(-int(r["doc_freq"]) // bs)) for r in rows)
+            for rows in rows_per_term
+        ]
+        if not force:
+            if sum(dfs) < LEAD_CONJ_MIN_POSTINGS:
+                return None
+            touch = sum(min(dfs[lead], n_blocks[int(t)]) for t in t_order[1:])
+            tot = sum(n_blocks[int(t)] for t in t_order[1:])
+            if tot == 0 or touch > LEAD_CONJ_MAX_TOUCH_FRAC * tot:
+                return None
+        tq0 = tqs[lead]
+        p0 = self.term_postings(tq0.term, fld=tq0.field)
+        if p0 is None or len(p0["docs"]) == 0:
+            return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+        cand = self._apply_live_docs(p0["docs"])
+        scorer0 = self.scorer_for(tq0.field)
+        w0 = scorer0.weight(self.term_statistics(tq0.term, fld=tq0.field)[0])
+        sc0 = scorer0.score(w0, p0["freqs"].astype(np.float64), p0["norms8"])
+        scores = sc0[np.searchsorted(p0["docs"], cand)]
+        blocks_total = sum(n_blocks)
+        blocks_touched = n_blocks[lead]  # lead decodes all its blocks
+        for t in t_order[1:]:
+            if len(cand) == 0:
+                break
+            ti = int(t)
+            tq = tqs[ti]
+            scorer = self.scorer_for(tq.field)
+            w = scorer.weight(self.term_statistics(tq.term, fld=tq.field)[0])
+            cache = self._block_cache.setdefault(
+                posting_key(tq.field or self.default_field, tq.term), {}
+            )
+            got: list[tuple[np.ndarray, np.ndarray]] = []
+            for ri, r in enumerate(rows_per_term[ti]):
+                # candidates inside this row's doc span (rows are
+                # first_doc-sorted with disjoint spans)
+                a = int(np.searchsorted(cand, int(r["first_doc"])))
+                b = int(np.searchsorted(cand, int(r["last_doc"]), side="right"))
+                if a == b:
+                    continue
+                last, _maxf, _minn = self.codec.block_metadata(r)
+                bidx = np.unique(np.searchsorted(last, cand[a:b])).astype(
+                    np.int32
+                )
+                blocks_touched += len(bidx)
+                missing = [
+                    int(lb) for lb in bidx.tolist() if (ri, int(lb)) not in cache
+                ]
+                if missing:
+                    docs_b, freqs_b, norms_b, cnts = self.codec.decode_row_blocks(
+                        r, np.asarray(missing, dtype=np.int32), bs
+                    )
+                    sb = scorer.score(w, freqs_b, norms_b)
+                    off = 0
+                    for lb, c in zip(missing, cnts):
+                        cache[(ri, lb)] = (
+                            docs_b[off : off + int(c)],
+                            sb[off : off + int(c)],
+                        )
+                        off += int(c)
+                got.extend(cache[(ri, int(lb))] for lb in bidx.tolist())
+            if not got:
+                cand = cand[:0]
+                break
+            # per-row spans disjoint + ascending, block ids ascending per
+            # row -> the concatenation is docID-sorted
+            dcat = np.concatenate([g[0] for g in got])
+            scat = np.concatenate([g[1] for g in got])
+            pos = np.searchsorted(dcat, cand)
+            hit = (pos < len(dcat)) & (
+                dcat[np.minimum(pos, len(dcat) - 1)] == cand
+            )
+            cand = cand[hit]
+            scores = scores[hit] + scat[pos[hit]]
+        self.last_prune_stats = {
+            "mode": "and_lead",
+            "blocks_total": int(blocks_total),
+            "blocks_touched": int(blocks_touched),
+            "blocks_skipped": int(blocks_total - blocks_touched),
+            "intervals_total": 0,
+            "intervals_visited": 0,
+        }
+        td = _topk(_Scored(cand, scores), k)
+        td.total_hits = int(len(cand))
+        return td
+
+    def _lead_then_publish(self, td: TopDocs, k: int, theta_put) -> TopDocs:
+        """Publish this shard's kth score to the cross-shard accumulator
+        (the lead path is exact and needs no theta itself, but other
+        shards' sweeps can adopt it)."""
+        if theta_put is not None and len(td.scores) >= k:
+            theta_put(float(td.scores[-1]))
+        return td
+
     def _try_pruned(
         self,
         q: Query,
         k: int,
         *,
         min_postings: int | None = None,
+        lead_conjunction: bool | None = None,
         theta_get=None,
         theta_put=None,
     ) -> TopDocs | None:
@@ -1880,6 +2007,22 @@ class IndexSearcher:
             mode == "and" and any(not r for r in rows_per_term)
         ):
             return TopDocs(np.empty(0, np.int64), np.empty(0), 0)
+        # the explicit wand_min_postings knob pins the SWEEP (tests force
+        # it to exercise interval pruning); the lead path auto-engages only
+        # at default floors, or explicitly via lead_conjunction=True
+        if (
+            mode == "and"
+            and len(tqs) >= 2
+            and (
+                lead_conjunction is True
+                or (lead_conjunction is None and min_postings is None)
+            )
+        ):
+            led = self._lead_conjunction(
+                tqs, rows_per_term, k, force=lead_conjunction is True
+            )
+            if led is not None:
+                return self._lead_then_publish(led, k, theta_put)
         # Adaptive engage: the interval bookkeeping costs O(total blocks)
         # per query up front, so pruning only pays off once the candidate
         # postings volume is large (exactly when it matters at web scale).
