@@ -106,6 +106,15 @@ def cmd_check(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_check_kd(args) -> int:
+    # kd point-index validation (index/bkd.py layout) — no Ray session
+    from .index.bkd import check_kd_index
+
+    res = check_kd_index(args.index, sample_rows_per_leaf=args.sample)
+    print(json.dumps(res, indent=2))
+    return 0 if res["ok"] else 1
+
+
 def cmd_add(args) -> int:
     _ensure_ray()
     from .index.build import add_documents
@@ -231,6 +240,17 @@ def main(argv=None) -> int:
     ck.add_argument("--sample", type=int, default=16,
                     help="terms decoded per bucket (default 16)")
     ck.set_defaults(fn=cmd_check)
+
+    ckd = sub.add_parser(
+        "check-kd",
+        help="offline kd point-index validation: leaf set vs meta, footer "
+        "stats vs recorded bounds, sampled routing through the split tree "
+        "(exit 1 on any problem)",
+    )
+    ckd.add_argument("index")
+    ckd.add_argument("--sample", type=int, default=64,
+                     help="rows routed per leaf (default 64)")
+    ckd.set_defaults(fn=cmd_check_kd)
 
     c = sub.add_parser("clean", help="remove orphan tmp/retired artifacts")
     c.add_argument("--index", required=True)

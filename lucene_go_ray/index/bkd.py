@@ -417,3 +417,91 @@ def kd_box_query(
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def check_kd_index(
+    index_dir: str, *, sample_rows_per_leaf: int = 64, seed: int = 0
+) -> dict:
+    """Offline kd-index integrity validation — the CheckIndex discipline
+    (/root/reference/core/index/checkindex.go) for the point-tree layout:
+
+    1. every leaf recorded in meta exists on disk and vice versa;
+    2. per-leaf footer stats (recomputed) == the recorded leaf bounds,
+       and summed leaf row counts == meta total_rows;
+    3. routing invariant (sampled): rows read back from a leaf descend
+       the stored split tree to that same leaf — a corrupted tree,
+       doctored threshold, or misplaced file breaks this.
+
+    Never raises on corruption; returns {"ok", "problems", "checked"}."""
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    checked = {"leaves": 0, "rows_sampled": 0}
+    try:
+        meta = _load_meta(index_dir)
+    except OSError:
+        return {"ok": False, "problems": ["no meta.json"], "checked": checked}
+    dims = tuple(meta["dims"])
+    arrs = {
+        k: np.asarray(v, np.float64 if k == "thr" else np.int64)
+        for k, v in meta["tree"].items()
+    }
+    cells = os.path.join(index_dir, "cells")
+    on_disk = {
+        int(n.split("=", 1)[1]) for n in os.listdir(cells) if n.startswith("leaf=")
+    }
+    recorded = {int(k) for k in meta["leaf_bounds"]}
+    for leaf in sorted(recorded - on_disk):
+        problems.append(f"leaf {leaf} recorded in meta but missing on disk")
+    for leaf in sorted(on_disk - recorded):
+        problems.append(f"leaf {leaf} on disk but absent from meta")
+    fresh = _leaf_bounds_from_footers(cells, dims)
+    total = 0
+    rng = np.random.default_rng(seed)
+    for leaf in sorted(on_disk & recorded):
+        checked["leaves"] += 1
+        b = meta["leaf_bounds"][str(leaf)]
+        fb = fresh[leaf]
+        total += fb["rows"]
+        if (
+            not np.allclose(b["lo"], fb["lo"], rtol=0, atol=0)
+            or not np.allclose(b["hi"], fb["hi"], rtol=0, atol=0)
+        ):
+            problems.append(
+                f"leaf {leaf}: recorded bounds {b['lo']}..{b['hi']} != "
+                f"footer stats {fb['lo']}..{fb['hi']}"
+            )
+        d = os.path.join(cells, f"leaf={leaf}")
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not files:
+            problems.append(f"leaf {leaf}: no parquet files")
+            continue
+        pf = pq.ParquetFile(os.path.join(d, files[int(rng.integers(len(files)))]))
+        t = pf.read_row_group(
+            int(rng.integers(pf.num_row_groups)), columns=list(dims)
+        )
+        X = np.column_stack(
+            [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in dims
+            ]
+        )
+        if len(X) > sample_rows_per_leaf:
+            X = X[
+                np.sort(
+                    rng.choice(len(X), size=sample_rows_per_leaf, replace=False)
+                )
+            ]
+        checked["rows_sampled"] += len(X)
+        routed = _descend(arrs, X)
+        if (routed != leaf).any():
+            bad = int((routed != leaf).sum())
+            problems.append(
+                f"leaf {leaf}: {bad}/{len(X)} sampled rows route to a "
+                f"different leaf (tree/file mismatch)"
+            )
+    if total != int(meta["total_rows"]):
+        problems.append(
+            f"leaf row sum {total} != meta total_rows {meta['total_rows']}"
+        )
+    return {"ok": not problems, "problems": problems, "checked": checked}

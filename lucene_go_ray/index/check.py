@@ -17,7 +17,13 @@ Checks (offline, read-only):
    to first_doc/last_doc at the ends, all < max_doc, freqs >= 1 with
    sum == total_term_freq, norms length == doc_freq;
 5. reversed-term dictionary (sampled): every sampled reversed term's
-   forward term resolves to >= 1 postings row, and vice versa.
+   forward term resolves to >= 1 postings row, and vice versa;
+6. payload side stream (sampled, when built with payload_kind): per
+   sampled payload term, row count == the segment's doc_freq and the
+   summed per-occurrence list lengths == total_term_freq (from the
+   segment terms table), ords in [0, num_docs), no empty lists;
+7. term vectors (sampled, when stored): per row len(positions) == freq,
+   positions strictly increasing, ords in [0, num_docs).
 
 Any flipped byte in a sampled row's streams breaks one of the decode
 invariants (widths/counts no longer reconcile) — see
@@ -212,6 +218,77 @@ def check_index(
                     problems.append(
                         f"revdict {fname}: {row['term']!r} has no forward "
                         f"postings for {fwd!r}"
+                    )
+
+    # 6. + 7. per-segment side streams: payloads and term vectors
+    checked["payload_terms"] = 0
+    checked["tvec_rows"] = 0
+    for p in manifest.partitions:
+        seg = os.path.join(index_dir, "segments", f"p={int(p['pid']):05d}")
+        num_docs = int(p["num_docs"])
+        ppath = os.path.join(seg, "payloads.parquet")
+        if os.path.exists(ppath):
+            pt = pq.read_table(ppath, columns=["term", "ord"])
+            ords = pt["ord"].to_numpy(zero_copy_only=False)
+            if len(ords) and (ords.min() < 0 or ords.max() >= num_docs):
+                problems.append(f"segment {p['pid']}: payload ord out of bounds")
+            uterms = pt["term"].unique().to_pylist()
+            for i in _sample_idx(len(uterms), max(2, sample_per_bucket // 4),
+                                 seed + 2):
+                term = uterms[int(i)]
+                rows = pq.read_table(ppath, filters=[("term", "=", term)])
+                lens = rows["payloads"].combine_chunks()
+                counts = np.asarray(
+                    [len(v) for v in lens], dtype=np.int64
+                )
+                checked["payload_terms"] += 1
+                if (counts == 0).any():
+                    problems.append(
+                        f"segment {p['pid']}: empty payload list for {term!r}"
+                    )
+                st = pq.read_table(
+                    os.path.join(seg, "terms.parquet"),
+                    columns=["doc_freq", "total_term_freq"],
+                    filters=[("field", "=", cfg.text_column),
+                             ("term", "=", term)],
+                )
+                df = int(np.sum(st["doc_freq"].to_numpy(zero_copy_only=False)))
+                ttf = int(
+                    np.sum(st["total_term_freq"].to_numpy(zero_copy_only=False))
+                )
+                if rows.num_rows != df:
+                    problems.append(
+                        f"segment {p['pid']}: payload rows {rows.num_rows} != "
+                        f"doc_freq {df} for {term!r}"
+                    )
+                if int(counts.sum()) != ttf:
+                    problems.append(
+                        f"segment {p['pid']}: payload occurrences "
+                        f"{int(counts.sum())} != total_term_freq {ttf} for "
+                        f"{term!r}"
+                    )
+        tpath = os.path.join(seg, "tvec.parquet")
+        if os.path.exists(tpath):
+            tt = pq.read_table(tpath)
+            n = tt.num_rows
+            for i in _sample_idx(n, sample_per_bucket, seed + 3):
+                row = {c: tt[c][int(i)].as_py() for c in tt.column_names}
+                checked["tvec_rows"] += 1
+                if not (0 <= int(row["ord"]) < num_docs):
+                    problems.append(
+                        f"segment {p['pid']}: tvec ord {row['ord']} out of "
+                        f"bounds"
+                    )
+                pos = row["positions"]
+                if len(pos) != int(row["freq"]):
+                    problems.append(
+                        f"segment {p['pid']}: tvec positions len != freq for "
+                        f"({row['field']}, {row['term']!r}, ord {row['ord']})"
+                    )
+                if any(b <= a for a, b in zip(pos, pos[1:])):
+                    problems.append(
+                        f"segment {p['pid']}: tvec positions not increasing "
+                        f"for ({row['field']}, {row['term']!r})"
                     )
 
     return {"ok": not problems, "problems": problems, "checked": checked}

@@ -130,3 +130,61 @@ def test_bad_box_dims(built):
     idx, _, _ = built
     with pytest.raises(ValueError, match="dims"):
         bkd.kd_box_plan(idx, (0.0, 0.0), (1.0, 1.0))
+
+
+def test_check_kd_index_clean_and_corrupted(tmp_path, built):
+    """check_kd_index: clean index validates; a doctored split threshold
+    breaks the sampled routing invariant; a doctored recorded bound
+    breaks the footer-stats reconciliation."""
+    import json
+    import shutil
+
+    from lucene_go_ray.index.bkd import check_kd_index
+
+    idx, _, _ = built
+    res = check_kd_index(idx)
+    assert res["ok"], res["problems"][:5]
+    assert res["checked"]["leaves"] > 1
+    assert res["checked"]["rows_sampled"] > 0
+
+    d = str(tmp_path / "kd_doctored")
+    shutil.copytree(idx, d)
+    mpath = os.path.join(d, "meta.json")
+    meta = json.load(open(mpath))
+    # find an internal node (leaf == -1) and shift its threshold hard
+    i = meta["tree"]["leaf"].index(-1)
+    meta["tree"]["thr"][i] = meta["tree"]["thr"][i] + 1e9
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    res = check_kd_index(d)
+    assert not res["ok"]
+    assert any("route to a different leaf" in p for p in res["problems"]), (
+        res["problems"][:5]
+    )
+
+    d2 = str(tmp_path / "kd_doctored_bounds")
+    shutil.copytree(idx, d2)
+    mpath = os.path.join(d2, "meta.json")
+    meta = json.load(open(mpath))
+    leaf0 = next(iter(meta["leaf_bounds"]))
+    meta["leaf_bounds"][leaf0]["hi"][0] += 123.0
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    res = check_kd_index(d2)
+    assert not res["ok"]
+    assert any("footer stats" in p for p in res["problems"]), res["problems"][:5]
+
+
+def test_check_kd_cli(built):
+    import json
+    import subprocess
+    import sys
+
+    idx, _, _ = built
+    r = subprocess.run(
+        [sys.executable, "-m", "lucene_go_ray.cli", "check-kd", idx,
+         "--sample", "8"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout)["ok"]

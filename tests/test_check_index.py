@@ -98,3 +98,69 @@ def test_cli_check_subcommand(built):
     assert r.returncode == 0, r.stderr[-500:]
     out = json.loads(r.stdout)
     assert out["ok"]
+
+
+@pytest.fixture(scope="module")
+def built_sides(tmp_path_factory, sf_dir):
+    """Index with BOTH round-4 side streams: payloads + term vectors."""
+    index_dir = str(tmp_path_factory.mktemp("chk_sides"))
+    build_index(
+        [os.path.join(sf_dir, "documents.parquet")],
+        index_dir,
+        IndexConfig(
+            target_partition_rows=300,
+            payload_kind="token_bytes",
+            index_term_vectors=True,
+        ),
+    )
+    return index_dir
+
+
+def test_clean_side_streams_check_ok(built_sides):
+    res = check_index(built_sides, sample_per_bucket=64)
+    assert res["ok"], res["problems"][:5]
+    assert res["checked"]["payload_terms"] > 0
+    assert res["checked"]["tvec_rows"] > 0
+
+
+def test_truncated_payload_list_detected(built_sides, tmp_path):
+    """Dropping one occurrence from one payload list breaks the
+    sum(lens) == total_term_freq reconciliation."""
+    import pyarrow as pa
+
+    d = _copy(built_sides, tmp_path)
+    ppath = os.path.join(d, "segments", "p=00000", "payloads.parquet")
+    t = pq.read_table(ppath)
+    lists = t["payloads"].to_pylist()
+    victim = next(i for i, v in enumerate(lists) if len(v) >= 2)
+    lists[victim] = lists[victim][:-1]
+    t = t.set_column(
+        t.column_names.index("payloads"),
+        "payloads",
+        pa.array(lists, type=t["payloads"].type),
+    )
+    pq.write_table(t, ppath)
+    res = check_index(d, sample_per_bucket=50_000)  # sample every term
+    assert not res["ok"]
+    assert any("total_term_freq" in p and "payload" in p for p in res["problems"]), (
+        res["problems"][:5]
+    )
+
+
+def test_doctored_tvec_freq_detected(built_sides, tmp_path):
+    import pyarrow as pa
+
+    d = _copy(built_sides, tmp_path)
+    tpath = os.path.join(d, "segments", "p=00000", "tvec.parquet")
+    t = pq.read_table(tpath)
+    freqs = t["freq"].to_pylist()
+    freqs[0] += 1
+    t = t.set_column(
+        t.column_names.index("freq"), "freq", pa.array(freqs, type=t["freq"].type)
+    )
+    pq.write_table(t, tpath)
+    res = check_index(d, sample_per_bucket=50_000)  # > tvec rows: check all
+    assert not res["ok"]
+    assert any("tvec positions len != freq" in p for p in res["problems"]), (
+        res["problems"][:5]
+    )
