@@ -198,16 +198,26 @@ def _span_idf_sum(terms: list[str]) -> str:
     )
 
 
-def _topk_span_near_sql(terms: list[str], slop: int, in_order: bool, k: int) -> str:
-    """SpanNearQuery oracle: freq = count of first-term occurrences that
+def _topk_span_near_sql(terms: list, slop: int, in_order: bool, k: int) -> str:
+    """SpanNearQuery oracle: freq = count of first-clause occurrences that
     anchor a qualifying window (exists-an-increasing-chain for ordered —
-    equivalent to the engine's greedy minimal-successor chain; a
-    different-position partner within +-(slop+1) for unordered)."""
+    equivalent to the engine's greedy minimal-successor chain; an
+    all-distinct combination within the span bound for unordered). A
+    clause given as a LIST is an OR of alternatives (term IN (...)); every
+    alternative term contributes idf, as in the engine."""
     n = len(terms)
+
+    def pred(t) -> str:
+        if isinstance(t, str):
+            return f"term = '{t}'"
+        alts = ", ".join(f"'{a}'" for a in t)
+        return f"term IN ({alts})"
+
     plists = ",\n".join(
-        f"p{i} AS (SELECT doc_id, pos FROM tokpos WHERE term = '{t}')"
+        f"p{i} AS (SELECT doc_id, pos FROM tokpos WHERE {pred(t)})"
         for i, t in enumerate(terms)
     )
+    flat_terms = [a for t in terms for a in ((t,) if isinstance(t, str) else t)]
     if in_order:
         joins = "\n  ".join(
             f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos"
@@ -230,7 +240,7 @@ matches AS (
   WHERE {window}
   GROUP BY p0.doc_id
 )"""
-    return _span_scored_sql(matches, _span_idf_sum(terms), k)
+    return _span_scored_sql(matches, _span_idf_sum(flat_terms), k)
 
 
 def _topk_span_not_sql(inc: str, exc: str, pre: int, post: int, k: int) -> str:
@@ -617,6 +627,9 @@ _SPAN_ORD2_TERMS, _SPAN_ORD2_SLOP = ["batch", "scan"], 2
 _SPAN_ORD3_TERMS, _SPAN_ORD3_SLOP = ["sort", "merge", "batch"], 6
 _SPAN_UNORD_TERMS, _SPAN_UNORD_SLOP = ["spark", "window"], 3
 _SPAN_UNORD3_TERMS, _SPAN_UNORD3_SLOP = ["sort", "merge", "batch"], 4
+# OR-clause chain (SpanOr-inside-SpanNear): '|' separates alternatives in
+# the descriptor; the list form feeds the SQL generator
+_SPAN_OR_TERMS, _SPAN_OR_SLOP = [["batch", "scan"], "merge"], 3
 _SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 5
 _SPAN_NOT = ("spark", "window", 2, 2)  # include, exclude, pre, post
 # kd point-index gate constants: inclusive 3-D box over lineitem
@@ -724,6 +737,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "not": lambda sf: fulltext.topk(
                     sf, "span_not", [str(c) for c in _SPAN_NOT], _K,
+                ),
+                "ordered_or": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [
+                        str(_SPAN_OR_SLOP), "1",
+                        *(
+                            c if isinstance(c, str) else "|".join(c)
+                            for c in _SPAN_OR_TERMS
+                        ),
+                    ],
+                    _K,
                 ),
             }
         ),
@@ -946,6 +970,9 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
                     _SPAN_FIRST_TERM, _SPAN_FIRST_END, _K
                 ),
                 "not": _topk_span_not_sql(*_SPAN_NOT, _K),
+                "ordered_or": _topk_span_near_sql(
+                    _SPAN_OR_TERMS, _SPAN_OR_SLOP, True, _K
+                ),
             }
         ),
         "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),

@@ -312,7 +312,17 @@ class SpanNearQuery(Query):
     (a repeated term must be covered by that many DISTINCT occurrence
     positions — the unordered matcher enforces the multiplicity via a
     per-distinct-term window count, which by Hall's condition is exactly
-    when a distinct-position selection exists)."""
+    when a distinct-position selection exists).
+
+    A clause may also be a TUPLE of alternative terms — the
+    SpanOrQuery-inside-SpanNearQuery composition (Lucene's common spans
+    shape): the clause matches at any occurrence of any alternative, and
+    every alternative term contributes its idf to the weight (Lucene
+    builds the SpanWeight from ALL term contexts). Ordered chains accept
+    arbitrary alternative sets; unordered matching requires the
+    alternative sets to be pairwise disjoint or identical (the Hall
+    window-count shortcut needs groupable clauses — overlapping
+    non-identical sets raise)."""
 
     terms: tuple
     slop: int = 0
@@ -320,9 +330,29 @@ class SpanNearQuery(Query):
     field: str | None = None
 
     def __post_init__(self):
-        object.__setattr__(self, "terms", tuple(self.terms))
+        object.__setattr__(
+            self,
+            "terms",
+            tuple(
+                t if isinstance(t, str) else tuple(dict.fromkeys(t))
+                for t in self.terms
+            ),
+        )
         if self.slop < 0:
             raise ValueError("slop must be >= 0")
+        if not self.in_order:
+            sets = [
+                frozenset((t,)) if isinstance(t, str) else frozenset(t)
+                for t in self.terms
+            ]
+            for i, a in enumerate(sets):
+                for b in sets[i + 1 :]:
+                    if a != b and a & b:
+                        raise NotImplementedError(
+                            "unordered span_near OR-clauses must have "
+                            "pairwise disjoint or identical alternative "
+                            "sets (use in_order=True for overlapping ones)"
+                        )
 
 
 @dataclass(frozen=True)

@@ -1627,14 +1627,16 @@ class IndexSearcher:
         self,
         terms: tuple,
         fld: str | None,
-        p0: dict,
+        norms8: np.ndarray,
         mdocs: np.ndarray,
         freqs: np.ndarray,
         boost: float,
         need_scores: bool,
     ) -> _Scored:
         """Shared span scoring (PhraseQuery shape): weight = boost x summed
-        per-term idf, BM25 over the span freq with the FIRST term's norms."""
+        per-term idf (ALL alternative terms contribute, as in Lucene's
+        SpanWeight term-context collection), BM25 over the span freq with
+        ``norms8`` aligned to ``mdocs``."""
         if not need_scores:
             return _Scored(mdocs, None)
         scorer = self.scorer_for(fld)
@@ -1644,7 +1646,6 @@ class IndexSearcher:
                 for t in terms
             )
         )
-        norms8 = p0["norms8"][np.searchsorted(p0["docs"], mdocs)]
         return _Scored(mdocs, scorer.score(w, freqs.astype(np.float64), norms8))
 
     def _eval_span_near(
@@ -1675,19 +1676,50 @@ class IndexSearcher:
         n = len(q.terms)
         if n == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
-        plists = [
-            self.term_postings(t, fld=q.field, with_positions=True)
-            for t in q.terms
-        ]
-        if any(p is None for p in plists):
-            return _Scored(np.empty(0, np.int64), np.empty(0))
-        docs = plists[0]["docs"]
-        for p in plists[1:]:
-            docs = _intersect_sorted(docs, p["docs"])
-        if len(docs) == 0:
-            return _Scored(docs, np.empty(0))
+        # each clause is one term or a tuple of OR-alternatives
+        # (SpanOr-inside-SpanNear); a clause with no surviving alternative
+        # kills the conjunction
+        alts = [(t,) if isinstance(t, str) else t for t in q.terms]
+        cl_plists: list[list[dict]] = []
+        for a in alts:
+            ps = [
+                p
+                for t in a
+                if (p := self.term_postings(t, fld=q.field, with_positions=True))
+                is not None and len(p["docs"])
+            ]
+            if not ps:
+                return _Scored(np.empty(0, np.int64), np.empty(0))
+            cl_plists.append(ps)
+        docs = None
+        for ps in cl_plists:
+            u = (
+                ps[0]["docs"]
+                if len(ps) == 1
+                else np.unique(np.concatenate([p["docs"] for p in ps]))
+            )
+            docs = u if docs is None else _intersect_sorted(docs, u)
+            if len(docs) == 0:
+                return _Scored(docs, np.empty(0))
         BIG = np.int64(1) << 32
-        keys = [_doc_pos_keys(p, docs, BIG) for p in plists]
+
+        def _clause_keys(ps: list[dict]) -> np.ndarray:
+            if len(ps) == 1:  # docs is a subset of this single list's docs
+                return _doc_pos_keys(ps[0], docs, BIG)
+            parts = []
+            for p in ps:
+                m = _membership(docs, p["docs"]).astype(bool)
+                if not m.any():
+                    continue
+                sub = _doc_pos_keys(p, docs[m], BIG)
+                # remap the subset ordinals into the shared docs space
+                full = np.flatnonzero(m)
+                parts.append(full[sub // BIG] * BIG + sub % BIG)
+            # alternatives are distinct terms, so (doc, pos) keys are
+            # disjoint across parts — sort merges them
+            return np.sort(np.concatenate(parts))
+
+        keys = [_clause_keys(ps) for ps in cl_plists]
         anchors = keys[0]
         if n == 1:
             matched = anchors
@@ -1705,14 +1737,18 @@ class IndexSearcher:
                     break
             # same ordinal block, so the key delta IS the position delta
             matched = anchors[ok & ((cur - anchors) <= q.slop + (n - 1))]
-        else:  # unordered: window-cover with per-distinct-term multiplicity
+        else:  # unordered: window-cover with per-distinct-clause multiplicity
             W = np.int64(q.slop + (n - 1))
-            dkeys: dict = {}  # distinct term -> (keys, multiplicity)
-            for t, ki in zip(q.terms, keys):
-                if t in dkeys:
-                    dkeys[t] = (dkeys[t][0], dkeys[t][1] + 1)
+            # group clauses by alternative SET (the query class guarantees
+            # pairwise disjoint-or-identical sets, so per-group counts are
+            # exactly Hall's condition)
+            dkeys: dict = {}  # frozenset(alternatives) -> (keys, multiplicity)
+            for a, ki in zip(alts, keys):
+                g = frozenset(a)
+                if g in dkeys:
+                    dkeys[g] = (dkeys[g][0], dkeys[g][1] + 1)
                 else:
-                    dkeys[t] = (ki, 1)
+                    dkeys[g] = (ki, 1)
             starts = (
                 anchors
                 if len(dkeys) == 1
@@ -1731,9 +1767,21 @@ class IndexSearcher:
             matched = anchors[r > l]
         if len(matched) == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
-        mdocs, freqs = np.unique(docs[(matched // BIG)], return_counts=True)
+        uo, freqs = np.unique(matched // BIG, return_counts=True)
+        mdocs = docs[uo]
+        # norms are per-doc: fill from whichever clause-0 alternative holds
+        # the doc (every matched doc is in clause 0's union)
+        norms_docs = np.zeros(len(docs), dtype=cl_plists[0][0]["norms8"].dtype)
+        for p in cl_plists[0]:
+            m = _membership(docs, p["docs"]).astype(bool)
+            if m.any():
+                norms_docs[m] = p["norms8"][
+                    np.searchsorted(p["docs"], docs[m])
+                ]
+        all_terms = tuple(t for a in alts for t in a)
         return self._span_scored(
-            q.terms, q.field, plists[0], mdocs, freqs, boost, need_scores
+            all_terms, q.field, norms_docs[uo], mdocs, freqs, boost,
+            need_scores,
         )
 
     def _eval_span_first(
@@ -1755,7 +1803,8 @@ class IndexSearcher:
         sel = counts > 0
         mdocs = p["docs"][sel]
         return self._span_scored(
-            (q.term,), q.field, p, mdocs, counts[sel], boost, need_scores
+            (q.term,), q.field, p["norms8"][sel], mdocs, counts[sel],
+            boost, need_scores,
         )
 
     def _eval_span_not(
@@ -1797,8 +1846,8 @@ class IndexSearcher:
         )
         sel = counts > 0
         return self._span_scored(
-            (q.include,), q.field, pi, pi["docs"][sel], counts[sel],
-            boost, need_scores,
+            (q.include,), q.field, pi["norms8"][sel], pi["docs"][sel],
+            counts[sel], boost, need_scores,
         )
 
     def _eval_bool(self, q: BooleanQuery, boost: float, need_scores: bool) -> _Scored:
@@ -2609,9 +2658,13 @@ def query_from_descriptor(kind: str, clauses: list[str]) -> Query:
             ],
         )
     if kind == "span_near":
-        # clauses = [slop, in_order(0/1), term1, term2, ...]
+        # clauses = [slop, in_order(0/1), term1, term2, ...]; a term with
+        # '|' is an OR-clause of alternatives (SpanOr-inside-SpanNear)
         return SpanNearQuery(
-            tuple(clauses[2:]), slop=int(clauses[0]),
+            tuple(
+                tuple(c.split("|")) if "|" in c else c for c in clauses[2:]
+            ),
+            slop=int(clauses[0]),
             in_order=bool(int(clauses[1])),
         )
     if kind == "span_first":

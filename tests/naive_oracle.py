@@ -130,14 +130,32 @@ class NaiveEngine:
         if isinstance(q, SpanNearQuery):
             # independent check: EXHAUSTIVE enumeration of occurrence
             # combinations per anchor (the engine uses a greedy
-            # minimal-successor chain / windowed partner search instead)
-            plists = [self.postings.get(t) for t in q.terms]
+            # minimal-successor chain / window-cover counting instead).
+            # An OR-clause's per-doc occurrence list is the merged union
+            # of its alternatives; every alternative term contributes idf.
+            def clause_postings(t):
+                if isinstance(t, str):
+                    return self.postings.get(t)
+                merged: dict = {}
+                for alt in t:
+                    for d, ps in self.postings.get(alt, {}).items():
+                        merged.setdefault(d, []).extend(ps)
+                return {d: sorted(ps) for d, ps in merged.items()} or None
+
+            plists = [clause_postings(t) for t in q.terms]
             if any(p is None for p in plists):
                 return {}
             docs = set(plists[0])
             for p in plists[1:]:
                 docs &= set(p)
-            w = boost * sum(self.idf(len(self.postings.get(t, {}))) for t in q.terms)
+            all_terms = [
+                t
+                for c in q.terms
+                for t in ((c,) if isinstance(c, str) else c)
+            ]
+            w = boost * sum(
+                self.idf(len(self.postings.get(t, {}))) for t in all_terms
+            )
             n = len(q.terms)
             out = {}
             for d in docs:

@@ -68,6 +68,12 @@ SPAN_CASES = [
     (("sort", "merge", "batch"), 2, False),
     (("spark", "spark", "window"), 4, False),  # repeated + mixed
     (("sort", "merge", "batch", "scan"), 9, False),
+    # OR-clauses (SpanOr-inside-SpanNear): tuple entries are alternatives
+    ((("batch", "scan"), "merge"), 3, True),
+    (("sort", ("merge", "batch"), "scan"), 6, True),
+    ((("spark", "window"), ("sort", "merge")), 4, False),  # disjoint sets
+    ((("spark", "window"), ("spark", "window")), 5, False),  # identical sets
+    ((("batch", "scan"), ("batch", "scan"), "merge"), 7, True),
 ]
 
 
@@ -138,6 +144,15 @@ def test_span_near_missing_term_empty(built):
 def test_span_near_validation():
     with pytest.raises(ValueError):
         SpanNearQuery(("a", "b"), slop=-1)
+    # unordered OR-clauses: overlapping-but-not-identical sets raise
+    with pytest.raises(NotImplementedError):
+        SpanNearQuery((("a", "b"), "a"), slop=1, in_order=False)
+    with pytest.raises(NotImplementedError):
+        SpanNearQuery((("a", "b"), ("b", "c")), slop=1, in_order=False)
+    # ...but are fine ordered, and disjoint/identical are fine unordered
+    SpanNearQuery((("a", "b"), "a"), slop=1, in_order=True)
+    SpanNearQuery((("a", "b"), ("c", "d")), slop=1, in_order=False)
+    SpanNearQuery((("a", "b"), ("b", "a")), slop=1, in_order=False)
 
 
 def test_span_near_random_dense_vocab(tmp_path):
@@ -165,11 +180,23 @@ def test_span_near_random_dense_vocab(tmp_path):
     oracle = NaiveEngine(
         texts, StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase)
     )
-    for _ in range(40):
+    or_groups = [("aa", "bb"), ("cc", "dd"), ("ee", "ff")]
+    for _ in range(60):
         n = rng.randint(2, 4)
-        terms = tuple(rng.choice(vocab) for _ in range(n))
         slop = rng.randint(0, 6)
         in_order = rng.random() < 0.5
+        if rng.random() < 0.4:  # OR-clause mix
+            if in_order:  # arbitrary alternative sets allowed
+                terms = tuple(
+                    tuple(rng.sample(vocab, 2))
+                    if rng.random() < 0.5
+                    else rng.choice(vocab)
+                    for _ in range(n)
+                )
+            else:  # disjoint-or-identical groups
+                terms = tuple(rng.choice(or_groups) for _ in range(n))
+        else:
+            terms = tuple(rng.choice(vocab) for _ in range(n))
         _assert_identical(
             s, oracle, SpanNearQuery(terms, slop=slop, in_order=in_order)
         )
