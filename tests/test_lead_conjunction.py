@@ -154,6 +154,20 @@ def test_lead_conjunction_blob_io_skipping(tmp_path):
     assert 0 < read_led < read_ex
 
 
+def test_lead_conjunction_sharded_parity(built):
+    """search_sharded at default guards (each shard may take the lead
+    path over its doc range) stays rank-identical to unsharded search."""
+    s = built
+    q = BooleanQuery.build(must=["rare", "common"]).rewrite()
+    exh = s.search(q, 10, prune=False)
+    for shards in (2, 4):
+        td = s.search_sharded(q, 10, num_shards=shards, prune=True)
+        assert td.doc_ids.tolist() == exh.doc_ids.tolist(), shards
+        assert td.scores.tolist() == pytest.approx(
+            exh.scores.tolist(), rel=0, abs=0
+        )
+
+
 def test_lead_conjunction_auto_engage_floor(built):
     """At 800 docs the postings volume is far below the 200k floor, so the
     default path must NOT engage the lead conjunction (auto returns None
