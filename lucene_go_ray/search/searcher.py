@@ -1025,6 +1025,16 @@ class IndexSearcher:
                 add(self._expand_fuzzy(
                     self.default_field, q.term, q.max_edits, q.prefix_length
                 ))
+            elif isinstance(q, SpanNearQuery) and is_text(q.field):
+                add(
+                    t
+                    for c in q.terms
+                    for t in ((c,) if isinstance(c, str) else c)
+                )
+            elif isinstance(q, SpanFirstQuery) and is_text(q.field):
+                add([q.term])
+            elif isinstance(q, SpanNotQuery) and is_text(q.field):
+                add([q.include])  # the exclude clause never matches text
             elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
                 walk(q.query)
             elif isinstance(q, DisjunctionMaxQuery):

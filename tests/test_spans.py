@@ -202,6 +202,17 @@ def test_span_near_random_dense_vocab(tmp_path):
         )
 
 
+def test_span_highlight_terms(built):
+    """highlight_terms surfaces span terms (incl. OR alternatives; the
+    SpanNot exclude clause never highlights)."""
+    s, _ = built
+    assert s.highlight_terms(
+        SpanNearQuery((("batch", "scan"), "merge"), slop=3)
+    ) == ["batch", "scan", "merge"]
+    assert s.highlight_terms(SpanFirstQuery("spark", 5)) == ["spark"]
+    assert s.highlight_terms(SpanNotQuery("spark", "window", pre=1)) == ["spark"]
+
+
 def test_span_near_topk_searchable(built):
     """Spans run through the normal search()/top-k collector path."""
     s, oracle = built
