@@ -1948,7 +1948,12 @@ class IndexSearcher:
         scorer0 = self.scorer_for(tq0.field)
         w0 = scorer0.weight(self.term_statistics(tq0.term, fld=tq0.field)[0])
         sc0 = scorer0.score(w0, p0["freqs"].astype(np.float64), p0["norms8"])
-        scores = sc0[np.searchsorted(p0["docs"], cand)]
+        # per-clause (docs, scores) for the final sum; terms are VISITED in
+        # df order (fastest candidate shrink) but SUMMED in clause order —
+        # float addition is not associative, and clause-order summation is
+        # what makes scores bit-identical to the exhaustive path
+        per_term: list = [None] * len(tqs)
+        per_term[lead] = (p0["docs"], sc0)
         blocks_total = sum(n_blocks)
         blocks_touched = n_blocks[lead]  # lead decodes all its blocks
         for t in t_order[1:]:
@@ -2002,7 +2007,11 @@ class IndexSearcher:
                 dcat[np.minimum(pos, len(dcat) - 1)] == cand
             )
             cand = cand[hit]
-            scores = scores[hit] + scat[pos[hit]]
+            per_term[ti] = (dcat, scat)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        if len(cand):
+            for dcat, scat in per_term:  # clause order (see note above)
+                scores += scat[np.searchsorted(dcat, cand)]
         self.last_prune_stats = {
             "mode": "and_lead",
             "blocks_total": int(blocks_total),

@@ -168,6 +168,47 @@ def test_lead_conjunction_sharded_parity(built):
         )
 
 
+def test_lead_conjunction_salted_multichunk_parity(tmp_path_factory, sf_dir):
+    """Force the lead path on an index whose hot terms are SALTED across
+    groups and whose partitions split into multiple chunk rows — the
+    multi-row rows_per_term regime (per-row candidate slicing + block
+    lookup must respect disjoint row spans)."""
+    import os
+    import random
+
+    index_dir = str(tmp_path_factory.mktemp("leadsalt"))
+    cfg = IndexConfig(
+        target_partition_rows=100,
+        chunk_docs=96,
+        block_size=32,
+        hot_term_doc_freq=80,  # forces salt groups for common terms
+        salt_group_partitions=2,
+    )
+    build_index([os.path.join(sf_dir, "documents.parquet")], index_dir, cfg)
+    s = IndexSearcher(index_dir)
+    # pick common terms (salted => multiple rows) and rare partners
+    vocab = sorted(
+        (sum(r["doc_freq"] for r in s._term_rows(t)), t)
+        for t in ("spark", "window", "batch", "scan", "sort", "merge", "data")
+        if s._term_rows(t)
+    )
+    rng = random.Random(5)
+    terms = [t for _, t in vocab]
+    for _ in range(12):
+        pick = rng.sample(terms, rng.randint(2, 3))
+        q = BooleanQuery.build(must=pick).rewrite()
+        exh = s.search(q, 10, prune=False)
+        led = s._try_pruned(q, 10, lead_conjunction=True)
+        assert led is not None
+        assert led.doc_ids.tolist() == exh.doc_ids.tolist(), pick
+        assert led.scores.tolist() == pytest.approx(
+            exh.scores.tolist(), rel=0, abs=0
+        ), pick
+        assert led.total_hits == exh.total_hits, pick
+    # sanity: at least one probed term really is multi-row (salted/chunked)
+    assert any(len(s._term_rows(t)) > 1 for t in terms)
+
+
 def test_lead_conjunction_auto_engage_floor(built):
     """At 800 docs the postings volume is far below the 200k floor, so the
     default path must NOT engage the lead conjunction (auto returns None
