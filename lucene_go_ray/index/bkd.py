@@ -447,6 +447,12 @@ def check_kd_index(
         for k, v in meta["tree"].items()
     }
     cells = os.path.join(index_dir, "cells")
+    if not os.path.isdir(cells):
+        return {
+            "ok": False,
+            "problems": ["cells directory missing"],
+            "checked": checked,
+        }
     on_disk = {
         int(n.split("=", 1)[1]) for n in os.listdir(cells) if n.startswith("leaf=")
     }
@@ -476,10 +482,21 @@ def check_kd_index(
         if not files:
             problems.append(f"leaf {leaf}: no parquet files")
             continue
-        pf = pq.ParquetFile(os.path.join(d, files[int(rng.integers(len(files)))]))
-        t = pf.read_row_group(
-            int(rng.integers(pf.num_row_groups)), columns=list(dims)
-        )
+        try:
+            pf = pq.ParquetFile(
+                os.path.join(d, files[int(rng.integers(len(files)))])
+            )
+            if pf.metadata.num_row_groups == 0:
+                problems.append(f"leaf {leaf}: parquet file has no row groups")
+                continue
+            t = pf.read_row_group(
+                int(rng.integers(pf.num_row_groups)), columns=list(dims)
+            )
+        except Exception as e:  # noqa: BLE001 — corruption surfaces here
+            problems.append(
+                f"leaf {leaf}: unreadable parquet ({type(e).__name__}: {e})"
+            )
+            continue
         X = np.column_stack(
             [
                 t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)

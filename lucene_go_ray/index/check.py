@@ -269,26 +269,33 @@ def check_index(
                     )
         tpath = os.path.join(seg, "tvec.parquet")
         if os.path.exists(tpath):
-            tt = pq.read_table(tpath)
-            n = tt.num_rows
-            for i in _sample_idx(n, sample_per_bucket, seed + 3):
-                row = {c: tt[c][int(i)].as_py() for c in tt.column_names}
-                checked["tvec_rows"] += 1
-                if not (0 <= int(row["ord"]) < num_docs):
-                    problems.append(
-                        f"segment {p['pid']}: tvec ord {row['ord']} out of "
-                        f"bounds"
-                    )
-                pos = row["positions"]
-                if len(pos) != int(row["freq"]):
-                    problems.append(
-                        f"segment {p['pid']}: tvec positions len != freq for "
-                        f"({row['field']}, {row['term']!r}, ord {row['ord']})"
-                    )
-                if any(b <= a for a, b in zip(pos, pos[1:])):
-                    problems.append(
-                        f"segment {p['pid']}: tvec positions not increasing "
-                        f"for ({row['field']}, {row['term']!r})"
-                    )
+            # tvec is the largest side file (doc-major transpose of the
+            # postings): sample at ROW-GROUP granularity so the check
+            # never loads the whole table
+            pf = pq.ParquetFile(tpath)
+            rgs = _sample_idx(pf.metadata.num_row_groups, 2, seed + 3)
+            per_rg = max(2, sample_per_bucket // max(1, len(rgs)))
+            for rg in rgs:
+                tt = pf.read_row_group(int(rg))
+                for i in _sample_idx(tt.num_rows, per_rg, seed + 3):
+                    row = {c: tt[c][int(i)].as_py() for c in tt.column_names}
+                    checked["tvec_rows"] += 1
+                    if not (0 <= int(row["ord"]) < num_docs):
+                        problems.append(
+                            f"segment {p['pid']}: tvec ord {row['ord']} out "
+                            f"of bounds"
+                        )
+                    pos = row["positions"]
+                    if len(pos) != int(row["freq"]):
+                        problems.append(
+                            f"segment {p['pid']}: tvec positions len != freq "
+                            f"for ({row['field']}, {row['term']!r}, ord "
+                            f"{row['ord']})"
+                        )
+                    if any(b <= a for a, b in zip(pos, pos[1:])):
+                        problems.append(
+                            f"segment {p['pid']}: tvec positions not "
+                            f"increasing for ({row['field']}, {row['term']!r})"
+                        )
 
     return {"ok": not problems, "problems": problems, "checked": checked}

@@ -1913,6 +1913,30 @@ class IndexSearcher:
 
     # ---------------- block-max pruned path (perf; rank-identical) ---------
 
+    def _ensure_scored_blocks(
+        self, cache: dict, ri: int, row: dict, locals_, scorer, w: float
+    ) -> None:
+        """Decode + score any missing blocks of one postings row into the
+        shared per-term block cache. THE cache-entry contract for both the
+        block-max sweep and the lead conjunction: ``cache[(ri, local)] =
+        (docs, scores)`` for that block, where ``ri`` is the row's index
+        in the term's first_doc-sorted row list and ``local`` the block's
+        index within the row."""
+        missing = [int(lb) for lb in locals_ if (ri, int(lb)) not in cache]
+        if not missing:
+            return
+        docs_b, freqs_b, norms_b, cnts = self.codec.decode_row_blocks(
+            row, np.asarray(missing, dtype=np.int32), self.cfg.block_size
+        )
+        scores_b = scorer.score(w, freqs_b, norms_b)
+        off = 0
+        for lb, c in zip(missing, cnts):
+            cache[(ri, lb)] = (
+                docs_b[off : off + int(c)],
+                scores_b[off : off + int(c)],
+            )
+            off += int(c)
+
     def _lead_conjunction(
         self, tqs: list, rows_per_term: list, k: int, *, force: bool = False
     ) -> TopDocs | None:
@@ -1979,21 +2003,7 @@ class IndexSearcher:
                     np.int32
                 )
                 blocks_touched += len(bidx)
-                missing = [
-                    int(lb) for lb in bidx.tolist() if (ri, int(lb)) not in cache
-                ]
-                if missing:
-                    docs_b, freqs_b, norms_b, cnts = self.codec.decode_row_blocks(
-                        r, np.asarray(missing, dtype=np.int32), bs
-                    )
-                    sb = scorer.score(w, freqs_b, norms_b)
-                    off = 0
-                    for lb, c in zip(missing, cnts):
-                        cache[(ri, lb)] = (
-                            docs_b[off : off + int(c)],
-                            sb[off : off + int(c)],
-                        )
-                        off += int(c)
+                self._ensure_scored_blocks(cache, ri, r, bidx, scorer, w)
                 got.extend(cache[(ri, int(lb))] for lb in bidx.tolist())
             if not got:
                 cand = cand[:0]
@@ -2256,22 +2266,10 @@ class IndexSearcher:
                     for fb in missing:
                         by_row.setdefault(keys[fb][0], []).append(fb)
                     for ri, fbs in by_row.items():
-                        locals_ = tb["local"][fbs]
-                        docs_b, freqs_b, norms_b, cnts = (
-                            self.codec.decode_row_blocks(
-                                tb["rows"][ri], locals_, self.cfg.block_size
-                            )
+                        self._ensure_scored_blocks(
+                            cache, ri, tb["rows"][ri], tb["local"][fbs],
+                            scorers[ti], weights[ti],
                         )
-                        scores_b = scorers[ti].score(
-                            weights[ti], freqs_b, norms_b
-                        )
-                        off = 0
-                        for fb, c in zip(fbs, cnts):
-                            cache[keys[fb]] = (
-                                docs_b[off : off + c],
-                                scores_b[off : off + c],
-                            )
-                            off += int(c)
                 if len(need_l) == 0:
                     per_term.append(
                         (np.empty(0, np.int64), np.empty(0, np.float64))

@@ -174,6 +174,14 @@ def test_check_kd_index_clean_and_corrupted(tmp_path, built):
     assert not res["ok"]
     assert any("footer stats" in p for p in res["problems"]), res["problems"][:5]
 
+    # a lost cells/ subtree reports instead of raising (never-raises contract)
+    d3 = str(tmp_path / "kd_no_cells")
+    shutil.copytree(idx, d3)
+    shutil.rmtree(os.path.join(d3, "cells"))
+    res = check_kd_index(d3)
+    assert not res["ok"]
+    assert res["problems"] == ["cells directory missing"]
+
 
 def test_check_kd_cli(built):
     import json

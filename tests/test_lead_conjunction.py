@@ -155,17 +155,40 @@ def test_lead_conjunction_blob_io_skipping(tmp_path):
 
 
 def test_lead_conjunction_sharded_parity(built):
-    """search_sharded at default guards (each shard may take the lead
-    path over its doc range) stays rank-identical to unsharded search."""
+    """Doc-range sharding through the FORCED lead path (what a shard
+    worker does: set _doc_range, call _try_pruned, merge): the merged
+    per-range results must equal unsharded exhaustive bit-for-bit. This
+    is the lead + _doc_range interaction — the auto floor (200k) never
+    engages on this corpus, so the in-process force is the only way to
+    exercise it. A default-guard search_sharded run rides along as the
+    fallback-path parity check."""
     s = built
     q = BooleanQuery.build(must=["rare", "common"]).rewrite()
-    exh = s.search(q, 10, prune=False)
-    for shards in (2, 4):
-        td = s.search_sharded(q, 10, num_shards=shards, prune=True)
-        assert td.doc_ids.tolist() == exh.doc_ids.tolist(), shards
-        assert td.scores.tolist() == pytest.approx(
+    exh = s.search(q, 100, prune=False)
+    max_doc = s.manifest.max_doc
+    for shards in (2, 3):
+        bounds = np.linspace(0, max_doc, shards + 1).astype(np.int64)
+        docs, scores = [], []
+        for i in range(shards):
+            try:
+                s._doc_range = (int(bounds[i]), int(bounds[i + 1]) - 1)
+                td = s._try_pruned(q, 100, lead_conjunction=True)
+                assert s.last_prune_stats["mode"] == "and_lead"
+            finally:
+                s._doc_range = None
+            docs.append(td.doc_ids)
+            scores.append(td.scores)
+        order = np.lexsort(
+            (np.concatenate(docs), -np.concatenate(scores))
+        )[:100]
+        merged_docs = np.concatenate(docs)[order]
+        merged_scores = np.concatenate(scores)[order]
+        assert merged_docs.tolist() == exh.doc_ids.tolist(), shards
+        assert merged_scores.tolist() == pytest.approx(
             exh.scores.tolist(), rel=0, abs=0
         )
+    td = s.search_sharded(q, 10, num_shards=2, prune=True)
+    assert td.doc_ids.tolist() == exh.doc_ids.tolist()[:10]
 
 
 def test_lead_conjunction_salted_multichunk_parity(tmp_path_factory, sf_dir):
