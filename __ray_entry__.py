@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, query_ids=(0, 1, 2), k=_K
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
+        "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, k=_K),
         "multimodal_features": _multimodal_features,
         "text_quality": lambda sf: textstats.text_quality(sf),
         "language_id": lambda sf: textstats.language_id(sf),
@@ -1318,7 +1319,8 @@ SELECT query_id, rank, vec_id, sim FROM (
 WHERE rank <= {_K} ORDER BY query_id, rank
 """,
         # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk /
-        # ann_ivf_topk: non-SQL-expressible (hash-family / heuristic / trained-
-        # quantizer pipelines) -> rows-only; recall oracles live in pytest
-        # (test_lsh_index_recall_at_sf01, test_ivf_index_recall_at_sf01).
+        # ann_ivf_topk / ann_ivfpq_topk: non-SQL-expressible (hash-family /
+        # heuristic / trained-quantizer pipelines) -> rows-only; recall
+        # oracles live in pytest (test_lsh_index_recall_at_sf01,
+        # test_ivf_index_recall_at_sf01, test_ivfpq_recall_at_sf01).
     }

@@ -254,6 +254,10 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "ann_ivf_build_probe",
         lambda: ann.ivf_topk(sf_dir, k=10),
     )
+    timed(
+        "ann_ivfpq_build_probe",
+        lambda: ann.ivfpq_topk(sf_dir, k=10),
+    )
     from lucene_go_ray.pipelines import curate
 
     timed("curate", lambda: curate.curate(sf_dir).count())

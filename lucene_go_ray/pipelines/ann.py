@@ -14,6 +14,11 @@
   driver-side sample, map-only assignment, hive-partitioned by cell); per
   query only the ``nprobe`` closest cells' partitions are read. Recall
   measured by ``ivf_recall_at_k`` and controlled by (n_cells, nprobe).
+- ``build_ivfpq_index`` / ``ivfpq_probe_topk``: the STORAGE-compressed
+  scale path — IVF cells store (id, m-byte PQ code) instead of full
+  vectors (dim x 4 -> m bytes, 16x at dim=64 m=16); probes score codes
+  via an ADC lookup table and exact-rerank only the top candidates from
+  the source parquet. Recall measured by ``ivfpq_recall_at_k``.
 """
 
 from __future__ import annotations
@@ -306,6 +311,13 @@ def build_lsh_index(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     ds = ray.data.read_parquet(path, columns=[key, col])
+    # NOT clustered before the write, unlike the kd/IVF/IVF-PQ layouts:
+    # LSH has n_tables x 2^n_planes TINY partitions by design (the probe
+    # opens only Hamming-ball dirs), so a sorted output block would span
+    # thousands of partition values and trip pyarrow's 1024-partitions-
+    # per-fragment cap; file count here is ~partitions x input blocks and
+    # the per-partition file count stays equal to the input block count
+    # regardless of clustering.
     ds.map_batches(_bucket, batch_format="pyarrow").write_parquet(
         os.path.join(tmp, "buckets"), partition_cols=["tbl", "bucket"]
     )
@@ -454,6 +466,36 @@ def lsh_recall_at_k(
 # ---------------------------------------------------------------------------
 
 
+def _strided_emb_sample(
+    path: str, col: str, sample_rows: int, seed: int
+) -> np.ndarray:
+    """STRIDED training sample: rows from row groups spread across the
+    whole file, not the leading ones — on a sorted/clustered corpus the
+    leading row groups are a biased region and trained
+    centroids/codebooks would under-cover the tail. Within each visited
+    group an even row stride keeps the per-group take flat. Bounded
+    memory: at most sample_rows vectors on the driver."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    n_rg = pf.num_row_groups
+    rng = np.random.default_rng(seed)
+    rg_order = np.sort(rng.permutation(n_rg)[: max(1, min(n_rg, 64))])
+    per_rg = max(1, sample_rows // len(rg_order))
+    rows = []
+    got = 0
+    for rg in rg_order:
+        m = _emb_matrix(pf.read_row_group(int(rg), columns=[col]), col)
+        if len(m) > per_rg:
+            stride = len(m) / per_rg
+            m = m[(np.arange(per_rg) * stride).astype(np.int64)]
+        rows.append(m)
+        got += len(m)
+        if got >= sample_rows:
+            break
+    return np.concatenate(rows)[:sample_rows]
+
+
 def _spherical_kmeans(
     sample: np.ndarray, n_cells: int, n_iters: int, seed: int
 ) -> np.ndarray:
@@ -531,30 +573,7 @@ def build_ivf_index(
                 f"requested {want}; use a different index_dir or delete it"
             )
         return index_dir
-    # STRIDED training sample: take rows from row groups spread across the
-    # whole file, not the leading ones — on a sorted/clustered corpus the
-    # leading row groups are a biased region and the centroids would
-    # under-cover the tail (degrading recall at a given nprobe). Within
-    # each visited group an even row stride keeps the per-group take flat.
-    pf = pq.ParquetFile(path)
-    n_rg = pf.num_row_groups
-    rng = np.random.default_rng(seed)
-    rg_order = np.sort(
-        rng.permutation(n_rg)[: max(1, min(n_rg, 64))]
-    )  # up to 64 groups, uniform over the file
-    per_rg = max(1, sample_rows // len(rg_order))
-    rows = []
-    got = 0
-    for rg in rg_order:
-        m = _emb_matrix(pf.read_row_group(int(rg), columns=[col]), col)
-        if len(m) > per_rg:
-            stride = len(m) / per_rg
-            m = m[(np.arange(per_rg) * stride).astype(np.int64)]
-        rows.append(m)
-        got += len(m)
-        if got >= sample_rows:
-            break
-    sample = np.concatenate(rows)[:sample_rows]
+    sample = _strided_emb_sample(path, col, sample_rows, seed)
     C = _spherical_kmeans(sample, n_cells, n_iters, seed)
 
     def _assign(batch: pa.Table) -> pa.Table:
@@ -579,7 +598,10 @@ def build_ivf_index(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     ds = ray.data.read_parquet(path, columns=[key, col])
-    ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+    # cluster by cell before the hive write (the kd-index lesson: without
+    # it every input block writes a fragment into every cell it touches —
+    # O(blocks x cells) tiny files; after it, ~one file per cell)
+    ds.map_batches(_assign, batch_format="pyarrow").sort("cell").write_parquet(
         os.path.join(tmp, "cells"), partition_cols=["cell"]
     )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -708,6 +730,318 @@ def ivf_recall_at_k(
         sims = np.round(En @ En[qi], 6)
         exact = set(ids[np.lexsort((ids, -sims))[:k]].tolist())
         got = ivf_probe_topk(index_dir, E[qi], k, key=key, col=col, nprobe=nprobe)
+        hits += len(exact & set(got[key].to_pylist()))
+        total += len(exact)
+    return hits / max(1, total)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# Product-quantized inverted lists (Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): the STORAGE-compressed ANN
+# scale path next to the LSH tables and the full-vector IVF above. Cells
+# store (id, m-byte code) only — dim x 4 bytes -> m bytes per vector
+# (32x at dim=64, m=8) — so a probe's I/O is code-table reads, and the
+# query-time work is an m x ksub lookup table + one gather per batch
+# (asymmetric distance computation, ADC). An optional exact re-rank
+# re-reads ONLY the top candidates' full vectors from the source parquet.
+
+
+def _kmeans_euclid(
+    X: np.ndarray, k: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Plain euclidean k-means for the PQ sub-quantizers — driver-side on
+    a bounded sample, vectorized via the -2XC' + |C|^2 distance form
+    (never materializes the n x k x d cube). Empty clusters reseed to
+    random points so exactly k centroids come back."""
+    rng = np.random.default_rng(seed)
+    k = int(min(k, len(X)))
+    C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    for _ in range(n_iters):
+        d = -2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        empty = counts == 0
+        if empty.any():
+            sums[empty] = X[rng.choice(len(X), size=int(empty.sum()))]
+            counts[empty] = 1.0
+        C = sums / counts[:, None]
+    return C
+
+
+def _pq_train(
+    sample: np.ndarray, m: int, ksub: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace codebooks over the NORMALIZED sample: (m, ksub, dim/m)."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    ksub = int(min(ksub, max(4, n // 4)))
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        books[j] = _kmeans_euclid(
+            sample[:, j * dsub : (j + 1) * dsub], ksub, n_iters, seed + j
+        )
+    return books
+
+
+def _pq_encode(books: np.ndarray, Xn: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace, nearest codebook entry."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(Xn), m), np.uint8)
+    for j in range(m):
+        cb = books[j]
+        sub = Xn[:, j * dsub : (j + 1) * dsub]
+        d = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_ivfpq_index(
+    sf_dir: str,
+    index_dir: str,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_cells: int = 64,
+    m: int = 16,
+    ksub: int = 256,
+    n_iters: int = 10,
+    sample_rows: int = 20000,
+    seed: int = 42,
+) -> str:
+    """Build stage (run ONCE): IVF coarse quantizer + PQ codebooks trained
+    driver-side on one strided sample, then a single map pass normalizes,
+    assigns the cell and PQ-encodes every vector, writing (key, codes)
+    hive-partitioned by cell and CLUSTERED by cell before the write (one
+    file per cell instead of O(blocks x cells) fragments — the kd-index
+    lesson). 100-TB shape: the shipped state is centroids + codebooks
+    (n_cells x dim + m x ksub x dim/m floats, KBs), the corpus pass is
+    map-only, and the stored bytes per vector drop dim*4 -> m."""
+    import json
+    import shutil
+
+    import ray.data
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    want = {
+        "n_cells": int(n_cells), "m": int(m), "ksub": int(ksub),
+        "n_iters": int(n_iters), "sample_rows": int(sample_rows),
+        "seed": int(seed),
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = json.load(f).get("params")
+        if have is not None and have != want:
+            raise ValueError(
+                f"IVF-PQ index at {index_dir} was built with {have}, "
+                f"requested {want}; use a different index_dir or delete it"
+            )
+        return index_dir
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = _strided_emb_sample(path, col, sample_rows, seed)
+    sn = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30
+    )
+    C = _spherical_kmeans(sample, n_cells, n_iters, seed)
+    books = _pq_train(sn, m, ksub, n_iters, seed + 1)
+
+    def _assign_encode(batch: pa.Table) -> pa.Table:
+        X = _emb_matrix(batch, col)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+        codes = _pq_encode(books, Xn)
+        n = len(Xn)
+        flat = pa.array(codes.ravel(), type=pa.uint8())
+        offsets = np.arange(n + 1, dtype=np.int64) * codes.shape[1]
+        return pa.table(
+            {
+                key: batch[key],
+                "codes": pa.LargeListArray.from_arrays(offsets, flat),
+                "cell": pa.array(cell),
+            }
+        )
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds = ray.data.read_parquet(path, columns=[key, col])
+    ds.map_batches(_assign_encode, batch_format="pyarrow").sort(
+        "cell"
+    ).write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"])
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "params": want,
+                "n_cells": int(len(C)),
+                "m": int(books.shape[0]),
+                "ksub": int(books.shape[1]),
+                "dim": int(C.shape[1]),
+                "centroids": C.tolist(),
+                "codebooks": books.tolist(),
+            },
+            f,
+        )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def ivfpq_probe_topk(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    nprobe: int = 8,
+    rerank_path: str | None = None,
+    rerank_mult: int = 4,
+):
+    """ADC probe: score the query against the centroids, read ONLY the
+    ``nprobe`` closest cells' CODE tables (m bytes/vector), score each
+    batch via the per-query (m x ksub) lookup table + one fancy-index
+    gather — no per-row work — and ordered-limit merge. With
+    ``rerank_path`` the top k x rerank_mult ADC candidates are re-read
+    from the source parquet (an id-filtered, row-group-pruned read of
+    ~k*mult rows) and exact-ranked, so PQ distortion only affects
+    candidate GENERATION, not final ordering."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    # lut[j, c] = q_j . codebook[j][c]  (ADC: sim ~= sum_j lut[j, code_j])
+    lut = np.einsum("jd,jkd->jk", q.reshape(m, dsub), books)
+    order = np.argsort(-(C @ q))[: min(nprobe, len(C))]
+    files = []
+    for c in order:
+        d = os.path.join(index_dir, "cells", f"cell={int(c)}")
+        if os.path.isdir(d):
+            files.extend(_leaf_parquet_files(d))
+    if not files:
+        return _empty_topk(key)
+    take = max(k, k * (rerank_mult if rerank_path else 1))
+    jj = np.arange(m)[:, None]
+
+    def _adc(batch: pa.Table) -> pa.Table:
+        lst = batch["codes"].combine_chunks()
+        codes = lst.values.to_numpy(zero_copy_only=False).reshape(-1, m)
+        sims = lut[jj, codes.T].sum(axis=0)
+        ids = batch[key].to_numpy(zero_copy_only=False)
+        if len(sims) > take:
+            part = np.lexsort((ids, -sims))[:take]
+            ids, sims = ids[part], sims[part]
+        return pa.table({key: pa.array(ids), "sim": pa.array(np.round(sims, 6))})
+
+    scored = ray.data.read_parquet(files, columns=[key, "codes"]).map_batches(
+        _adc, batch_format="pyarrow"
+    )
+    adc_top = _ranked_topk(scored, take, key)
+    if rerank_path is None or len(adc_top) == 0:
+        return adc_top.slice(0, k)
+    # exact re-rank of the candidate ids (driver-small: k x rerank_mult
+    # rows; the read is row-group-pruned by the id filter)
+    cand = adc_top[key].to_pylist()
+    t = pq.read_table(rerank_path, columns=[key, col], filters=[(key, "in", cand)])
+    E = _emb_matrix(t, col)
+    sims = np.round(
+        (E @ q) / np.maximum(np.linalg.norm(E, axis=1), 1e-30), 6
+    )
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    orderr = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orderr) + 1, dtype=np.int64)),
+            key: pa.array(ids[orderr]),
+            "sim": pa.array(sims[orderr]),
+        }
+    )
+
+
+def _cached_ivfpq_index(
+    sf_dir: str, *, n_cells: int = 64, m: int = 16, ksub: int = 256,
+    seed: int = 42
+) -> str:
+    import hashlib
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"ivfpq:{os.path.abspath(path)}:{os.path.getmtime(path)}:"
+        f"{n_cells}:{m}:{ksub}:{seed}".encode()
+    ).hexdigest()[:16]
+    return build_ivfpq_index(
+        sf_dir, os.path.join("/tmp/lgr_ivfpq_index", tag),
+        n_cells=n_cells, m=m, ksub=ksub, seed=seed,
+    )
+
+
+def ivfpq_topk(
+    sf_dir: str,
+    query_vec: np.ndarray | None = None,
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_cells: int = 64,
+    m: int = 16,
+    nprobe: int = 32,
+    rerank: bool = True,
+    seed: int = 42,
+    query_vec_id: int = 0,
+):
+    """Approximate cosine top-k via the persisted IVF-PQ index (built once
+    per corpus, cached) + ADC probe + optional exact re-rank."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if query_vec is None:
+        query_vec = _query_vec_from_id(path, key, col, query_vec_id)
+    index_dir = _cached_ivfpq_index(sf_dir, n_cells=n_cells, m=m, seed=seed)
+    return ivfpq_probe_topk(
+        index_dir, query_vec, k, key=key, col=col, nprobe=nprobe,
+        rerank_path=path if rerank else None,
+    )
+
+
+def ivfpq_recall_at_k(
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 10,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    n_cells: int = 64,
+    m: int = 16,
+    nprobe: int = 32,
+    rerank: bool = True,
+    seed: int = 42,
+) -> float:
+    """Measured recall@k of the IVF-PQ probe vs exact cosine top-k (same
+    protocol as ivf_recall_at_k / lsh_recall_at_k)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=[key, col])
+    E = np.array(t[col].to_pylist(), dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    index_dir = _cached_ivfpq_index(sf_dir, n_cells=n_cells, m=m, seed=seed)
+    hits = total = 0
+    for qi in range(min(n_queries, len(ids))):
+        sims = np.round(En @ En[qi], 6)
+        exact = set(ids[np.lexsort((ids, -sims))[:k]].tolist())
+        got = ivfpq_probe_topk(
+            index_dir, E[qi], k, key=key, col=col, nprobe=nprobe,
+            rerank_path=path if rerank else None,
+        )
         hits += len(exact & set(got[key].to_pylist()))
         total += len(exact)
     return hits / max(1, total)
