@@ -604,6 +604,7 @@ _FUZZY_TERM, _FUZZY_EDITS, _FUZZY_PREFIX = "spark", 1, 1
 _NS_TERM, _NS_FIELD, _NS_VALUES = "spark", "n_chars", (150, 200, 250, 300)
 _BOX = ("spark", "n_chars", 100, 400, "doc_id", 50, 400)
 _FE_FIELD = "lang"
+_FACET_FIELD, _FACET_N = "lang", 10  # facet field (keyword) and top-N
 # RangeField gate constants (core/query/rangefieldquery.go relations over
 # the per-doc interval [min(doc_id, n_chars), max(doc_id, n_chars)])
 _RF_TERM, _RF_FIELD = "spark", "span"
@@ -764,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
         "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, k=_K),
+        "facet_counts": lambda sf: fulltext.facet_counts(
+            sf, _TERM, _FACET_FIELD, _FACET_N
+        ),
         "multimodal_features": _multimodal_features,
         "text_quality": lambda sf: textstats.text_quality(sf),
         "language_id": lambda sf: textstats.language_id(sf),
@@ -787,7 +791,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         "topk_phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
-        "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
+        "count_suite": _suite(
+            {
+                "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
+                "field_exists": lambda sf: fulltext.field_exists_count(
+                    sf, _FE_FIELD
+                ),
+            }
+        ),
         # --- multi-term expansion family (constant-score rewrites):
         #     prefix / range / set / constant / wildcard (+leading via the
         #     reversed dictionary) / fuzzy / regexp (+non-prefix pattern,
@@ -853,7 +864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
             }
         ),
-        "field_exists_count": lambda sf: fulltext.field_exists_count(sf, _FE_FIELD),
         # --- RangeField relations (per-doc interval vs query interval) ---
         "topk_range_relations": _suite(
             {
@@ -1117,8 +1127,26 @@ FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
                 ),
             }
         ),
-        "field_exists_count": f"""
-SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {_FE_FIELD} IS NOT NULL
+        "count_suite": _suite_sql(
+            {
+                "term_doc_count": f"""
+WITH {_TOKS}
+SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM toks
+WHERE term = '{_TERM}'
+""",
+                "field_exists": f"""
+SELECT count(*)::BIGINT AS total_hits FROM documents
+WHERE {_FE_FIELD} IS NOT NULL
+""",
+            }
+        ),
+        "facet_counts": f"""
+WITH {_TOKS},
+matches AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_TERM}')
+SELECT {_FACET_FIELD} AS value, count(*)::BIGINT AS cnt
+FROM documents d JOIN matches m ON m.doc_id = d.doc_id
+WHERE {_FACET_FIELD} IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
 """,
         "topk_after_delete": _topk_term_filtered_sql(
             _DEL_TERM,
@@ -1165,10 +1193,6 @@ s AS (
 SELECT user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events, min(us)::BIGINT AS session_start_us
 FROM s GROUP BY 1, 2
-""",
-        "term_doc_count": f"""
-WITH {_TOKS}
-SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM toks WHERE term = '{_TERM}'
 """,
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text

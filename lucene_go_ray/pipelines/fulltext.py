@@ -662,3 +662,22 @@ def topk_paged(
             "score": pa.array(scores6[sel], type=pa.float64()),
         }
     )
+
+
+def facet_counts(
+    sf_dir: str,
+    term: str,
+    field: str = "lang",
+    top_n: int = 10,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Top-N facet counts of a stored keyword field over the docs matching
+    ``term`` — the facets-module analogue (absent from the reference core)
+    as a sharded CollectorManager run. Returns (value, cnt) ordered by
+    (cnt desc, value asc)."""
+    from ..search import FacetCountsCollectorManager, TermQuery
+
+    s = get_searcher(sf_dir, cfg)
+    return s.search_with_collector_sharded(
+        TermQuery(term), FacetCountsCollectorManager(field, top_n)
+    )

@@ -279,3 +279,53 @@ class NumericHistogramCollectorManager(CollectorManager):
                 "cnt": pa.array(counts[nz]),
             }
         )
+
+
+class FacetCountsCollector(Collector):
+    """Facet counting over a KEYWORD field (the facets-module analogue —
+    absent from the reference core, standard Lucene tooling): value ->
+    hit count over the match set, computed postings-side (one sorted
+    membership count per distinct field value — keyword cardinality is
+    small; loops never touch rows)."""
+
+    needs_scores = False
+
+    def __init__(self, field: str) -> None:
+        self.field = field
+        self.counts: dict = {}
+        self._searcher = None
+
+    def set_context(self, searcher) -> None:
+        self._searcher = searcher
+
+    def collect(self, docs, scores) -> None:
+        for v, c in self._searcher.field_value_counts(docs, self.field).items():
+            self.counts[v] = self.counts.get(v, 0) + c
+
+    def finish(self) -> None:
+        self._searcher = None
+
+
+class FacetCountsCollectorManager(CollectorManager):
+    """Sharded facet counts; ``reduce`` returns (value, cnt) for the
+    ``top_n`` values ordered by (cnt desc, value asc)."""
+
+    def __init__(self, field: str, top_n: int = 10) -> None:
+        self.field = field
+        self.top_n = int(top_n)
+
+    def new_collector(self) -> FacetCountsCollector:
+        return FacetCountsCollector(self.field)
+
+    def reduce(self, collectors) -> pa.Table:
+        merged: dict = {}
+        for c in collectors:
+            for v, n in c.counts.items():
+                merged[v] = merged.get(v, 0) + n
+        top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[: self.top_n]
+        return pa.table(
+            {
+                "value": pa.array([v for v, _ in top], pa.string()),
+                "cnt": pa.array([n for _, n in top], pa.int64()),
+            }
+        )

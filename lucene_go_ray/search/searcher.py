@@ -790,6 +790,28 @@ class IndexSearcher:
             valid[a:b] = ok[ords]
         return vals, valid
 
+    def field_value_counts(self, docs: np.ndarray, fld: str) -> dict:
+        """value -> count of a KEYWORD field over ``docs`` (sorted global
+        docIDs) — the facet-collector gather, postings-based like Lucene's
+        facets-over-doc-sets: walk the field's term dictionary once, then
+        one sorted-membership count per distinct value (keyword-field
+        cardinality is small; never a per-row loop). The per-worker
+        postings cache makes repeated collect batches cheap."""
+        out: dict = {}
+        if len(docs) == 0:
+            return out
+        for v in self.expand_terms(fld, "", "\U0010ffff"):
+            p = self.term_postings(v, fld=fld)
+            if p is None or len(p["docs"]) == 0:
+                continue
+            pd_ = p["docs"]
+            pos = np.searchsorted(pd_, docs)
+            hit = (pos < len(pd_)) & (pd_[np.minimum(pos, len(pd_) - 1)] == docs)
+            c = int(hit.sum())
+            if c:
+                out[v] = out.get(v, 0) + c
+        return out
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """Score breakdown for one document — the reference's
         ``Weight.Explain`` surface (/root/reference/core/search/termquery.go,

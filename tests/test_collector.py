@@ -25,6 +25,7 @@ from .naive_oracle import NaiveEngine
 CFG = IndexConfig(
     target_partition_rows=120,  # several segments on 500 docs
     docvalue_fields=("n_chars", "doc_id"),
+    keyword_fields=("lang",),  # facet tests count over this field
 )
 
 
@@ -218,3 +219,30 @@ def test_custom_user_collector(built_dv):
     ):
         assert got[0] == want_n
         assert got[1] == pytest.approx(want_sum, rel=1e-9)
+
+
+def test_facet_counts_vs_oracle(built_dv, sf_dir):
+    """FacetCountsCollectorManager (facets-module analogue): top-N stored
+    keyword value counts over a query's hit set == an independent recount
+    (NaiveEngine match set joined to the parquet column)."""
+    from collections import Counter
+
+    from lucene_go_ray.search import FacetCountsCollectorManager
+
+    s, oracle, _ = built_dv
+    langs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )["lang"].to_pylist()
+    for q in _queries(oracle):
+        got = s.search_with_collector_sharded(
+            q, FacetCountsCollectorManager("lang", top_n=5)
+        )
+        exp = Counter(langs[d] for d in oracle._eval(q) if langs[d] is not None)
+        top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got["value"].to_pylist() == [v for v, _ in top], q
+        assert got["cnt"].to_pylist() == [n for _, n in top], q
+    # absent term: empty facet table
+    empty = s.search_with_collector_sharded(
+        TermQuery("zzznotaterm"), FacetCountsCollectorManager("lang")
+    )
+    assert empty.num_rows == 0
