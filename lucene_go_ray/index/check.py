@@ -277,7 +277,9 @@ def check_index(
             per_rg = max(2, sample_per_bucket // max(1, len(rgs)))
             for rg in rgs:
                 tt = pf.read_row_group(int(rg))
-                for i in _sample_idx(tt.num_rows, per_rg, seed + 3):
+                # per-group seed: identical seeds would pick the SAME row
+                # offsets in every fixed-size row group
+                for i in _sample_idx(tt.num_rows, per_rg, seed + 3 + int(rg)):
                     row = {c: tt[c][int(i)].as_py() for c in tt.column_names}
                     checked["tvec_rows"] += 1
                     if not (0 <= int(row["ord"]) < num_docs):

@@ -33,7 +33,9 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # flatten(), not .values: a SLICED list array's .values is the full
+    # unsliced child buffer, which would silently misalign rows
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
     return flat.reshape(len(arr), dim)
@@ -778,6 +780,13 @@ def _pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
+    if ksub > 256:
+        raise ValueError(
+            f"ksub={ksub} > 256: PQ codes are stored as uint8, one byte "
+            f"per subspace — use more subspaces (m) instead"
+        )
+    if n < 4:
+        raise ValueError(f"PQ training sample too small ({n} rows)")
     ksub = int(min(ksub, max(4, n // 4)))
     books = np.empty((m, ksub, dsub), np.float64)
     for j in range(m):
@@ -935,7 +944,8 @@ def ivfpq_probe_topk(
 
     def _adc(batch: pa.Table) -> pa.Table:
         lst = batch["codes"].combine_chunks()
-        codes = lst.values.to_numpy(zero_copy_only=False).reshape(-1, m)
+        # flatten(), not .values (slice-offset safety, see _emb_matrix)
+        codes = lst.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
         sims = lut[jj, codes.T].sum(axis=0)
         ids = batch[key].to_numpy(zero_copy_only=False)
         if len(sims) > take:

@@ -804,10 +804,7 @@ class IndexSearcher:
             p = self.term_postings(v, fld=fld)
             if p is None or len(p["docs"]) == 0:
                 continue
-            pd_ = p["docs"]
-            pos = np.searchsorted(pd_, docs)
-            hit = (pos < len(pd_)) & (pd_[np.minimum(pos, len(pd_) - 1)] == docs)
-            c = int(hit.sum())
+            c = int(_membership(docs, p["docs"]).sum())
             if c:
                 out[v] = out.get(v, 0) + c
         return out
