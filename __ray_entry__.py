@@ -631,6 +631,13 @@ _SPAN_UNORD3_TERMS, _SPAN_UNORD3_SLOP = ["sort", "merge", "batch"], 4
 # OR-clause chain (SpanOr-inside-SpanNear): '|' separates alternatives in
 # the descriptor; the list form feeds the SQL generator
 _SPAN_OR_TERMS, _SPAN_OR_SLOP = [["batch", "scan"], "merge"], 3
+# unordered with OVERLAPPING non-identical alternative sets — exercises
+# the anchor-forced deficiency-Hall matcher (clause 2's bare 'scan'
+# competes with both OR-clauses for the same occurrences)
+_SPAN_OVL_TERMS, _SPAN_OVL_SLOP = (
+    [["batch", "scan"], ["scan", "merge"], "scan"],
+    5,
+)
 _SPAN_FIRST_TERM, _SPAN_FIRST_END = "spark", 5
 _SPAN_NOT = ("spark", "window", 2, 2)  # include, exclude, pre, post
 # kd point-index gate constants: inclusive 3-D box over lineitem
@@ -746,6 +753,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         *(
                             c if isinstance(c, str) else "|".join(c)
                             for c in _SPAN_OR_TERMS
+                        ),
+                    ],
+                    _K,
+                ),
+                "unordered_or_overlap": lambda sf: fulltext.topk(
+                    sf, "span_near",
+                    [
+                        str(_SPAN_OVL_SLOP), "0",
+                        *(
+                            c if isinstance(c, str) else "|".join(c)
+                            for c in _SPAN_OVL_TERMS
                         ),
                     ],
                     _K,
@@ -983,6 +1001,9 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
                 "not": _topk_span_not_sql(*_SPAN_NOT, _K),
                 "ordered_or": _topk_span_near_sql(
                     _SPAN_OR_TERMS, _SPAN_OR_SLOP, True, _K
+                ),
+                "unordered_or_overlap": _topk_span_near_sql(
+                    _SPAN_OVL_TERMS, _SPAN_OVL_SLOP, False, _K
                 ),
             }
         ),

@@ -318,11 +318,11 @@ class SpanNearQuery(Query):
     SpanOrQuery-inside-SpanNearQuery composition (Lucene's common spans
     shape): the clause matches at any occurrence of any alternative, and
     every alternative term contributes its idf to the weight (Lucene
-    builds the SpanWeight from ALL term contexts). Ordered chains accept
-    arbitrary alternative sets; unordered matching requires the
-    alternative sets to be pairwise disjoint or identical (the Hall
-    window-count shortcut needs groupable clauses — overlapping
-    non-identical sets raise)."""
+    builds the SpanWeight from ALL term contexts). Both orders accept
+    arbitrary alternative sets, including overlapping non-identical
+    ones — the unordered matcher checks anchor-forced
+    system-of-distinct-representatives existence via deficiency Hall
+    over group-closed clause subsets (searcher._eval_span_near)."""
 
     terms: tuple
     slop: int = 0
@@ -340,19 +340,6 @@ class SpanNearQuery(Query):
         )
         if self.slop < 0:
             raise ValueError("slop must be >= 0")
-        if not self.in_order:
-            sets = [
-                frozenset((t,)) if isinstance(t, str) else frozenset(t)
-                for t in self.terms
-            ]
-            for i, a in enumerate(sets):
-                for b in sets[i + 1 :]:
-                    if a != b and a & b:
-                        raise NotImplementedError(
-                            "unordered span_near OR-clauses must have "
-                            "pairwise disjoint or identical alternative "
-                            "sets (use in_order=True for overlapping ones)"
-                        )
 
 
 @dataclass(frozen=True)

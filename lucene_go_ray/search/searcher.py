@@ -1691,17 +1691,18 @@ class IndexSearcher:
         fits the window (exchange argument). One searchsorted per term —
         no per-doc loop.
 
-        Unordered (any clause count, repeated terms allowed): a fixed
-        window width W = slop + n - 1 bounds any qualifying selection, and
-        an optimal window's left edge aligns with some occurrence — so
+        Unordered (any clause count, repeated terms, arbitrary —
+        possibly overlapping — OR-alternative sets): a fixed window
+        width W = slop + n - 1 bounds any qualifying selection, and an
+        optimal window's left edge aligns with some occurrence — so
         candidate windows are [p, p+W] for every occurrence p of any
-        clause term. A window is VALID iff it holds >= multiplicity(t)
-        occurrences of each distinct term t (positions are unique per
-        doc, so by Hall's condition that is exactly when a
-        distinct-position selection exists). An anchor matches iff some
-        valid window start lies in [anchor-W, anchor] (clamped to the
-        doc's ordinal block). Everything is searchsorted over the packed
-        key space — no per-doc loop."""
+        clause term. Window validity for a given anchor is an
+        anchor-forced system-of-distinct-representatives check,
+        evaluated as deficiency Hall over group-closed clause subsets
+        (details inline in the unordered branch). An anchor matches iff
+        some valid window start lies in [anchor-W, anchor] (clamped to
+        the doc's ordinal block). Everything is searchsorted over the
+        packed key space — no per-doc loop."""
         n = len(q.terms)
         if n == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
@@ -1709,17 +1710,18 @@ class IndexSearcher:
         # (SpanOr-inside-SpanNear); a clause with no surviving alternative
         # kills the conjunction
         alts = [(t,) if isinstance(t, str) else t for t in q.terms]
-        cl_plists: list[list[dict]] = []
+        cl_named: list[list[tuple[str, dict]]] = []
         for a in alts:
             ps = [
-                p
+                (t, p)
                 for t in a
                 if (p := self.term_postings(t, fld=q.field, with_positions=True))
                 is not None and len(p["docs"])
             ]
             if not ps:
                 return _Scored(np.empty(0, np.int64), np.empty(0))
-            cl_plists.append(ps)
+            cl_named.append(ps)
+        cl_plists: list[list[dict]] = [[p for _, p in ps] for ps in cl_named]
         docs = None
         for ps in cl_plists:
             u = (
@@ -1748,8 +1750,9 @@ class IndexSearcher:
             # disjoint across parts — sort merges them
             return np.sort(np.concatenate(parts))
 
-        keys = [_clause_keys(ps) for ps in cl_plists]
-        anchors = keys[0]
+        if n == 1 or q.in_order:
+            keys = [_clause_keys(ps) for ps in cl_plists]
+            anchors = keys[0]
         if n == 1:
             matched = anchors
         elif q.in_order:
@@ -1766,34 +1769,128 @@ class IndexSearcher:
                     break
             # same ordinal block, so the key delta IS the position delta
             matched = anchors[ok & ((cur - anchors) <= q.slop + (n - 1))]
-        else:  # unordered: window-cover with per-distinct-clause multiplicity
+        else:
+            # Unordered with arbitrary (possibly overlapping) OR-clause
+            # alternative sets. An anchor a (occurrence of a clause-0
+            # alternative) matches iff some window [p, p+W] with
+            # p in [a-W, a] admits a system of distinct representatives
+            # (one distinct position per clause, drawn from that clause's
+            # alternatives) that assigns a to clause 0. Positions are
+            # unique per doc, so forced-anchor SDR existence is exactly
+            # deficiency Hall over group-closed clause subsets S (groups =
+            # clauses with identical alternative sets, interchangeable
+            # neighborhoods): count of in-window occurrences of S's term
+            # union >= S's clause count, +1 for subsets NOT containing
+            # clause 0's group whose term union contains the anchor's term
+            # (the anchor position is spent on clause 0). Constraints
+            # decompose across term-disjoint subsets (counts are
+            # additive), so only subsets within one connected component of
+            # the group-overlap graph can bind. Disjoint-or-identical
+            # alternative sets — the common case — reduce to singleton
+            # subsets with no tightening (the round-3 fast path).
             W = np.int64(q.slop + (n - 1))
-            # group clauses by alternative SET (the query class guarantees
-            # pairwise disjoint-or-identical sets, so per-group counts are
-            # exactly Hall's condition)
-            dkeys: dict = {}  # frozenset(alternatives) -> (keys, multiplicity)
-            for a, ki in zip(alts, keys):
+            gsets: list[frozenset] = []
+            gmult: list[int] = []
+            gidx: dict = {}
+            for a in alts:
                 g = frozenset(a)
-                if g in dkeys:
-                    dkeys[g] = (dkeys[g][0], dkeys[g][1] + 1)
+                if g in gidx:
+                    gmult[gidx[g]] += 1
                 else:
-                    dkeys[g] = (ki, 1)
-            starts = (
-                anchors
-                if len(dkeys) == 1
-                else np.unique(np.concatenate([k for k, _ in dkeys.values()]))
-            )
+                    gidx[g] = len(gsets)
+                    gsets.append(g)
+                    gmult.append(1)
+            g0 = gidx[frozenset(alts[0])]
+            # per-distinct-term keys in the shared docs ordinal space
+            tkeys: dict[str, np.ndarray] = {}
+            for named in cl_named:
+                for t, p in named:
+                    if t in tkeys:
+                        continue
+                    m = _membership(docs, p["docs"]).astype(bool)
+                    if not m.any():
+                        tkeys[t] = np.empty(0, np.int64)
+                        continue
+                    sub = _doc_pos_keys(p, docs[m], BIG)
+                    full = np.flatnonzero(m)
+                    tkeys[t] = full[sub // BIG] * BIG + sub % BIG
+
+            _mcache: dict[frozenset, np.ndarray] = {}
+
+            def _merged(ts: frozenset) -> np.ndarray:
+                got = _mcache.get(ts)
+                if got is None:
+                    arrs = [tkeys[t] for t in ts if len(tkeys.get(t, ()))]
+                    # distinct terms never share a position, so the
+                    # concatenation has no duplicate keys
+                    got = (
+                        np.sort(np.concatenate(arrs))
+                        if arrs
+                        else np.empty(0, np.int64)
+                    )
+                    _mcache[ts] = got
+                return got
+
+            parent = list(range(len(gsets)))
+
+            def _find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i in range(len(gsets)):
+                for j in range(i + 1, len(gsets)):
+                    if gsets[i] & gsets[j]:
+                        parent[_find(i)] = _find(j)
+            comps: dict[int, list[int]] = {}
+            for i in range(len(gsets)):
+                comps.setdefault(_find(i), []).append(i)
+            # (in-window count source, demand, contains clause-0's group,
+            #  term union) per non-empty group-closed subset
+            constraints: list[tuple[np.ndarray, int, bool, frozenset]] = []
+            for comp in comps.values():
+                if len(comp) > 16:
+                    raise NotImplementedError(
+                        "unordered span_near: %d overlapping OR-clause "
+                        "groups need 2^%d Hall subsets"
+                        % (len(comp), len(comp))
+                    )
+                for mask in range(1, 1 << len(comp)):
+                    S = [
+                        comp[i] for i in range(len(comp)) if mask >> i & 1
+                    ]
+                    T = frozenset().union(*(gsets[g] for g in S))
+                    constraints.append(
+                        (_merged(T), sum(gmult[g] for g in S), g0 in S, T)
+                    )
+            starts = _merged(frozenset(tkeys))
             s_hi = np.minimum(starts + W, (starts // BIG) * BIG + BIG - 1)
-            valid = np.ones(len(starts), dtype=bool)
-            for ki, m in dkeys.values():
-                lo_i = np.searchsorted(ki, starts, side="left")
-                hi_i = np.searchsorted(ki, s_hi, side="right")
-                valid &= (hi_i - lo_i) >= m
-            vstarts = starts[valid]
-            lo_a = np.maximum(anchors - W, (anchors // BIG) * BIG)
-            l = np.searchsorted(vstarts, lo_a, side="left")
-            r = np.searchsorted(vstarts, anchors, side="right")
-            matched = anchors[r > l]
+            cnts = [
+                np.searchsorted(ks, s_hi, side="right")
+                - np.searchsorted(ks, starts, side="left")
+                for ks, _, _, _ in constraints
+            ]
+            base = np.ones(len(starts), dtype=bool)
+            for c, (_, dem, _, _) in zip(cnts, constraints):
+                base &= c >= dem
+            parts = []
+            for t in gsets[g0]:
+                a_t = tkeys.get(t)
+                if a_t is None or len(a_t) == 0:
+                    continue
+                valid = base
+                for c, (_, dem, has_g0, T) in zip(cnts, constraints):
+                    if not has_g0 and t in T:
+                        valid = valid & (c >= dem + 1)
+                vstarts = starts[valid]
+                lo_a = np.maximum(a_t - W, (a_t // BIG) * BIG)
+                l = np.searchsorted(vstarts, lo_a, side="left")
+                r = np.searchsorted(vstarts, a_t, side="right")
+                parts.append(a_t[r > l])
+            matched = (
+                np.concatenate(parts) if parts else np.empty(0, np.int64)
+            )
         if len(matched) == 0:
             return _Scored(np.empty(0, np.int64), np.empty(0))
         uo, freqs = np.unique(matched // BIG, return_counts=True)

@@ -1,8 +1,9 @@
 """SpanNearQuery / SpanFirstQuery vs the exhaustive oracle.
 
 The engine's ordered path is a greedy minimal-successor chain and its
-unordered path a fixed-width window cover with per-distinct-term
-multiplicity counts (searcher.py:_eval_span_near); the oracle here
+unordered path a fixed-width window cover with anchor-forced deficiency
+Hall counts over group-closed clause subsets — arbitrary, possibly
+overlapping OR-alternative sets (searcher.py:_eval_span_near); the oracle here
 enumerates every occurrence combination per anchor (naive_oracle.py) —
 agreement is evidence both reductions are sound.
 """
@@ -144,13 +145,11 @@ def test_span_near_missing_term_empty(built):
 def test_span_near_validation():
     with pytest.raises(ValueError):
         SpanNearQuery(("a", "b"), slop=-1)
-    # unordered OR-clauses: overlapping-but-not-identical sets raise
-    with pytest.raises(NotImplementedError):
-        SpanNearQuery((("a", "b"), "a"), slop=1, in_order=False)
-    with pytest.raises(NotImplementedError):
-        SpanNearQuery((("a", "b"), ("b", "c")), slop=1, in_order=False)
-    # ...but are fine ordered, and disjoint/identical are fine unordered
+    # arbitrary alternative sets are accepted in BOTH orders since the
+    # round-4 anchor-forced Hall matcher (overlapping ones used to raise)
     SpanNearQuery((("a", "b"), "a"), slop=1, in_order=True)
+    SpanNearQuery((("a", "b"), "a"), slop=1, in_order=False)
+    SpanNearQuery((("a", "b"), ("b", "c")), slop=1, in_order=False)
     SpanNearQuery((("a", "b"), ("c", "d")), slop=1, in_order=False)
     SpanNearQuery((("a", "b"), ("b", "a")), slop=1, in_order=False)
 
@@ -186,20 +185,54 @@ def test_span_near_random_dense_vocab(tmp_path):
         slop = rng.randint(0, 6)
         in_order = rng.random() < 0.5
         if rng.random() < 0.4:  # OR-clause mix
-            if in_order:  # arbitrary alternative sets allowed
+            if rng.random() < 0.5:  # arbitrary (overlapping) sets
                 terms = tuple(
-                    tuple(rng.sample(vocab, 2))
-                    if rng.random() < 0.5
+                    tuple(rng.sample(vocab, rng.randint(2, 3)))
+                    if rng.random() < 0.6
                     else rng.choice(vocab)
                     for _ in range(n)
                 )
-            else:  # disjoint-or-identical groups
+            else:  # disjoint-or-identical groups (the old fast shape)
                 terms = tuple(rng.choice(or_groups) for _ in range(n))
         else:
             terms = tuple(rng.choice(vocab) for _ in range(n))
         _assert_identical(
             s, oracle, SpanNearQuery(terms, slop=slop, in_order=in_order)
         )
+
+
+def test_span_unordered_overlapping_anchor_forced(tmp_path):
+    """Overlapping alternative sets: the anchor position is SPENT on
+    clause 0, so with clauses ({aa,bb}, {aa}) and a doc holding one aa
+    and one bb, the aa occurrence cannot anchor (clause 1 needs it) but
+    the bb occurrence can — freq 1, not 2. A doc with aa only (no bb)
+    must not match at all. Regression for the anchor-forced deficiency
+    Hall tightening (plain window counts would pass both anchors)."""
+    import pyarrow as pa
+
+    texts = ["aa bb", "aa cc", "aa aa cc", "bb cc"]
+    src = str(tmp_path / "ov.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}), src
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index([src], index_dir, CFG)
+    s = IndexSearcher(index_dir)
+    oracle = NaiveEngine(
+        texts,
+        StandardAnalyzer(stop_words=CFG.stop_set(), lowercase=CFG.lowercase),
+    )
+    q = SpanNearQuery((("aa", "bb"), "aa"), slop=3, in_order=False)
+    _assert_identical(s, oracle, q)
+    got = s._eval(q, 1.0, False)
+    # doc 0: bb anchors (aa spent on clause 1); doc 2: two aa's — one
+    # anchors, the other satisfies clause 1; docs 1 & 3: no distinct pair
+    assert got.docs.tolist() == [0, 2]
+    # three-way overlap through a middle group: ({aa,bb},{bb,cc},{cc,aa})
+    q3 = SpanNearQuery(
+        (("aa", "bb"), ("bb", "cc"), ("cc", "aa")), slop=5, in_order=False
+    )
+    _assert_identical(s, oracle, q3)
 
 
 def test_span_highlight_terms(built):
