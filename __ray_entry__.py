@@ -1331,10 +1331,30 @@ flat AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw),
 agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
                count(DISTINCT term)::BIGINT AS n_unique_terms,
                sum(CASE WHEN term IN ({qual_stops}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
-        FROM flat GROUP BY doc_id)
+        FROM flat GROUP BY doc_id),
+g2 AS (SELECT doc_id, lower(array_to_string(toks[i:i+1], ' ')) AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM raw)),
+g3 AS (SELECT doc_id, lower(array_to_string(toks[i:i+2], ' ')) AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM raw)),
+g5 AS (SELECT doc_id, lower(array_to_string(toks[i:i+4], ' ')) AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-3)) AS i FROM raw)),
+top2 AS (SELECT doc_id, max(c * gl)::BIGINT AS v FROM (
+           SELECT doc_id, count(*) AS c, length(gram) AS gl
+           FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id),
+top3 AS (SELECT doc_id, max(c * gl)::BIGINT AS v FROM (
+           SELECT doc_id, count(*) AS c, length(gram) AS gl
+           FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id),
+dup5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)::BIGINT AS v
+         FROM (SELECT doc_id, count(*) AS c, length(gram) AS gl
+               FROM g5 GROUP BY doc_id, gram) GROUP BY doc_id)
 SELECT r.doc_id, r.n_chars, a.n_tokens, a.n_unique_terms,
-       round(a.n_stop / a.n_tokens, 6) AS stopword_ratio
+       round(a.n_stop / a.n_tokens, 6) AS stopword_ratio,
+       coalesce(top2.v, 0)::BIGINT AS top2gram_chars,
+       coalesce(top3.v, 0)::BIGINT AS top3gram_chars,
+       coalesce(dup5.v, 0)::BIGINT AS dup5gram_chars
 FROM raw r JOIN agg a USING (doc_id)
+LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
 """,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv

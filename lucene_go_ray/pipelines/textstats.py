@@ -37,10 +37,62 @@ def token_counts(sf_dir: str, key: str = "doc_id", text: str = "text"):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _ngram_char_coverage(
+    flat: pa.Array, doc_of: np.ndarray, ndocs: int, n: int, mode: str
+) -> np.ndarray:
+    """Per-doc n-gram character-coverage counts over lowercased
+    whitespace tokens — the Gopher repetition-filter signals (Rae et
+    al. 2021, app. A1.1), kept as EXACT integer char counts so the SQL
+    oracle matches bit-for-bit (callers divide by n_chars for the
+    paper's fractions). A gram's coverage is count * len(gram string,
+    tokens joined by one space); overlapping occurrences are counted
+    independently (both sides of the gate use the same convention).
+
+    mode="top": max coverage over the doc's grams (the most-repeated
+    n-gram's share — no tie-break needed since the max is over the
+    product). mode="dup": summed coverage of grams occurring >= 2 times
+    (duplicate-n-gram share). Vectorized: one dictionary-encode + one
+    np.unique over packed (doc, gram) keys per batch — no per-doc loop."""
+    out = np.zeros(ndocs, dtype=np.int64)
+    L = len(flat)
+    if L < n:
+        return out
+    parts = [flat.slice(i, L - n + 1) for i in range(n)]
+    valid = doc_of[: L - n + 1] == doc_of[n - 1 :]
+    if not valid.any():
+        return out
+    gram = pc.binary_join_element_wise(
+        *parts, pa.scalar(" ", type=pa.large_string())
+    )
+    gram = gram.combine_chunks() if isinstance(gram, pa.ChunkedArray) else gram
+    gram = gram.filter(pa.array(valid))
+    gdoc = doc_of[: L - n + 1][valid].astype(np.int64)
+    denc = gram.dictionary_encode()
+    glen = (
+        pc.utf8_length(denc.dictionary)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    D = np.int64(len(denc.dictionary))
+    uk, cnt = np.unique(gdoc * D + codes, return_counts=True)
+    dk = (uk // D).astype(np.int64)
+    cov = cnt.astype(np.int64) * glen[(uk % D).astype(np.int64)]
+    if mode == "top":
+        np.maximum.at(out, dk, cov)
+    else:  # dup: grams appearing at least twice
+        m = cnt >= 2
+        np.add.at(out, dk[m], cov[m])
+    return out
+
+
 def text_quality(sf_dir: str, key: str = "doc_id", text: str = "text"):
     """Per-doc quality signals: (key, n_chars, n_tokens, n_unique_terms,
-    stopword_ratio) — the usual web-text quality filters (length, lexical
-    diversity, stopword density), all SQL-checkable."""
+    stopword_ratio, top2gram_chars, top3gram_chars, dup5gram_chars) —
+    the usual web-text quality filters (length, lexical diversity,
+    stopword density) plus the Gopher repetition filters (most-frequent
+    2-/3-gram char coverage, duplicated-5-gram char coverage; Rae et
+    al. 2021), all SQL-checkable."""
     import ray.data
 
     stop_arr = pa.array(_STOP_LIST, type=pa.large_string())
@@ -69,6 +121,7 @@ def text_quality(sf_dir: str, key: str = "doc_id", text: str = "text"):
             minlength=len(counts),
         )
         ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+        ndocs = len(counts)
         return pa.table(
             {
                 key: batch[key],
@@ -76,6 +129,15 @@ def text_quality(sf_dir: str, key: str = "doc_id", text: str = "text"):
                 "n_tokens": pa.array(n_tokens.astype(np.int64)),
                 "n_unique_terms": pa.array(n_uniq.astype(np.int64)),
                 "stopword_ratio": pa.array(np.round(ratio, 6)),
+                "top2gram_chars": pa.array(
+                    _ngram_char_coverage(flat, doc_of, ndocs, 2, "top")
+                ),
+                "top3gram_chars": pa.array(
+                    _ngram_char_coverage(flat, doc_of, ndocs, 3, "top")
+                ),
+                "dup5gram_chars": pa.array(
+                    _ngram_char_coverage(flat, doc_of, ndocs, 5, "dup")
+                ),
             }
         )
 

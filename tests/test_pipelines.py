@@ -329,3 +329,67 @@ def test_ivfpq_recall_at_sf01():
     # most of the exact set on this worst-case corpus
     recall_adc = ann.ivfpq_recall_at_k(sf, n_queries=10, k=10, rerank=False)
     assert recall_adc >= 0.5, recall_adc
+
+
+def _local_gopher(text: str):
+    """Brute-force Gopher repetition signals for one doc: most-frequent
+    2-/3-gram char coverage (count * gram char length, grams are
+    lowercased whitespace tokens joined by one space) and the summed
+    coverage of 5-grams occurring at least twice."""
+    from collections import Counter
+
+    toks = [t.lower() for t in re.split("[" + GO_WHITESPACE_CHARS + "]", text)]
+    out = []
+    for n, mode in ((2, "top"), (3, "top"), (5, "dup")):
+        c = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        if mode == "top":
+            out.append(max((k * len(g) for g, k in c.items()), default=0))
+        else:
+            out.append(sum(k * len(g) for g, k in c.items() if k >= 2))
+    return tuple(out)
+
+
+def test_text_quality_gopher_ngrams_match_bruteforce(sf_dir):
+    from lucene_go_ray.pipelines import textstats
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    got = textstats.text_quality(sf_dir).to_pandas().set_index("doc_id")
+    assert len(got) == len(texts)
+    for did, text in texts.items():
+        t2, t3, d5 = _local_gopher(text)
+        row = got.loc[did]
+        assert (row.top2gram_chars, row.top3gram_chars, row.dup5gram_chars) == (
+            t2,
+            t3,
+            d5,
+        ), did
+
+
+def test_ngram_char_coverage_edge_cases():
+    import pyarrow as pa
+
+    from lucene_go_ray.pipelines.textstats import _ngram_char_coverage
+
+    # doc 0: "x y x y" (top 2-gram "x y" covers 2*3=6); doc 1: single
+    # token (no 2-grams); doc 2: "a a a" (top "a a" = 2*3=6, overlapping
+    # occurrences counted independently). Boundary grams spanning docs
+    # must be excluded.
+    flat = pa.array(
+        ["x", "y", "x", "y", "z", "a", "a", "a"], type=pa.large_string()
+    )
+    doc_of = np.array([0, 0, 0, 0, 1, 2, 2, 2])
+    top2 = _ngram_char_coverage(flat, doc_of, 3, 2, "top")
+    assert top2.tolist() == [6, 0, 6]
+    # 5-gram dup on docs shorter than 5 tokens -> all zero
+    dup5 = _ngram_char_coverage(flat, doc_of, 3, 5, "dup")
+    assert dup5.tolist() == [0, 0, 0]
+    # empty-token convention: "b  b" splits to ["b", "", "b"]; 2-grams
+    # "b " and " b" (len 2) each occur once -> top coverage 2
+    flat2 = pa.array(["b", "", "b"], type=pa.large_string())
+    top2b = _ngram_char_coverage(flat2, np.zeros(3, dtype=np.int64), 1, 2, "top")
+    assert top2b.tolist() == [2]
