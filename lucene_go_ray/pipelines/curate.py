@@ -33,9 +33,13 @@ def _quality_filter_batch(
     min_tokens: int,
     max_stopword_ratio: float,
     stop_list: tuple,
+    max_top2gram_frac: float | None = None,
+    max_top3gram_frac: float | None = None,
+    max_dup5gram_frac: float | None = None,
 ) -> pa.Table:
     """(doc_id, text, content_hash) for docs passing the quality gates."""
     from ..analysis import GO_WHITESPACE_CLASS
+    from .textstats import _ngram_char_coverage
 
     s = batch["text"].cast(pa.large_string())
     n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False)
@@ -44,6 +48,8 @@ def _quality_filter_batch(
         toks = toks.combine_chunks()
     counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
     flat = pc.utf8_lower(pc.list_flatten(toks))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     doc_of = np.repeat(np.arange(len(counts)), counts)
     is_stop = pc.is_in(
         flat, value_set=pa.array(list(stop_list), type=pa.large_string())
@@ -56,6 +62,17 @@ def _quality_filter_batch(
         & (counts >= min_tokens)
         & (np.round(ratio, 6) <= max_stopword_ratio)
     )
+    # Gopher repetition gates (Rae et al. 2021 app. A1.1), as fractions
+    # of n_chars; same rounding discipline as the stopword gate
+    for thr, n, mode in (
+        (max_top2gram_frac, 2, "top"),
+        (max_top3gram_frac, 3, "top"),
+        (max_dup5gram_frac, 5, "dup"),
+    ):
+        if thr is not None:
+            cov = _ngram_char_coverage(flat, doc_of, len(counts), n, mode)
+            frac = cov / np.maximum(n_chars, 1)
+            keep &= np.round(frac, 6) <= thr
     kept = batch.filter(pa.array(keep))
     # content hash over kept docs only (the dedup key; exact_dedup_hashed
     # semantics: order-sensitive fold of token hashes)
@@ -81,12 +98,20 @@ def curate(
     max_chars: int = 1_000_000,
     min_tokens: int = 10,
     max_stopword_ratio: float = 0.6,
+    max_top2gram_frac: float | None = None,
+    max_top3gram_frac: float | None = None,
+    max_dup5gram_frac: float | None = None,
     out_partitions: int = 64,
 ):
     """Surviving doc_ids after quality filters + exact dedup (keep the
     smallest doc_id per content hash). With ``out_dir``, also writes the
     curated corpus as partitioned parquet and still returns the survivor
     Dataset.
+
+    The ``max_*gram_frac`` knobs (off by default) add the Gopher
+    repetition gates (Rae et al. 2021): drop docs whose most-frequent
+    2-/3-gram or duplicated-5-gram char coverage exceeds the given
+    fraction of n_chars (paper defaults: 0.20 / 0.18 / 0.10).
 
     The write path is a BROADCAST semi-join, never a shuffle join of the
     full corpus: quality gates are pure per-batch functions, so the
@@ -106,15 +131,19 @@ def curate(
     stops = IndexConfig().stop_words
     path = os.path.join(sf_dir, "documents.parquet")
 
+    gates = dict(
+        min_chars=min_chars,
+        max_chars=max_chars,
+        min_tokens=min_tokens,
+        max_stopword_ratio=max_stopword_ratio,
+        stop_list=stops,
+        max_top2gram_frac=max_top2gram_frac,
+        max_top3gram_frac=max_top3gram_frac,
+        max_dup5gram_frac=max_dup5gram_frac,
+    )
+
     def _f(batch: pa.Table) -> pa.Table:
-        return _quality_filter_batch(
-            batch,
-            min_chars=min_chars,
-            max_chars=max_chars,
-            min_tokens=min_tokens,
-            max_stopword_ratio=max_stopword_ratio,
-            stop_list=stops,
-        )
+        return _quality_filter_batch(batch, **gates)
 
     hashed = ray.data.read_parquet(
         path, columns=["doc_id", "text"]
@@ -165,14 +194,7 @@ def curate(
 
     def _write_filter(batch: pa.Table) -> pa.Table:
         drop = ray.get(losers_ref)  # zero-copy object-store read
-        kept = _quality_filter_batch(
-            batch,
-            min_chars=min_chars,
-            max_chars=max_chars,
-            min_tokens=min_tokens,
-            max_stopword_ratio=max_stopword_ratio,
-            stop_list=stops,
-        )
+        kept = _quality_filter_batch(batch, **gates)
         ids = kept["doc_id"].to_numpy(zero_copy_only=False)
         # sorted-array membership: idx bounds differ exactly for present ids
         a = np.searchsorted(drop, ids, side="left")

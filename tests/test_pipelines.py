@@ -393,3 +393,39 @@ def test_ngram_char_coverage_edge_cases():
     flat2 = pa.array(["b", "", "b"], type=pa.large_string())
     top2b = _ngram_char_coverage(flat2, np.zeros(3, dtype=np.int64), 1, 2, "top")
     assert top2b.tolist() == [2]
+
+
+def test_curate_repetition_gates_match_bruteforce(sf_dir):
+    """curate's optional Gopher repetition thresholds drop exactly the
+    docs a local recompute drops (threshold picked at the corpus median
+    so the gate provably both keeps and drops)."""
+    from lucene_go_ray.index.config import IndexConfig
+    from lucene_go_ray.pipelines import curate
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    stops = set(IndexConfig().stop_words)
+
+    def base_ok(t):
+        toks = re.split("[" + GO_WHITESPACE_CHARS + "]", t)
+        low = [x.lower() for x in toks]
+        ratio = round(sum(1 for x in low if x in stops) / max(len(toks), 1), 6)
+        return 50 <= len(t) <= 10**6 and len(toks) >= 10 and ratio <= 0.6
+
+    fracs = {
+        int(i): round(_local_gopher(t)[0] / max(len(t), 1), 6)
+        for i, t in zip(docs["doc_id"], docs["text"])
+    }
+    thr = float(np.median(list(fracs.values())))
+    survivors = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        if base_ok(t) and fracs[int(i)] <= thr:
+            survivors.setdefault(t, int(i))
+    expected = sorted(survivors.values())
+    got = curate.curate(sf_dir, max_top2gram_frac=thr).to_pandas()
+    got_ids = sorted(got["doc_id"].astype(int).tolist())
+    assert got_ids == expected
+    # the gate is non-vacuous: strictly fewer survivors than without it
+    plain = curate.curate(sf_dir).to_pandas()
+    assert len(got_ids) < len(plain)
