@@ -1016,3 +1016,283 @@ def dedup_cleaned_tokens(
         .groupby("cbucket")
         .map_groups(_combine, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------
+# near-duplicate clustering: connected components over the pair graph
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges,
+    *,
+    num_buckets: int = 64,
+    max_rounds: int = 30,
+):
+    """Connected components of an undirected pair graph — the step a real
+    dedup pipeline runs AFTER pair generation (LSH / Jaccard / SimHash
+    emit near-dup PAIRS; keeping one doc per duplicate CLUSTER requires
+    the transitive closure).
+
+    Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — converges in O(log n) rounds, each round is
+    ONE hash-bucketed exchange over the current edge set:
+
+      Large-Star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      Small-Star(u): m = min({v ∈ N(u): v < u} ∪ {u});
+                     emit (x, m) for x ∈ {v < u} ∪ {u}, x ≠ m
+      (for both stars m = min(first-sorted-neighbour, u) — the global
+      neighbourhood min — because if the min neighbour exceeds u neither
+      star has a smaller attachment than u itself)
+
+    Scale shape: the edge set is the PAIR graph (post-LSH, orders of
+    magnitude smaller than the corpus), every round's kernel is one numpy
+    lexsort + run-length pass per bucket, and each round materializes only
+    the edge Dataset (never documents). Convergence is detected by an
+    order-insensitive 64-bit signature of the edge multiset (count +
+    wrapped hash-sum); the converged state is a star forest, which both
+    operators map to itself.
+
+    ``edges``: Dataset with int64 columns ``a``/``b`` (a != b).
+    Returns a Dataset of (doc_id, cluster_id) for every vertex, where
+    cluster_id = the component's minimum doc_id (roots map to themselves).
+    """
+    import ray.data
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        bkt = (
+            _mix(u.astype(np.uint64), np.uint64(17)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table({"u": u, "v": v, "cc_bucket": bkt})
+
+    _EMPTY_EDGES = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def _neighborhoods(group: pa.Table):
+        """Bucket rows -> (deduped u-sorted (u, v), run starts, run heads,
+        per-run neighbourhood min m)."""
+        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.empty(len(u), dtype=bool)
+        keep[:1] = True
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keep], v[keep]
+        new = np.empty(len(u), dtype=bool)
+        new[:1] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        heads = u[starts]
+        m = np.minimum(heads, v[starts])  # v sorted asc within each run
+        sizes = np.diff(np.append(starts, len(u)))
+        return u, v, heads, m, sizes
+
+    def _large_star(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_EDGES
+        u, v, heads, m, sizes = _neighborhoods(group)
+        head_of = np.repeat(heads, sizes)
+        m_of = np.repeat(m, sizes)
+        sel = v > head_of
+        return pa.table({"a": pa.array(v[sel]), "b": pa.array(m_of[sel])})
+
+    def _small_star(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_EDGES
+        u, v, heads, m, sizes = _neighborhoods(group)
+        head_of = np.repeat(heads, sizes)
+        m_of = np.repeat(m, sizes)
+        sel = (v < head_of) & (v != m_of)  # smaller neighbours, minus m
+        ea = np.concatenate([v[sel], heads])
+        eb = np.concatenate([m_of[sel], m])
+        ok = ea != eb  # drop the root's self-loop (heads == m there)
+        return pa.table({"a": pa.array(ea[ok]), "b": pa.array(eb[ok])})
+
+    def _round(ds, star_fn):
+        return (
+            ds.map_batches(_expand, batch_format="pyarrow")
+            .groupby("cc_bucket")
+            .map_groups(star_fn, batch_format="pyarrow")
+        )
+
+    def _signature(ds) -> tuple:
+        """(edge count, wrapped hash-sum) — order-insensitive multiset id."""
+        def _sig(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = _mix(a * np.uint64(0x9E3779B97F4A7C15) ^ b, np.uint64(23))
+                s = np.uint64(h.sum(dtype=np.uint64)) if len(h) else np.uint64(0)
+            return pa.table(
+                {
+                    "cnt": pa.array([len(a)], pa.int64()),
+                    "sig": pa.array([np.int64(s.astype(np.int64))], pa.int64()),
+                }
+            )
+
+        cnt, sig = 0, np.uint64(0)
+        for row in ds.map_batches(_sig, batch_format="pyarrow").take_all():
+            cnt += row["cnt"]
+            with np.errstate(over="ignore"):
+                sig = sig + np.uint64(np.int64(row["sig"]).astype(np.uint64))
+        return cnt, int(sig)
+
+    ds = edges.select_columns(["a", "b"]).materialize()
+    prev = _signature(ds)
+    if prev[0] == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+    for _ in range(max_rounds):
+        ds = _round(ds, _large_star).materialize()
+        ds = _round(ds, _small_star).materialize()
+        cur = _signature(ds)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    def _labels(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        u, v, heads, m, sizes = _neighborhoods(group)
+        return pa.table({"doc_id": pa.array(heads), "cluster_id": pa.array(m)})
+
+    return (
+        ds.map_batches(_expand, batch_format="pyarrow")
+        .groupby("cc_bucket")
+        .map_groups(_labels, batch_format="pyarrow")
+    )
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+):
+    """Near-duplicate CLUSTERS: exact k-gram Jaccard pairs (the SQL-checked
+    ``jaccard_ngram_pairs`` definition) -> connected components. Returns
+    (doc_id, cluster_id) for every doc that appears in at least one pair;
+    the keep-one-per-cluster policy is ``doc_id == cluster_id``."""
+    pairs = jaccard_ngram_pairs(
+        sf_dir, key=key, text=text, k=k, threshold=threshold,
+        pair_buckets=num_buckets,
+    )
+    return connected_components(
+        pairs.select_columns(["a", "b"]), num_buckets=num_buckets
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (cross-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    sf_dir: str,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    L: int = 8,
+    bench_mod: int = 7,
+):
+    """Benchmark decontamination: flag training documents that share any
+    verbatim L-token gram with an evaluation set (the n-gram overlap
+    filter of Brown et al. 2020 appendix C / Rae et al. 2021 — standard
+    practice before training on web text). The eval set here is the docs
+    with ``key % bench_mod == 0``, a deterministic stand-in for an
+    external benchmark table (swap the predicate for a real one).
+
+    Returns (doc_id, shared_grams) for contaminated TRAIN docs only,
+    where shared_grams counts the doc's DISTINCT grams that appear
+    anywhere in the eval set.
+
+    Scale shape: the eval side is benchmark-sized — tiny against the
+    corpus — so its distinct gram hashes are reduced per batch, pulled
+    once, and broadcast via ``ray.put``; the corpus pass is then MAP-ONLY
+    (one vectorized searchsorted per batch). Zero shuffles, and the
+    corpus' text bytes never leave the read stage. Grams are 64-bit FNV
+    window hashes (dup_spans machinery); the SQL oracle groups the gram
+    STRING, so a hash collision would fail the gate."""
+    import os
+
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _doc_distinct_grams(batch: pa.Table):
+        """(flat distinct-gram hashes, per-doc counts, doc ids)."""
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_h, counts = _token_hashes(batch[text])
+        sh, sh_counts = _exact_shingle_hashes(tok_h, counts, L)
+        doc_of = np.repeat(np.arange(len(counts)), sh_counts)
+        order = np.lexsort((sh, doc_of))
+        sh, doc_of = sh[order], doc_of[order]
+        if len(sh):
+            head = np.empty(len(sh), dtype=bool)
+            head[0] = True
+            head[1:] = (doc_of[1:] != doc_of[:-1]) | (sh[1:] != sh[:-1])
+            sh, doc_of = sh[head], doc_of[head]
+        return sh, doc_of, ids
+
+    def _eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch[key].to_numpy(zero_copy_only=False)
+        ev = batch.filter(pa.array(ids % bench_mod == 0))
+        sh, _, _ = _doc_distinct_grams(ev)
+        return pa.table({"g": pa.array(np.unique(sh).astype(np.int64))})
+
+    ev_ds = ray.data.read_parquet(path, columns=[key, text]).map_batches(
+        _eval_grams, batch_format="pyarrow"
+    )
+    ev = np.unique(
+        np.concatenate(
+            [
+                b["g"].to_numpy(zero_copy_only=False)
+                for b in ev_ds.iter_batches(batch_format="pyarrow")
+            ]
+            + [np.empty(0, np.int64)]
+        ).astype(np.uint64)
+    )
+    ev_ref = ray.put(ev)
+
+    def _count_shared(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ev_ref)  # zero-copy object-store read
+        ids_all = batch[key].to_numpy(zero_copy_only=False)
+        train = batch.filter(pa.array(ids_all % bench_mod != 0))
+        sh, doc_of, ids = _doc_distinct_grams(train)
+        lo = np.searchsorted(grams, sh, side="left")
+        hi = np.searchsorted(grams, sh, side="right")
+        hit = hi > lo
+        shared = np.bincount(doc_of[hit], minlength=len(ids)).astype(np.int64)
+        flagged = shared > 0
+        return pa.table(
+            {
+                key: pa.array(ids[flagged]),
+                "shared_grams": pa.array(shared[flagged]),
+            }
+        )
+
+    return ray.data.read_parquet(path, columns=[key, text]).map_batches(
+        _count_shared, batch_format="pyarrow"
+    )

@@ -1,0 +1,155 @@
+"""Round-4 curation additions: connected-components clustering,
+benchmark decontamination, stratified hash sampling, sequence packing.
+Each is checked against an independent brute-force oracle (union-find /
+Python sets / row-at-a-time recompute) — the non-SQL analogue of the
+DuckDB value-hash gate, which covers the same operators at sf0.01."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_go_ray.analysis import GO_WHITESPACE_CHARS
+from lucene_go_ray.pipelines import dedup, pack, sampling
+
+_SPLIT = "[" + GO_WHITESPACE_CHARS + "]"
+
+
+def _union_find_clusters(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {u: find(u) for u in parent}
+
+
+def _cc_of(edges: list[tuple[int, int]]) -> dict[int, int]:
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    out = dedup.connected_components(ds, num_buckets=8).to_pandas()
+    if out.empty:
+        return {}
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def test_connected_components_random_graph():
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 200, size=(300, 2))
+        if a != b
+    ]
+    assert _cc_of(edges) == _union_find_clusters(edges)
+
+
+def test_connected_components_path_graph_multi_round():
+    # a 64-node path has diameter 63: forces several star rounds
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_of(edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_empty():
+    got = _cc_of([])
+    assert got == {}
+
+
+def test_near_dup_clusters_vs_union_find(sf_dir):
+    pairs = dedup.jaccard_ngram_pairs(sf_dir, threshold=0.5).to_pandas()
+    edges = list(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    expect = _union_find_clusters(edges)
+    got = dedup.near_dup_clusters(sf_dir, threshold=0.5).to_pandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == expect
+
+
+def test_decontaminate_brute_force(sf_dir):
+    L, mod = 8, 7
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    grams: dict[int, set] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = [x.lower() for x in re.split(_SPLIT, text)]
+        grams[did] = {
+            tuple(toks[i : i + L]) for i in range(len(toks) - L + 1)
+        }
+    ev = set().union(*(g for d, g in grams.items() if d % mod == 0))
+    expect = {
+        d: len(g & ev)
+        for d, g in grams.items()
+        if d % mod != 0 and g & ev
+    }
+    got = dedup.decontaminate(sf_dir, L=L, bench_mod=mod).to_pandas()
+    assert dict(zip(got["doc_id"], got["shared_grams"])) == expect
+
+
+def test_stratified_sample_rule_and_determinism(sf_dir):
+    rates, default_rate, seed, mod = {"en": 0.5, "fr": 0.3}, 0.1, 13, 10000
+    got = sampling.stratified_sample(
+        sf_dir, rates=rates, default_rate=default_rate, seed=seed, mod=mod
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    again = sampling.stratified_sample(
+        sf_dir, rates=rates, default_rate=default_rate, seed=seed, mod=mod
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(again)  # deterministic across runs
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    expect = []
+    for did, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+        hv = int(
+            dedup._mix(np.array([did], np.uint64), np.uint64(seed))[0]
+        ) % mod
+        if hv < round(rates.get(lang, default_rate) * mod):
+            expect.append((did, lang))
+    assert list(zip(got["doc_id"], got["lang"])) == expect
+    # a kept doc for every configured stratum at these rates
+    assert set(got["lang"]) >= set(rates)
+
+
+def test_pack_sequences_offsets_and_chunking(sf_dir):
+    one = pack.pack_sequences(sf_dir, capacity=512).to_pandas()
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    # multi-chunk planning must agree with the single-chunk result
+    many = pack.pack_sequences(
+        sf_dir, capacity=512, chunk_rows=37
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
+    off = one["offset"].to_numpy()
+    n = one["n_tokens"].to_numpy()
+    assert off[0] == 0
+    assert np.array_equal(off[1:], off[:-1] + n[:-1])  # contiguous stream
+    assert np.array_equal(one["pack_id"].to_numpy(), off // 512)
+    assert one["pack_id"].iloc[-1] > 0  # multiple contexts at this sf
+
+
+def test_pack_sequences_unsorted_raises(tmp_path):
+    p = tmp_path / "docs"
+    p.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [3, 1, 2], "text": ["a b", "c", "d e f"]}),
+        p / "documents.parquet",
+    )
+    with pytest.raises(Exception, match="doc_id-sorted"):
+        pack.pack_sequences(str(p), capacity=8).to_pandas()
