@@ -258,9 +258,24 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "ann_ivfpq_build_probe",
         lambda: ann.ivfpq_topk(sf_dir, k=10),
     )
-    from lucene_go_ray.pipelines import curate
+    from lucene_go_ray.pipelines import curate, pack, sampling
 
     timed("curate", lambda: curate.curate(sf_dir).count())
+    # round-4 curation additions: pair-graph clustering (jaccard pairs +
+    # connected components), decontamination, sampling, sequence packing
+    timed(
+        "near_dup_clusters",
+        lambda: dedup.near_dup_clusters(sf_dir, threshold=0.5).count(),
+    )
+    timed("decontaminate", lambda: dedup.decontaminate(sf_dir).count())
+    timed(
+        "stratified_sample",
+        lambda: sampling.stratified_sample(sf_dir).count(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: pack.pack_sequences(sf_dir, capacity=2048).count(),
+    )
 
     total = round(sum(results.values()), 3)
     out = {

@@ -1028,6 +1028,7 @@ def connected_components(
     *,
     num_buckets: int = 64,
     max_rounds: int = 30,
+    local_edges_threshold: int = 2_000_000,
 ):
     """Connected components of an undirected pair graph — the step a real
     dedup pipeline runs AFTER pair generation (LSH / Jaccard / SimHash
@@ -1053,6 +1054,13 @@ def connected_components(
     order-insensitive 64-bit signature of the edge multiset (count +
     wrapped hash-sum); the converged state is a star forest, which both
     operators map to itself.
+
+    Graphs whose edge count fits one worker (``local_edges_threshold``,
+    known after the first materialize) skip the rounds entirely: a single
+    task runs vectorized min-label propagation with pointer jumping over
+    the whole edge set — the standard "finish locally when small" cut-off
+    (most post-LSH pair graphs end here; the star rounds are the path for
+    the ones that don't).
 
     ``edges``: Dataset with int64 columns ``a``/``b`` (a != b).
     Returns a Dataset of (doc_id, cluster_id) for every vertex, where
@@ -1152,6 +1160,30 @@ def connected_components(
                 {"doc_id": pa.array([], pa.int64()),
                  "cluster_id": pa.array([], pa.int64())}
             )
+        )
+    if prev[0] <= local_edges_threshold:
+        def _local_cc(tab: pa.Table) -> pa.Table:
+            a = tab["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = tab["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a):]
+            lab = np.arange(len(nodes), dtype=np.int64)
+            for _ in range(max_rounds * 4):
+                nxt = lab.copy()
+                np.minimum.at(nxt, ea, lab[eb])
+                np.minimum.at(nxt, eb, lab[ea])
+                nxt = nxt[nxt]  # pointer jumping halves tree depth
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            else:
+                raise RuntimeError("local connected components did not converge")
+            return pa.table(
+                {"doc_id": pa.array(nodes), "cluster_id": pa.array(nodes[lab])}
+            )
+
+        return ds.repartition(1).map_batches(
+            _local_cc, batch_format="pyarrow", batch_size=None
         )
     for _ in range(max_rounds):
         ds = _round(ds, _large_star).materialize()

@@ -36,7 +36,9 @@ def _union_find_clusters(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {u: find(u) for u in parent}
 
 
-def _cc_of(edges: list[tuple[int, int]]) -> dict[int, int]:
+def _cc_of(
+    edges: list[tuple[int, int]], local_threshold: int = 2_000_000
+) -> dict[int, int]:
     import ray.data
 
     ds = ray.data.from_arrow(
@@ -47,26 +49,33 @@ def _cc_of(edges: list[tuple[int, int]]) -> dict[int, int]:
             }
         )
     )
-    out = dedup.connected_components(ds, num_buckets=8).to_pandas()
+    out = dedup.connected_components(
+        ds, num_buckets=8, local_edges_threshold=local_threshold
+    ).to_pandas()
     if out.empty:
         return {}
     return dict(zip(out["doc_id"], out["cluster_id"]))
 
 
-def test_connected_components_random_graph():
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
+def test_connected_components_random_graph(local_threshold):
+    # threshold 0 forces the distributed star rounds; the default takes
+    # the single-task label-propagation fast path — both must agree with
+    # union-find
     rng = np.random.default_rng(7)
     edges = [
         (int(a), int(b))
         for a, b in rng.integers(0, 200, size=(300, 2))
         if a != b
     ]
-    assert _cc_of(edges) == _union_find_clusters(edges)
+    assert _cc_of(edges, local_threshold) == _union_find_clusters(edges)
 
 
-def test_connected_components_path_graph_multi_round():
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
+def test_connected_components_path_graph_multi_round(local_threshold):
     # a 64-node path has diameter 63: forces several star rounds
     edges = [(i, i + 1) for i in range(63)]
-    got = _cc_of(edges)
+    got = _cc_of(edges, local_threshold)
     assert got == {i: 0 for i in range(64)}
 
 
