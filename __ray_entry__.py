@@ -642,6 +642,28 @@ FROM t ORDER BY doc_id
 """
 
 
+_CURATED_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+         string_split_regex(text, '{_WS}') AS toks
+  FROM documents
+),
+flat AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ({_STOPS}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+  FROM flat GROUP BY doc_id
+),
+q AS (
+  SELECT r.doc_id, r.text
+  FROM raw r JOIN agg a USING (doc_id)
+  WHERE r.n_chars BETWEEN 50 AND 1000000
+    AND a.n_tokens >= 10
+    AND round(a.n_stop / a.n_tokens, 6) <= 0.6
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM q GROUP BY text
+"""
+
 _EMB_NEAR_DUP_SQL = """
 WITH n AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
@@ -762,6 +784,12 @@ def _curated_ids(sf):
     from lucene_go_ray.pipelines import curate
 
     return curate.curate(sf)
+
+
+def _curated_near_dup(sf):
+    from lucene_go_ray.pipelines import curate
+
+    return curate.curate(sf, near_dup_threshold=_CC_THRESHOLD)
 
 
 def _points_kd_box(sf):
@@ -1069,8 +1097,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, min_tokens=8
         ),
         "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.4),
-        # --- end-to-end curation (filters -> dedup -> survivors) ---
-        "curated_ids": _curated_ids,
+        # --- end-to-end curation (filters -> dedup -> survivors; the
+        #     near_dup variant adds cluster-loser removal) ---
+        "curated_ids_suite": _suite(
+            {"basic": _curated_ids, "near_dup": _curated_near_dup}
+        ),
         # --- text analysis ---
         "token_counts_suite": _suite(
             {
@@ -1468,27 +1499,25 @@ FROM documents
 """,
             }
         ),
-        "curated_ids": f"""
-WITH raw AS (
-  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
-         string_split_regex(text, '{_WS}') AS toks
-  FROM documents
+        "curated_ids_suite": _suite_sql(
+            {
+                "basic": _CURATED_SQL,
+                "near_dup": f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({_JACCARD_SQL})),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
 ),
-flat AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw),
-agg AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         sum(CASE WHEN term IN ({qual_stops}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
-  FROM flat GROUP BY doc_id
-),
-q AS (
-  SELECT r.doc_id, r.text
-  FROM raw r JOIN agg a USING (doc_id)
-  WHERE r.n_chars BETWEEN 50 AND 1000000
-    AND a.n_tokens >= 10
-    AND round(a.n_stop / a.n_tokens, 6) <= 0.6
+nd_losers AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) != u
 )
-SELECT min(doc_id)::BIGINT AS doc_id FROM q GROUP BY text
+SELECT doc_id FROM ({_CURATED_SQL})
+WHERE doc_id NOT IN (SELECT doc_id FROM nd_losers)
 """,
+            }
+        ),
         "text_quality": f"""
 WITH raw AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
                     string_split_regex(text, '{_WS}') AS toks FROM documents),

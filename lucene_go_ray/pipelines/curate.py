@@ -101,6 +101,8 @@ def curate(
     max_top2gram_frac: float | None = None,
     max_top3gram_frac: float | None = None,
     max_dup5gram_frac: float | None = None,
+    near_dup_threshold: float | None = None,
+    near_dup_k: int = 3,
     out_partitions: int = 64,
 ):
     """Surviving doc_ids after quality filters + exact dedup (keep the
@@ -112,6 +114,15 @@ def curate(
     repetition gates (Rae et al. 2021): drop docs whose most-frequent
     2-/3-gram or duplicated-5-gram char coverage exceeds the given
     fraction of n_chars (paper defaults: 0.20 / 0.18 / 0.10).
+
+    ``near_dup_threshold`` (off by default) adds NEAR-duplicate removal
+    on top of the exact dedup: jaccard k-gram pairs -> connected
+    components (dedup.near_dup_clusters); every cluster member except
+    the min-doc_id representative is dropped. Clusters are a property of
+    the TEXT — computed over the full corpus, so duplicated content is
+    removed even when its canonical copy was itself quality-rejected.
+    The cluster loser ids are pair-graph-sized (tiny), broadcast like
+    the exact-dup loser set; the survivor filter stays map-only.
 
     The write path is a BROADCAST semi-join, never a shuffle join of the
     full corpus: quality gates are pure per-batch functions, so the
@@ -145,15 +156,58 @@ def curate(
     def _f(batch: pa.Table) -> pa.Table:
         return _quality_filter_batch(batch, **gates)
 
+    # near-dup cluster losers (doc_id != cluster representative): a
+    # pair-graph-sized id set, collected once and merged into the same
+    # broadcast/membership machinery as the exact-dup losers
+    nd_losers = np.empty(0, dtype=np.int64)
+    if near_dup_threshold is not None:
+        from .dedup import near_dup_clusters
+
+        cc = near_dup_clusters(
+            sf_dir, threshold=near_dup_threshold, k=near_dup_k
+        )
+
+        def _nd_losers(batch: pa.Table) -> pa.Table:
+            keep = pc.not_equal(
+                batch["doc_id"].combine_chunks(),
+                batch["cluster_id"].combine_chunks(),
+            )
+            return batch.filter(keep).select(["doc_id"])
+
+        nd_losers = np.sort(
+            np.concatenate(
+                [
+                    b["doc_id"].to_numpy(zero_copy_only=False)
+                    for b in cc.map_batches(
+                        _nd_losers, batch_format="pyarrow"
+                    ).iter_batches(batch_format="pyarrow")
+                ]
+                + [np.empty(0, np.int64)]
+            )
+        )
+
+    def _drop_members(ds, drop_ref):
+        def _filter(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(drop, ids, side="left")
+            hi = np.searchsorted(drop, ids, side="right")
+            return batch.filter(pa.array(lo == hi))
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+
     hashed = ray.data.read_parquet(
         path, columns=["doc_id", "text"]
     ).map_batches(_f, batch_format="pyarrow")
     if out_dir is None:
-        return (
+        surv = (
             hashed.groupby("content_hash")
             .aggregate(Min("doc_id", alias_name="doc_id"))
             .select_columns(["doc_id"])
         )
+        if near_dup_threshold is None:
+            return surv
+        return _drop_members(surv, ray.put(nd_losers))
 
     # one (hash, id) exchange produces BOTH outputs: per-group survivor
     # (min doc_id) and the loser ids
@@ -179,7 +233,7 @@ def curate(
             ["doc_id"]
         )
 
-    losers = np.sort(
+    losers = np.unique(
         np.concatenate(
             [
                 b["doc_id"].to_numpy(zero_copy_only=False)
@@ -187,7 +241,7 @@ def curate(
                     _losers_only, batch_format="pyarrow"
                 ).iter_batches(batch_format="pyarrow")
             ]
-            + [np.empty(0, np.int64)]
+            + [np.empty(0, np.int64), nd_losers]
         )
     )
     losers_ref = ray.put(losers)
@@ -212,4 +266,7 @@ def curate(
         keep = pc.invert(batch["is_loser"].combine_chunks())
         return batch.filter(keep).select(["doc_id"])
 
-    return marked.map_batches(_survivors_only, batch_format="pyarrow")
+    surv = marked.map_batches(_survivors_only, batch_format="pyarrow")
+    if near_dup_threshold is None:
+        return surv
+    return _drop_members(surv, ray.put(nd_losers))

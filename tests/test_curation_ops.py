@@ -162,3 +162,40 @@ def test_pack_sequences_unsorted_raises(tmp_path):
     )
     with pytest.raises(Exception, match="doc_id-sorted"):
         pack.pack_sequences(str(p), capacity=8).to_pandas()
+
+
+def test_curate_near_dup_variant(sf_dir, tmp_path):
+    """curate(near_dup_threshold=...) = basic survivors minus the
+    non-representative members of the jaccard connected components; the
+    out_dir write path drops the same docs."""
+    from lucene_go_ray.pipelines import curate
+
+    basic = set(curate.curate(sf_dir).to_pandas()["doc_id"].astype(int))
+    cc = dedup.near_dup_clusters(sf_dir, threshold=0.5).to_pandas()
+    losers = set(
+        cc.loc[cc["doc_id"] != cc["cluster_id"], "doc_id"].astype(int)
+    )
+    assert losers  # the synthetic corpus has near-dup clusters
+    expect = basic - losers
+    got = set(
+        curate.curate(sf_dir, near_dup_threshold=0.5)
+        .to_pandas()["doc_id"]
+        .astype(int)
+    )
+    assert got == expect
+    out = str(tmp_path / "curated_nd")
+    got_w = set(
+        curate.curate(sf_dir, out, near_dup_threshold=0.5)
+        .to_pandas()["doc_id"]
+        .astype(int)
+    )
+    assert got_w == expect
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as _pds
+
+    written = set(
+        _pds.dataset(out, format="parquet", partitioning="hive")
+        .to_table(columns=["doc_id"])["doc_id"]
+        .to_pylist()
+    )
+    assert written == expect
