@@ -755,6 +755,8 @@ _SAMPLE_RATES = {"en": 0.5, "fr": 0.3, "de": 0.2}
 _SAMPLE_DEFAULT, _SAMPLE_SEED, _SAMPLE_MOD = 0.1, 13, 10000
 # sequence packing: fixed-capacity context assignment by token prefix sum
 _PACK_CAPACITY = 512
+# global top-k frequent n-grams (pre-combined wide aggregation)
+_TOPGRAM_N, _TOPGRAM_K = 3, 100
 
 
 def entry() -> Any:
@@ -875,6 +877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "stratified_sample": lambda sf: _stratified_sample(sf),
         "pack_sequences": lambda sf: _pack_sequences(sf),
+        "top_ngrams": lambda sf: textstats.top_ngrams(
+            sf, n=_TOPGRAM_N, k=_TOPGRAM_K
+        ),
         # --- round-4 surfaces + entries the r3 window dropped ---
         "points_kd_box": _points_kd_box,
         "topk_span_suite": _suite(
@@ -1023,11 +1028,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "sorted_topn_norms": lambda sf: fulltext.sorted_topn_norms(sf, 20),
         # --- multi-field (keyword fields), doc-values, deletes ---
-        "topk_field_term": lambda sf: fulltext.topk(
-            sf, "field_term", [_KW_FIELD, _KW_VALUE], _K
-        ),
-        "topk_field_mixed": lambda sf: fulltext.topk(
-            sf, "field_mixed", [_MIX_TERM, _MIX_FIELD, _MIX_VALUE], _K
+        "topk_field_suite": _suite(
+            {
+                "field_term": lambda sf: fulltext.topk(
+                    sf, "field_term", [_KW_FIELD, _KW_VALUE], _K
+                ),
+                "field_mixed": lambda sf: fulltext.topk(
+                    sf, "field_mixed", [_MIX_TERM, _MIX_FIELD, _MIX_VALUE], _K
+                ),
+            }
         ),
         "field_term_stats": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
         "term_vectors": lambda sf: fulltext.term_vectors(sf, modulus=97),
@@ -1126,6 +1135,19 @@ def oracle_sql() -> dict[str, str]:
             _SAMPLE_RATES, _SAMPLE_DEFAULT, _SAMPLE_SEED, _SAMPLE_MOD
         ),
         "pack_sequences": _pack_sequences_sql(_PACK_CAPACITY),
+        "top_ngrams": f"""
+WITH raw AS (
+  SELECT list_transform(string_split_regex(text, '{_WS}'), x -> lower(x)) AS t
+  FROM documents
+),
+g AS (
+  SELECT array_to_string(t[i : i + {_TOPGRAM_N - 1}], ' ') AS gram
+  FROM (SELECT t, unnest(range(1, len(t) - {_TOPGRAM_N} + 2)) AS i
+        FROM raw WHERE len(t) >= {_TOPGRAM_N})
+),
+c AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram)
+SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT {_TOPGRAM_K}
+""",
         "term_stats": f"""
 WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
@@ -1266,11 +1288,16 @@ SELECT bucket, count(*)::BIGINT AS cnt FROM (
   WHERE d.{_HIST[1]} IS NOT NULL
 ) GROUP BY bucket ORDER BY bucket
 """,
-        "topk_field_term": _field_term_topk_sql(_KW_FIELD, _KW_VALUE, _K),
-        "topk_field_mixed": _topk_term_filtered_sql(
-            _MIX_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE {_MIX_FIELD} = '{_MIX_VALUE}')",
+        "topk_field_suite": _suite_sql(
+            {
+                "field_term": _field_term_topk_sql(_KW_FIELD, _KW_VALUE, _K),
+                "field_mixed": _topk_term_filtered_sql(
+                    _MIX_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"{_MIX_FIELD} = '{_MIX_VALUE}')",
+                ),
+            }
         ),
         "field_term_stats": f"""
 SELECT {_KW_FIELD}::VARCHAR AS term, count(*)::BIGINT AS doc_freq,

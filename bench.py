@@ -276,6 +276,10 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "pack_sequences",
         lambda: pack.pack_sequences(sf_dir, capacity=2048).count(),
     )
+    timed(
+        "top_ngrams",
+        lambda: textstats.top_ngrams(sf_dir, n=3, k=100).count(),
+    )
 
     total = round(sum(results.values()), 3)
     out = {

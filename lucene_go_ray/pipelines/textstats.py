@@ -225,3 +225,120 @@ def bpe_token_counts(sf_dir: str, key: str = "doc_id", text: str = "text"):
         os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
     )
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def top_ngrams(
+    sf_dir: str,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    k: int = 100,
+    num_buckets: int = 64,
+):
+    """Global top-k most frequent token n-grams — corpus-level LM/repetition
+    statistics (the aggregate behind boilerplate discovery and smoothing
+    tables). The textbook pre-combined wide aggregation:
+
+      map_batches: dictionary-encode the batch's grams and emit only
+        DISTINCT (gram, partial_count) rows — the exchange never sees
+        per-occurrence rows;
+      groupby(hash bucket): sum partials per gram and keep the bucket's
+        top-k (buckets partition the gram space, so no cross-bucket gram
+        can outrank a bucket-local top-k survivor);
+      sort(cnt desc, gram asc).limit(k): a k·num_buckets-row final merge.
+
+    Gram strings ride the exchange (the SQL oracle groups the same
+    strings); bucket routing uses the FNV window hashes so routing cost
+    stays integer-only."""
+    import os
+
+    import ray.data
+
+    from .dedup import _exact_shingle_hashes, _mix, _token_hashes
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text].cast(pa.large_string())
+        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        L = len(flat)
+        empty = pa.table(
+            {"gram": pa.array([], pa.large_string()),
+             "cnt": pa.array([], pa.int64()),
+             "gbucket": pa.array([], pa.int32())}
+        )
+        if L < n:
+            return empty
+        parts = [flat.slice(i, L - n + 1) for i in range(n)]
+        valid = doc_of[: L - n + 1] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        gram = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", type=pa.large_string())
+        )
+        gram = (
+            gram.combine_chunks() if isinstance(gram, pa.ChunkedArray) else gram
+        )
+        gram = gram.filter(pa.array(valid))
+        # window hashes align 1:1 with the string grams (both doc-major)
+        tok_h, _ = _token_hashes(batch[text])
+        wh, _ = _exact_shingle_hashes(tok_h, counts, n)
+        denc = gram.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(
+            np.int64
+        )
+        # one representative window hash per distinct gram (any occurrence
+        # hashes identically)
+        first = np.zeros(len(denc.dictionary), dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        ghash = wh[first]
+        bkt = (_mix(ghash, np.uint64(29)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "gram": denc.dictionary,
+                "cnt": pa.array(cnt),
+                "gbucket": pa.array(bkt),
+            }
+        )
+
+    def _bucket_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.large_string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        denc = group["gram"].combine_chunks().cast(pa.large_string()).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        part = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(len(denc.dictionary), dtype=np.int64)
+        np.add.at(tot, codes, part)
+        grams = denc.dictionary.to_numpy(zero_copy_only=False)
+        order = np.lexsort((grams.astype("U"), -tot))[:k]
+        return pa.table(
+            {
+                "gram": pa.array(grams[order], pa.large_string()),
+                "cnt": pa.array(tot[order]),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(_bucket_topk, batch_format="pyarrow")
+        .sort(["cnt", "gram"], descending=[True, False])
+        .limit(k)
+    )

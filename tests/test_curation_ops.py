@@ -199,3 +199,25 @@ def test_curate_near_dup_variant(sf_dir, tmp_path):
         .to_pylist()
     )
     assert written == expect
+
+
+def test_top_ngrams_vs_counter(sf_dir):
+    """Global top-k gram counts == a brute-force Counter over the same
+    lowercased whitespace tokens (doc-boundary grams excluded), ordered
+    (cnt desc, gram asc)."""
+    from collections import Counter
+
+    n, k = 3, 50
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    c: Counter = Counter()
+    for text in t["text"].to_pylist():
+        toks = [x.lower() for x in re.split(_SPLIT, text)]
+        for i in range(len(toks) - n + 1):
+            c[" ".join(toks[i : i + n])] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    from lucene_go_ray.pipelines import textstats
+
+    got = textstats.top_ngrams(sf_dir, n=n, k=k).to_pandas()
+    assert list(zip(got["gram"], got["cnt"])) == expect
