@@ -642,6 +642,46 @@ FROM t ORDER BY doc_id
 """
 
 
+def _lm_perplexity_sql(train_mod: int) -> str:
+    """CCNet-style bigram-LM perplexity recomputed from gram STRINGS with
+    the engine's exact constants (lm.py: LAMBDA=0.9, ALPHA=1.0; (1-0.9)
+    written as an expression so both engines evaluate the same float).
+    The engine counts 64-bit token hashes — a collision would fail this.
+    Rounding to 6 decimals absorbs the groupwise float-sum order."""
+    p_add_u = "(coalesce(u.c, 0) + 1.0) / (st.N + 1.0 * (st.V + 1))"
+    return f"""
+WITH {_TOKPOS},
+tr_uni AS (SELECT term, count(*)::DOUBLE AS c FROM tokpos
+           WHERE doc_id % {train_mod} = 0 GROUP BY term),
+tr_stats AS (SELECT sum(c)::DOUBLE AS N, count(*)::DOUBLE AS V FROM tr_uni),
+tr_bi AS (SELECT a.term AS v, b.term AS w, count(*)::DOUBLE AS c
+          FROM tokpos a JOIN tokpos b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          WHERE a.doc_id % {train_mod} = 0 GROUP BY 1, 2),
+seq AS (
+  SELECT doc_id, pos, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tokpos
+),
+p AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL
+              THEN {p_add_u}
+              ELSE 0.9 * (CASE WHEN cu.c IS NULL OR cu.c = 0 THEN 0
+                               ELSE coalesce(bi.c, 0) / cu.c END)
+                   + (1 - 0.9) * ({p_add_u})
+         END AS prob
+  FROM seq s
+  LEFT JOIN tr_uni u ON u.term = s.term
+  LEFT JOIN tr_uni cu ON cu.term = s.prev
+  LEFT JOIN tr_bi bi ON bi.v = s.prev AND bi.w = s.term, tr_stats st
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(-sum(log10(prob)) / count(*), 6) AS log10_ppl
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _CURATED_SQL = f"""
 WITH raw AS (
   SELECT doc_id, text, length(text)::BIGINT AS n_chars,
@@ -757,6 +797,8 @@ _SAMPLE_DEFAULT, _SAMPLE_SEED, _SAMPLE_MOD = 0.1, 13, 10000
 _PACK_CAPACITY = 512
 # global top-k frequent n-grams (pre-combined wide aggregation)
 _TOPGRAM_N, _TOPGRAM_K = 3, 100
+# CCNet-style LM perplexity: reference subset = doc_id % mod == 0
+_LM_TRAIN_MOD = 11
 
 
 def entry() -> Any:
@@ -798,6 +840,12 @@ def _points_kd_box(sf):
     from lucene_go_ray.pipelines import points
 
     return points.kd_box(sf, _KD_LO, _KD_HI)
+
+
+def _lm_perplexity(sf):
+    from lucene_go_ray.pipelines import lm
+
+    return lm.lm_perplexity(sf, train_mod=_LM_TRAIN_MOD)
 
 
 def _stratified_sample(sf):
@@ -880,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: textstats.top_ngrams(
             sf, n=_TOPGRAM_N, k=_TOPGRAM_K
         ),
+        "lm_perplexity": _lm_perplexity,
         # --- round-4 surfaces + entries the r3 window dropped ---
         "points_kd_box": _points_kd_box,
         "topk_span_suite": _suite(
@@ -956,7 +1005,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": _window_counts,
         "sessions": _sessions,
         # --- analysis / stats (index-build surfaces) ---
-        "term_stats": lambda sf: fulltext.term_stats(sf),
+        "term_stats_suite": _suite(
+            {
+                "text": lambda sf: fulltext.term_stats(sf),
+                "field": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
+            }
+        ),
         "collection_stats": lambda sf: fulltext.collection_stats(sf),
         "doc_norms": lambda sf: fulltext.doc_norms(sf),
         # --- top-k BM25 over the merged inverted index ---
@@ -1038,7 +1092,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
             }
         ),
-        "field_term_stats": lambda sf: fulltext.field_term_stats(sf, _KW_FIELD),
         "term_vectors": lambda sf: fulltext.term_vectors(sf, modulus=97),
         "dv_histogram": lambda sf: fulltext.dv_histogram(sf, *_HIST),
         # --- doc-values queries: 1-D range / point-set / 2-D box ---
@@ -1129,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
     # the Ray pipeline feeds pyarrow (both engines are RE2)
     bpe_pat_sql = BPE_ISH_PATTERN.replace("'", "''")
     return {
+        "lm_perplexity": _lm_perplexity_sql(_LM_TRAIN_MOD),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "decontaminate": _decontaminate_sql(_DECON_L, _DECON_MOD),
         "stratified_sample": _stratified_sample_sql(
@@ -1148,12 +1202,21 @@ g AS (
 c AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram)
 SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT {_TOPGRAM_K}
 """,
-        "term_stats": f"""
+        "term_stats_suite": _suite_sql(
+            {
+                "text": f"""
 WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
        count(*)::BIGINT AS total_term_freq
 FROM toks GROUP BY term
 """,
+                "field": f"""
+SELECT {_KW_FIELD}::VARCHAR AS term, count(*)::BIGINT AS doc_freq,
+       count(*)::BIGINT AS total_term_freq
+FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
+""",
+            }
+        ),
         "collection_stats": f"""
 WITH {_TOKS}, {_NORMS},
 postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id)
@@ -1299,11 +1362,6 @@ SELECT bucket, count(*)::BIGINT AS cnt FROM (
                 ),
             }
         ),
-        "field_term_stats": f"""
-SELECT {_KW_FIELD}::VARCHAR AS term, count(*)::BIGINT AS doc_freq,
-       count(*)::BIGINT AS total_term_freq
-FROM documents WHERE {_KW_FIELD} IS NOT NULL GROUP BY 1
-""",
         "topk_numeric_suite": _suite_sql(
             {
                 "range": _topk_term_filtered_sql(

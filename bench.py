@@ -280,6 +280,12 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "top_ngrams",
         lambda: textstats.top_ngrams(sf_dir, n=3, k=100).count(),
     )
+    from lucene_go_ray.pipelines import lm
+
+    timed(
+        "lm_perplexity",
+        lambda: lm.lm_perplexity(sf_dir).count(),
+    )
 
     total = round(sum(results.values()), 3)
     out = {

@@ -221,3 +221,50 @@ def test_top_ngrams_vs_counter(sf_dir):
 
     got = textstats.top_ngrams(sf_dir, n=n, k=k).to_pandas()
     assert list(zip(got["gram"], got["cnt"])) == expect
+
+
+def test_lm_perplexity_brute_force(sf_dir):
+    """Interpolated-bigram perplexity == a pure-Python recompute from
+    token strings (the engine counts 64-bit hashes)."""
+    from collections import Counter
+    from math import log10
+
+    from lucene_go_ray.pipelines import lm
+
+    mod = 11
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = {
+        d: [x.lower() for x in re.split(_SPLIT, s)]
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for d, toks in docs.items():
+        if d % mod == 0:
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+    N, V = sum(uni.values()), len(uni)
+    denom = N + lm.ALPHA * (V + 1)
+
+    def p_add(w):
+        return (uni.get(w, 0) + lm.ALPHA) / denom
+
+    expect = {}
+    for d, toks in docs.items():
+        s = log10(p_add(toks[0]))
+        for v, w in zip(toks, toks[1:]):
+            ml = bi.get((v, w), 0) / uni[v] if uni.get(v) else 0.0
+            s += log10(lm.LAMBDA * ml + (1 - lm.LAMBDA) * p_add(w))
+        expect[d] = (len(toks), round(-s / len(toks), 6))
+    got = lm.lm_perplexity(sf_dir, train_mod=mod).to_pandas()
+    got_d = {
+        d: (n, p)
+        for d, n, p in zip(got["doc_id"], got["n_tokens"], got["log10_ppl"])
+    }
+    assert got_d == expect
+    # the signal separates: train docs (in-domain) score lower on average
+    tr = np.mean([p for d, (_, p) in expect.items() if d % mod == 0])
+    te = np.mean([p for d, (_, p) in expect.items() if d % mod != 0])
+    assert tr < te
