@@ -187,6 +187,27 @@ def cmd_query_batch(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _ensure_ray()
+    from .pipelines import curate
+
+    surv = curate.curate(
+        args.sf_dir,
+        args.out,
+        min_chars=args.min_chars,
+        max_chars=args.max_chars,
+        min_tokens=args.min_tokens,
+        max_stopword_ratio=args.max_stopword_ratio,
+        max_top2gram_frac=args.max_top2gram_frac,
+        max_top3gram_frac=args.max_top3gram_frac,
+        max_dup5gram_frac=args.max_dup5gram_frac,
+        near_dup_threshold=args.near_dup_threshold,
+        out_partitions=args.out_partitions,
+    )
+    print(json.dumps({"survivors": surv.count(), "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="lucene_go_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -282,6 +303,28 @@ def main(argv=None) -> int:
                    help="attach tagged snippets around the query terms")
     s.add_argument("--cluster", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    cu = sub.add_parser(
+        "curate",
+        help="quality filters -> exact dedup -> optional near-dup cluster "
+        "removal -> partitioned resumable parquet",
+    )
+    cu.add_argument("sf_dir", help="directory holding documents.parquet")
+    cu.add_argument("--out", default=None,
+                    help="write the curated corpus here (hive-partitioned)")
+    cu.add_argument("--min-chars", type=int, default=50)
+    cu.add_argument("--max-chars", type=int, default=1_000_000)
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--max-stopword-ratio", type=float, default=0.6)
+    cu.add_argument("--max-top2gram-frac", type=float, default=None,
+                    help="Gopher repetition gate (paper default 0.20)")
+    cu.add_argument("--max-top3gram-frac", type=float, default=None)
+    cu.add_argument("--max-dup5gram-frac", type=float, default=None)
+    cu.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="jaccard threshold: drop near-dup cluster losers")
+    cu.add_argument("--out-partitions", type=int, default=64)
+    cu.add_argument("--cluster", action="store_true")
+    cu.set_defaults(fn=cmd_curate)
 
     qb = sub.add_parser("query-batch", help="JSONL query batch -> parquet")
     qb.add_argument("--index", required=True)
