@@ -395,9 +395,12 @@ WHERE rank BETWEEN {lo} AND {hi} ORDER BY rank
 # ---------------------------------------------------------------------------
 
 
-def _suite(parts: dict[str, Any]) -> Any:
+def _suite(parts: dict[str, Any], permissive: bool = False) -> Any:
     """Compose {qid: callable(sf) -> Table/Dataset/DataFrame} into one
-    callable returning a single pyarrow table with a leading qid column."""
+    callable returning a single pyarrow table with a leading qid column.
+    ``permissive=True`` null-pads differing schemas — used only for
+    rows-only suites (the driver counts rows there; SQL suites must keep
+    one exact schema)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -414,6 +417,8 @@ def _suite(parts: dict[str, Any]) -> Any:
             tabs.append(
                 t.add_column(0, "qid", pa.array([qid] * t.num_rows, pa.string()))
             )
+        if permissive:
+            return pa.concat_tables(tabs, promote_options="permissive")
         return pa.concat_tables(tabs)
 
     return run
@@ -799,6 +804,8 @@ _PACK_CAPACITY = 512
 _TOPGRAM_N, _TOPGRAM_K = 3, 100
 # CCNet-style LM perplexity: reference subset = doc_id % mod == 0
 _LM_TRAIN_MOD = 11
+# SemDeDup: k-means clusters, Lloyd iterations, within-cluster cosine
+_SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 4, 0.4
 
 
 def entry() -> Any:
@@ -840,6 +847,20 @@ def _points_kd_box(sf):
     from lucene_go_ray.pipelines import points
 
     return points.kd_box(sf, _KD_LO, _KD_HI)
+
+
+def _kmeans_embeddings(sf):
+    from lucene_go_ray.pipelines import semdedup
+
+    return semdedup.kmeans_embeddings(sf, k=_SEM_K, iters=_SEM_ITERS)
+
+
+def _semantic_dedup(sf):
+    from lucene_go_ray.pipelines import semdedup
+
+    return semdedup.semantic_dedup(
+        sf, k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD
+    )
 
 
 def _lm_perplexity(sf):
@@ -991,8 +1012,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
             sf, query_ids=(0, 1, 2), k=_K
         ),
-        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=_K),
-        "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, k=_K),
+        "ann_trained_suite": _suite(
+            {
+                "ivf": lambda sf: ann.ivf_topk(sf, k=_K),
+                "ivfpq": lambda sf: ann.ivfpq_topk(sf, k=_K),
+            }
+        ),
+        "kmeans_embeddings": _kmeans_embeddings,
+        "semantic_dedup": _semantic_dedup,
         "facet_counts": lambda sf: fulltext.facet_counts(
             sf, _TERM, _FACET_FIELD, _FACET_N
         ),
@@ -1144,8 +1171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
-        "simhash": lambda sf: dedup.simhash_table(sf),
-        "simhash_pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
+        "simhash_suite": _suite(
+            {
+                "table": lambda sf: dedup.simhash_table(sf),
+                "pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
+            },
+            permissive=True,
+        ),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
         "dup_spans_suite": _suite(
             {

@@ -286,6 +286,12 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "lm_perplexity",
         lambda: lm.lm_perplexity(sf_dir).count(),
     )
+    from lucene_go_ray.pipelines import semdedup
+
+    timed(
+        "semantic_dedup",
+        lambda: semdedup.semantic_dedup(sf_dir, k=32, iters=4).count(),
+    )
 
     total = round(sum(results.values()), 3)
     out = {
