@@ -806,6 +806,8 @@ _TOPGRAM_N, _TOPGRAM_K = 3, 100
 _LM_TRAIN_MOD = 11
 # SemDeDup: k-means clusters, Lloyd iterations, within-cluster cosine
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 4, 0.4
+# BPE tokenizer training: merge-table size
+_BPE_MERGES = 30
 
 
 def entry() -> Any:
@@ -847,6 +849,12 @@ def _points_kd_box(sf):
     from lucene_go_ray.pipelines import points
 
     return points.kd_box(sf, _KD_LO, _KD_HI)
+
+
+def _bpe_merges(sf):
+    from lucene_go_ray.pipelines import bpe
+
+    return bpe.train_bpe(sf, num_merges=_BPE_MERGES)
 
 
 def _kmeans_embeddings(sf):
@@ -950,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n=_TOPGRAM_N, k=_TOPGRAM_K
         ),
         "lm_perplexity": _lm_perplexity,
+        "bpe_merges": _bpe_merges,
         # --- round-4 surfaces + entries the r3 window dropped ---
         "points_kd_box": _points_kd_box,
         "topk_span_suite": _suite(
@@ -1039,7 +1048,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         "collection_stats": lambda sf: fulltext.collection_stats(sf),
-        "doc_norms": lambda sf: fulltext.doc_norms(sf),
+        "norms_suite": _suite(
+            {
+                "doc_norms": lambda sf: fulltext.doc_norms(sf),
+                "sorted_topn": lambda sf: fulltext.sorted_topn_norms(sf, 20),
+            }
+        ),
         # --- top-k BM25 over the merged inverted index ---
         "topk_term": lambda sf: fulltext.topk(sf, "term", [_TERM], _K),
         "topk_bool_suite": _suite(
@@ -1107,7 +1121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
             }
         ),
-        "sorted_topn_norms": lambda sf: fulltext.sorted_topn_norms(sf, 20),
         # --- multi-field (keyword fields), doc-values, deletes ---
         "topk_field_suite": _suite(
             {
@@ -1257,10 +1270,18 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
        (SELECT sum(norm) FROM norms)::BIGINT AS sum_total_term_freq,
        (SELECT count(*) FROM postings)::BIGINT AS sum_doc_freq
 """,
-        "doc_norms": f"""
+        "norms_suite": _suite_sql(
+            {
+                "doc_norms": f"""
 WITH {_TOKS}
 SELECT doc_id, count(*)::BIGINT AS norm FROM toks GROUP BY doc_id
 """,
+                "sorted_topn": f"""
+WITH {_TOKS}, {_NORMS}
+SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20
+""",
+            }
+        ),
         "topk_term": _topk_term_sql(_TERM, _K),
         # payload values are the RAW (pre-lowercase) token's UTF-8 byte
         # length — strlen (byte length) of the un-lowered token recomputes them
@@ -1486,10 +1507,6 @@ GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
             "FROM documents)",
             f"FROM documents WHERE {_EXP_FIELD} IS DISTINCT FROM '{_EXP_VALUE}')",
         ),
-        "sorted_topn_norms": f"""
-WITH {_TOKS}, {_NORMS}
-SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20
-""",
         "jaccard_pairs": _JACCARD_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "window_counts": """

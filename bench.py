@@ -292,6 +292,12 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
         "semantic_dedup",
         lambda: semdedup.semantic_dedup(sf_dir, k=32, iters=4).count(),
     )
+    from lucene_go_ray.pipelines import bpe
+
+    timed(
+        "bpe_train_30",
+        lambda: bpe.train_bpe(sf_dir, num_merges=30).num_rows,
+    )
 
     total = round(sum(results.values()), 3)
     out = {

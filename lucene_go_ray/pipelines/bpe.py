@@ -1,0 +1,241 @@
+"""Distributed BPE vocabulary training (Sennrich, Haddow, Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units") — the
+tokenizer-training step of an LLM data pipeline.
+
+Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus: one
+pre-combined exchange reduces the corpus to (word, count) rows (orders of
+magnitude smaller — Zipf), and every merge round then runs over that
+table:
+
+  count   map-only: each batch emits pre-combined (left, right,
+          partial-count) rows of adjacent-symbol pairs weighted by word
+          count; the driver reduces the vocabulary-sized partials and
+          picks the argmax with a deterministic tie-break
+          (count desc, left asc, right asc);
+  apply   map-only: the winning pair merges GREEDY LEFT-TO-RIGHT
+          non-overlapping inside every word ("aaaa" + (a,a) -> "aa","aa"),
+          vectorized over the flattened symbol arrays (within each run of
+          consecutive candidate starts, even offsets are chosen — exactly
+          the sequential greedy result); the word table re-materializes
+          per round (vocabulary-sized, never corpus-sized).
+
+Rounds = num_merges (fixed; stops early below ``min_pair_count``). At
+100 TB the corpus is touched exactly once (the word-count exchange); the
+iterated state is the word table only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import GO_WHITESPACE_CLASS
+
+
+def word_counts(sf_dir: str, *, key: str = "doc_id", text: str = "text"):
+    """(word, cnt) over lowercased whitespace tokens — pre-combined per
+    batch, one groupby exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text].cast(pa.large_string())
+        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        denc = flat.dictionary_encode()
+        cnt = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        ).astype(np.int64)
+        return pa.table({"word": denc.dictionary, "cnt": pa.array(cnt)})
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def _greedy_merge_mask(cand: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right non-overlapping selection from a candidate
+    mask over pair START positions (candidates at i and i+1 overlap):
+    within each RUN of consecutive candidates keep even offsets — the
+    exact sequential-greedy result, vectorized."""
+    if not cand.any():
+        return cand
+    idx = np.flatnonzero(cand)
+    new_run = np.concatenate([[True], np.diff(idx) != 1])
+    run_start = idx[new_run][np.cumsum(new_run) - 1]
+    keep = ((idx - run_start) % 2) == 0
+    out = np.zeros_like(cand)
+    out[idx[keep]] = True
+    return out
+
+
+def _sym_table(syms_offs: np.ndarray, flat: pa.Array, cnt) -> pa.Table:
+    return pa.table(
+        {
+            "syms": pa.LargeListArray.from_arrays(
+                pa.array(syms_offs, pa.int64()), flat
+            ),
+            "cnt": cnt,
+        }
+    )
+
+
+def train_bpe(
+    sf_dir: str,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+):
+    """Learn ``num_merges`` BPE merges; returns a pyarrow table
+    (rank, left, right, pair_count) — the merge table a tokenizer would
+    persist. Deterministic: tie-break (count desc, left asc, right asc)."""
+    import ray
+    import ray.data
+
+    words = word_counts(sf_dir, key=key, text=text).materialize()
+
+    def _to_symbols(batch: pa.Table) -> pa.Table:
+        w = batch["word"].cast(pa.large_string())
+        words_py = w.to_pylist()
+        lens = pc.utf8_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = pa.array(list("".join(words_py)), pa.large_string())
+        return _sym_table(offs, flat, batch["cnt"])
+
+    ds = words.map_batches(_to_symbols, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+
+        def _pair_partials(batch: pa.Table) -> pa.Table:
+            syms = batch["syms"].combine_chunks()
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = syms.values
+            L = len(flat)
+            empty = pa.table(
+                {"left": pa.array([], pa.large_string()),
+                 "right": pa.array([], pa.large_string()),
+                 "c": pa.array([], pa.int64())}
+            )
+            if L < 2:
+                return empty
+            word_of = np.repeat(np.arange(len(cnt)), np.diff(offs))
+            valid = word_of[:-1] == word_of[1:]
+            if not valid.any():
+                return empty
+            vmask = pa.array(valid)
+            lefts = flat.slice(0, L - 1).filter(vmask)
+            rights = flat.slice(1, L - 1).filter(vmask)
+            w = cnt[word_of[:-1][valid]]
+            pair = pc.binary_join_element_wise(
+                lefts, rights, pa.scalar("\x1f", type=pa.large_string())
+            )
+            if isinstance(pair, pa.ChunkedArray):
+                pair = pair.combine_chunks()
+            denc = pair.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            tot = np.zeros(len(denc.dictionary), np.int64)
+            np.add.at(tot, codes, w)
+            # first occurrence of each code recovers (left, right) without
+            # re-splitting the joined strings
+            first = np.zeros(len(denc.dictionary), np.int64)
+            first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+            fi = pa.array(first)
+            return pa.table(
+                {
+                    "left": lefts.take(fi),
+                    "right": rights.take(fi),
+                    "c": pa.array(tot),
+                }
+            )
+
+        # driver reduce: vocabulary-sized partials, vectorized argmax
+        ls, rs, cs = [], [], []
+        for b in ds.map_batches(
+            _pair_partials, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            ls.append(np.asarray(b["left"].to_pylist(), dtype=object))
+            rs.append(np.asarray(b["right"].to_pylist(), dtype=object))
+            cs.append(b["c"].to_numpy(zero_copy_only=False))
+        if not ls:
+            break
+        la = np.concatenate(ls)
+        ra = np.concatenate(rs)
+        ca = np.concatenate(cs).astype(np.int64)
+        if len(la) == 0:
+            break
+        keys = np.char.add(
+            np.char.add(la.astype(str), "\x1f"), ra.astype(str)
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=ca).astype(np.int64)
+        # tie-break: count desc, then pair string asc (== left asc, right
+        # asc because \x1f sorts below every printable symbol)
+        order = np.lexsort((uk, -tot))
+        best = order[0]
+        if tot[best] < min_pair_count:
+            break
+        best_l, best_r = uk[best].split("\x1f", 1)
+        merges.append((best_l, best_r, int(tot[best])))
+        pair_ref = ray.put((best_l, best_r))
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            bl, br = ray.get(pair_ref)
+            syms = batch["syms"].combine_chunks()
+            cnt = batch["cnt"]
+            offs = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = syms.values
+            L = len(flat)
+            if L < 2:
+                return batch
+            nwords = len(cnt)
+            word_of = np.repeat(np.arange(nwords), np.diff(offs))
+            il = pc.equal(flat, pa.scalar(bl, pa.large_string())).to_numpy(
+                zero_copy_only=False
+            )
+            ir = pc.equal(flat, pa.scalar(br, pa.large_string())).to_numpy(
+                zero_copy_only=False
+            )
+            cand = il[:-1] & ir[1:] & (word_of[:-1] == word_of[1:])
+            chosen = _greedy_merge_mask(cand)
+            if not chosen.any():
+                return batch
+            starts = np.zeros(L, bool)
+            starts[np.flatnonzero(chosen)] = True
+            drop = np.zeros(L, bool)
+            drop[np.flatnonzero(chosen) + 1] = True
+            flat_np = np.asarray(flat.to_pylist(), dtype=object)
+            flat_np[starts] = bl + br
+            keep = ~drop
+            new_flat = pa.array(flat_np[keep].tolist(), pa.large_string())
+            kw = word_of[keep]
+            new_counts = np.bincount(kw, minlength=nwords)
+            new_offs = np.zeros(nwords + 1, np.int64)
+            np.cumsum(new_counts, out=new_offs[1:])
+            return _sym_table(new_offs, new_flat, cnt)
+
+        ds = ds.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], pa.large_string()),
+            "right": pa.array([m[1] for m in merges], pa.large_string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )

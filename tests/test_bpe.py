@@ -1,0 +1,77 @@
+"""Distributed BPE trainer vs a pure-Python sequential oracle — identical
+merge tables (left, right, count) with the (count desc, left, right)
+tie-break and greedy non-overlapping application."""
+
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lucene_go_ray.analysis import GO_WHITESPACE_CHARS
+from lucene_go_ray.pipelines import bpe
+
+_SPLIT = "[" + GO_WHITESPACE_CHARS + "]"
+
+
+def _oracle_merges(sf_dir, num_merges, min_pair_count=2):
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    wc: Counter = Counter()
+    for s in t["text"].to_pylist():
+        wc.update(x.lower() for x in re.split(_SPLIT, s))
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc_: Counter = Counter()
+        for w, syms in vocab.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += c
+        if not pc_:
+            break
+        (bl, br), bc = min(
+            pc_.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if bc < min_pair_count:
+            break
+        merges.append((bl, br, bc))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_train_bpe_matches_sequential_oracle(sf_dir):
+    got = bpe.train_bpe(sf_dir, num_merges=15)
+    eng = list(
+        zip(
+            got["left"].to_pylist(),
+            got["right"].to_pylist(),
+            got["pair_count"].to_pylist(),
+        )
+    )
+    assert eng == _oracle_merges(sf_dir, 15)
+    assert len(eng) == 15
+    # later merges build on earlier ones: some merged symbol recurs
+    syms = {l + r for l, r, _ in eng}
+    assert any(l in syms or r in syms for l, r, _ in eng[1:])
+
+
+def test_greedy_merge_mask_overlap_runs():
+    # "aaaa" -> candidates at 0,1,2 -> greedy picks 0 and 2
+    cand = np.array([True, True, True])
+    assert bpe._greedy_merge_mask(cand).tolist() == [True, False, True]
+    # run of 2 -> pick first only; isolated -> picked
+    cand = np.array([True, True, False, True])
+    assert bpe._greedy_merge_mask(cand).tolist() == [True, False, False, True]
+    assert bpe._greedy_merge_mask(np.zeros(3, bool)).sum() == 0
