@@ -851,10 +851,19 @@ def _points_kd_box(sf):
     return points.kd_box(sf, _KD_LO, _KD_HI)
 
 
-def _bpe_merges(sf):
+def _bpe_suite(sf):
+    """Train once, then run both halves of the tokenizer story (rows-only
+    permissive suite: merge table + per-doc encoded subword counts)."""
     from lucene_go_ray.pipelines import bpe
 
-    return bpe.train_bpe(sf, num_merges=_BPE_MERGES)
+    merges = bpe.train_bpe(sf, num_merges=_BPE_MERGES)
+    return _suite(
+        {
+            "merges": lambda _sf: merges,
+            "encode": lambda _sf: bpe.encode_counts(_sf, merges),
+        },
+        permissive=True,
+    )(sf)
 
 
 def _kmeans_embeddings(sf):
@@ -958,7 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n=_TOPGRAM_N, k=_TOPGRAM_K
         ),
         "lm_perplexity": _lm_perplexity,
-        "bpe_merges": _bpe_merges,
+        "bpe_suite": _bpe_suite,
         # --- round-4 surfaces + entries the r3 window dropped ---
         "points_kd_box": _points_kd_box,
         "topk_span_suite": _suite(

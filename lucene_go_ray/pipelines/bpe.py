@@ -80,6 +80,40 @@ def _greedy_merge_mask(cand: np.ndarray) -> np.ndarray:
     return out
 
 
+def _apply_one_merge(
+    offs: np.ndarray, flat: pa.Array, bl: str, br: str
+) -> tuple[np.ndarray, pa.Array]:
+    """Apply one (bl, br) merge greedily to every symbol sequence in a
+    flattened large_list representation; returns (new offsets, new flat)."""
+    L = len(flat)
+    if L < 2:
+        return offs, flat
+    nseq = len(offs) - 1
+    seq_of = np.repeat(np.arange(nseq), np.diff(offs))
+    il = pc.equal(flat, pa.scalar(bl, pa.large_string())).to_numpy(
+        zero_copy_only=False
+    )
+    ir = pc.equal(flat, pa.scalar(br, pa.large_string())).to_numpy(
+        zero_copy_only=False
+    )
+    cand = il[:-1] & ir[1:] & (seq_of[:-1] == seq_of[1:])
+    chosen = _greedy_merge_mask(cand)
+    if not chosen.any():
+        return offs, flat
+    starts = np.zeros(L, bool)
+    starts[np.flatnonzero(chosen)] = True
+    drop = np.zeros(L, bool)
+    drop[np.flatnonzero(chosen) + 1] = True
+    flat_np = np.asarray(flat.to_pylist(), dtype=object)
+    flat_np[starts] = bl + br
+    keep = ~drop
+    new_flat = pa.array(flat_np[keep].tolist(), pa.large_string())
+    new_counts = np.bincount(seq_of[keep], minlength=nseq)
+    new_offs = np.zeros(nseq + 1, np.int64)
+    np.cumsum(new_counts, out=new_offs[1:])
+    return new_offs, new_flat
+
+
 def _sym_table(syms_offs: np.ndarray, flat: pa.Array, cnt) -> pa.Table:
     return pa.table(
         {
@@ -200,33 +234,7 @@ def train_bpe(
             cnt = batch["cnt"]
             offs = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             flat = syms.values
-            L = len(flat)
-            if L < 2:
-                return batch
-            nwords = len(cnt)
-            word_of = np.repeat(np.arange(nwords), np.diff(offs))
-            il = pc.equal(flat, pa.scalar(bl, pa.large_string())).to_numpy(
-                zero_copy_only=False
-            )
-            ir = pc.equal(flat, pa.scalar(br, pa.large_string())).to_numpy(
-                zero_copy_only=False
-            )
-            cand = il[:-1] & ir[1:] & (word_of[:-1] == word_of[1:])
-            chosen = _greedy_merge_mask(cand)
-            if not chosen.any():
-                return batch
-            starts = np.zeros(L, bool)
-            starts[np.flatnonzero(chosen)] = True
-            drop = np.zeros(L, bool)
-            drop[np.flatnonzero(chosen) + 1] = True
-            flat_np = np.asarray(flat.to_pylist(), dtype=object)
-            flat_np[starts] = bl + br
-            keep = ~drop
-            new_flat = pa.array(flat_np[keep].tolist(), pa.large_string())
-            kw = word_of[keep]
-            new_counts = np.bincount(kw, minlength=nwords)
-            new_offs = np.zeros(nwords + 1, np.int64)
-            np.cumsum(new_counts, out=new_offs[1:])
+            new_offs, new_flat = _apply_one_merge(offs, flat, bl, br)
             return _sym_table(new_offs, new_flat, cnt)
 
         ds = ds.map_batches(_apply, batch_format="pyarrow").materialize()
@@ -239,3 +247,66 @@ def train_bpe(
             "pair_count": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+
+
+def encode_counts(
+    sf_dir: str,
+    merges: pa.Table,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+):
+    """(doc_id, n_subwords): per-document subword counts after applying
+    the learned merge table in RANK order (greedy left-to-right per
+    merge — the same application rule training used, so encoding the
+    training corpus reproduces the training segmentation exactly).
+
+    MAP-ONLY: the merge table broadcasts via ``ray.put``; each batch
+    segments only its DISTINCT words (dictionary-encode), then scatters
+    the per-word subword counts back to documents with one bincount."""
+    import ray
+    import ray.data
+
+    m_ref = ray.put(
+        list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    )
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        ms = ray.get(m_ref)
+        s = batch[text].cast(pa.large_string())
+        toks = pc.split_pattern_regex(s, GO_WHITESPACE_CLASS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        denc = flat.dictionary_encode()
+        words_py = denc.dictionary.to_pylist()
+        lens = (
+            pc.utf8_length(denc.dictionary)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        fc = pa.array(list("".join(words_py)), pa.large_string())
+        for bl, br in ms:
+            offs, fc = _apply_one_merge(offs, fc, bl, br)
+        n_sub = np.diff(offs)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        per_doc = np.bincount(
+            doc_of, weights=n_sub[codes].astype(np.float64),
+            minlength=len(counts),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key: batch[key],
+                "n_subwords": pa.array(per_doc),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+    ).map_batches(_enc, batch_format="pyarrow")

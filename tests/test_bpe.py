@@ -75,3 +75,53 @@ def test_greedy_merge_mask_overlap_runs():
     cand = np.array([True, True, False, True])
     assert bpe._greedy_merge_mask(cand).tolist() == [True, False, False, True]
     assert bpe._greedy_merge_mask(np.zeros(3, bool)).sum() == 0
+
+
+def test_encode_counts_matches_sequential(sf_dir):
+    """encode_counts applies the merge table in rank order, greedy per
+    merge — per-doc subword counts equal a sequential per-word recompute."""
+    import pyarrow.parquet as pq
+
+    m = bpe.train_bpe(sf_dir, num_merges=12)
+    ms = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    cache: dict = {}
+
+    def seg_len(word):
+        if word not in cache:
+            syms = list(word)
+            for bl, br in ms:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == bl
+                        and syms[i + 1] == br
+                    ):
+                        out.append(bl + br)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = len(syms)
+        return cache[word]
+
+    expect = {
+        d: sum(seg_len(x.lower()) for x in re.split(_SPLIT, s))
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    got = bpe.encode_counts(sf_dir, m).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_subwords"])) == expect
+    # merges compress: fewer subwords than characters, more than tokens
+    n_tok = {
+        d: len(re.split(_SPLIT, s))
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    assert all(expect[d] >= n_tok[d] for d in expect)
+    assert sum(expect.values()) < sum(
+        sum(len(x) for x in re.split(_SPLIT, s))
+        for s in t["text"].to_pylist()
+    )
