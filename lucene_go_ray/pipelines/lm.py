@@ -63,10 +63,22 @@ def train_bigram_lm(
     key: str = "doc_id",
     text: str = "text",
     train_mod: int = 11,
+    max_ngrams: int | None = None,
 ):
     """Unigram/bigram hash-count tables from the reference subset
     (docs with ``key % train_mod == 0``). Returns (sorted uni hashes,
-    uni counts, N, V, sorted bi keys, bi counts) — all numpy, small."""
+    uni counts, N, V, sorted bi keys, bi counts) — all numpy.
+
+    CONTRACT: the reference subset must be BOUNDED (CCNet trains its LM
+    on Wikipedia, not on the crawl) — ``train_mod`` here is a
+    deterministic stand-in selector for test tables; at real scale pass
+    a selector that yields a fixed-size reference corpus, and/or set
+    ``max_ngrams`` to prune each table to its top-``max_ngrams`` entries
+    by (count desc, hash asc) after the reduce — the standard truncated-
+    vocabulary LM (KenLM-style pruning; pruned entries score as unseen:
+    ML-bigram 0 / add-alpha OOV). N and V are computed BEFORE pruning so
+    the unigram denominator still reflects the full reference mass. The
+    gate runs unpruned (max_ngrams=None) so the SQL oracle stays exact."""
     import ray.data
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -125,7 +137,19 @@ def train_bigram_lm(
 
     uh, uc = _reduce(h[~isb], c[~isb])
     bh, bc = _reduce(h[isb], c[isb])
-    return uh, uc, int(uc.sum()), int(len(uh)), bh, bc
+    N, V = int(uc.sum()), int(len(uh))
+    if max_ngrams is not None:
+
+        def _prune(hs, cs):
+            if len(hs) <= max_ngrams:
+                return hs, cs
+            order = np.lexsort((hs, -cs))[:max_ngrams]
+            keep = np.sort(order)  # back to hash order for searchsorted
+            return hs[keep], cs[keep]
+
+        uh, uc = _prune(uh, uc)
+        bh, bc = _prune(bh, bc)
+    return uh, uc, N, V, bh, bc
 
 
 def lm_perplexity(
@@ -134,16 +158,19 @@ def lm_perplexity(
     key: str = "doc_id",
     text: str = "text",
     train_mod: int = 11,
+    max_ngrams: int | None = None,
 ):
     """(doc_id, n_tokens, log10_ppl) for EVERY document, where log10_ppl
     is the interpolated-bigram LM log10 perplexity under the reference
     subset's counts, rounded to 6 decimals (the gate's float discipline).
+    ``max_ngrams`` prunes the broadcast tables (see train_bigram_lm).
     """
     import ray
     import ray.data
 
     uh, uc, N, V, bh, bc = train_bigram_lm(
-        sf_dir, key=key, text=text, train_mod=train_mod
+        sf_dir, key=key, text=text, train_mod=train_mod,
+        max_ngrams=max_ngrams,
     )
     model_ref = ray.put((uh, uc.astype(np.float64), bh, bc.astype(np.float64)))
     denom = float(N + ALPHA * (V + 1))

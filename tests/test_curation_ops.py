@@ -268,3 +268,20 @@ def test_lm_perplexity_brute_force(sf_dir):
     tr = np.mean([p for d, (_, p) in expect.items() if d % mod == 0])
     te = np.mean([p for d, (_, p) in expect.items() if d % mod != 0])
     assert tr < te
+
+
+def test_lm_perplexity_pruned_vocabulary(sf_dir):
+    """max_ngrams prunes the broadcast tables deterministically: pruned
+    entries score as unseen, unpruned entries are untouched, and a cap
+    above the vocabulary size is a no-op."""
+    from lucene_go_ray.pipelines import lm
+
+    full = lm.lm_perplexity(sf_dir, train_mod=11).to_pandas()
+    nop = lm.lm_perplexity(sf_dir, train_mod=11, max_ngrams=10**9).to_pandas()
+    assert full.equals(nop)
+    pruned = lm.lm_perplexity(sf_dir, train_mod=11, max_ngrams=50).to_pandas()
+    assert len(pruned) == len(full)
+    # a truncated LM assigns less probability mass -> ppl never decreases
+    m = full.merge(pruned, on="doc_id", suffixes=("_f", "_p"))
+    assert (m["log10_ppl_p"] >= m["log10_ppl_f"] - 1e-9).all()
+    assert (m["log10_ppl_p"] > m["log10_ppl_f"]).any()
