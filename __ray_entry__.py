@@ -567,6 +567,38 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= 0.5
 """
 
+def _topk_mlt_sql(doc: int, n_terms: int, k: int) -> str:
+    """MoreLikeThis oracle: the same rounded tf*idf interesting-term
+    selection (score desc, term asc), then the SHOULD query over the
+    selected set — dynamic term list via a CTE instead of literals."""
+    w = _idf_expr("dfs.df")
+    return f"""
+WITH {_TOKS}, {_NORMS}, {_STATS},
+dtf AS (SELECT term, count(*)::DOUBLE AS freq FROM toks
+        WHERE doc_id = {doc} GROUP BY term),
+alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY term),
+sel AS (SELECT d.term FROM dtf d JOIN alldf a USING (term), stats
+        ORDER BY round(d.freq *
+          ln(1 + (stats.doc_count - a.df + 0.5)/(a.df + 0.5)), 6) DESC, d.term
+        LIMIT {n_terms}),
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         sum({_bm25_score_expr(w, "t.freq", "n.norm")}) AS score
+  FROM tfs t JOIN dfs USING (term)
+  JOIN norms n ON n.doc_id = t.doc_id, stats
+  GROUP BY t.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored)
+WHERE rank <= {k} ORDER BY rank
+"""
+
+
 def _near_dup_clusters_sql() -> str:
     """Connected components of the jaccard pair graph as a recursive CTE:
     a vertex's cluster is the min doc_id reachable from it (reach = the
@@ -808,6 +840,9 @@ _LM_TRAIN_MOD = 11
 _SEM_K, _SEM_ITERS, _SEM_THRESHOLD = 8, 4, 0.4
 # BPE tokenizer training: merge-table size
 _BPE_MERGES = 30
+# MoreLikeThis source doc + interesting-term count; suggest prefix
+_MLT_DOC, _MLT_TERMS = 42, 5
+_SUGGEST_PREFIX = "s"
 
 
 def entry() -> Any:
@@ -1064,16 +1099,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         # --- top-k BM25 over the merged inverted index ---
-        "topk_term": lambda sf: fulltext.topk(sf, "term", [_TERM], _K),
-        "topk_bool_suite": _suite(
+        "topk_core_suite": _suite(
             {
+                "term": lambda sf: fulltext.topk(sf, "term", [_TERM], _K),
                 "and": lambda sf: fulltext.topk(sf, "bool_and", _AND_TERMS, _K),
                 "or": lambda sf: fulltext.topk(sf, "bool_or", _OR_TERMS, _K),
                 "not": lambda sf: fulltext.topk(sf, "bool_not", _NOT_TERMS, _K),
                 "msm": msm_topk,
+                "phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
             }
         ),
-        "topk_phrase": lambda sf: fulltext.topk(sf, "phrase", _PHRASE, _K),
+        "topk_mlt": lambda sf: fulltext.topk_mlt(
+            sf, _MLT_DOC, n_terms=_MLT_TERMS, k=_K
+        ),
+        "suggest_terms": lambda sf: fulltext.suggest_terms(
+            sf, _SUGGEST_PREFIX, k=_K
+        ),
         "count_suite": _suite(
             {
                 "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
@@ -1291,7 +1332,6 @@ SELECT doc_id, norm FROM norms ORDER BY norm DESC, doc_id LIMIT 20
 """,
             }
         ),
-        "topk_term": _topk_term_sql(_TERM, _K),
         # payload values are the RAW (pre-lowercase) token's UTF-8 byte
         # length — strlen (byte length) of the un-lowered token recomputes them
         "payload_stats": f"""
@@ -1347,15 +1387,23 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
             f"ELSE {_NR_FIELD} END) BETWEEN {_NR_LO} AND {_NR_HI})",
         ),
         "multimodal_features": _multimodal_sql(16),
-        "topk_bool_suite": _suite_sql(
+        "topk_core_suite": _suite_sql(
             {
+                "term": _topk_term_sql(_TERM, _K),
                 "and": _topk_bool_sql(_AND_TERMS, _K, "and"),
                 "or": _topk_bool_sql(_OR_TERMS, _K, "or"),
                 "not": _topk_bool_sql(_NOT_TERMS, _K, "not"),
                 "msm": _topk_bool_sql(_MSM_TERMS, _K, "or", msm=2),
+                "phrase": _topk_phrase_sql(_PHRASE, _K),
             }
         ),
-        "topk_phrase": _topk_phrase_sql(_PHRASE, _K),
+        "topk_mlt": _topk_mlt_sql(_MLT_DOC, _MLT_TERMS, _K),
+        "suggest_terms": f"""
+WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks
+WHERE term LIKE '{_SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY doc_freq DESC, term LIMIT {_K}
+""",
         "topk_multiterm_suite": _suite_sql(
             {
                 "prefix": _constant_topk_sql(f"term LIKE '{_PREFIX}%'", _K),

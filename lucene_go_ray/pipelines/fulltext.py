@@ -681,3 +681,70 @@ def facet_counts(
     return s.search_with_collector_sharded(
         TermQuery(term), FacetCountsCollectorManager(field, top_n)
     )
+
+
+def topk_mlt(
+    sf_dir: str,
+    doc_id: int,
+    n_terms: int = 5,
+    k: int = 10,
+    *,
+    round_to: int = 6,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """MoreLikeThisQuery analogue (the Lucene queries-module feature —
+    absent from the reference core): pick the source document's top
+    ``n_terms`` terms by tf*idf from its STORED term vector (no
+    re-analysis), then run the SHOULD query they form. Term selection
+    uses the rounded tf*idf with a (score desc, term asc) tie-break so
+    DuckDB reproduces the exact same interesting-term set; result rows
+    are the usual (rank, doc_id, score)."""
+    import math
+
+    from ..search.query import BooleanQuery
+
+    s = get_searcher(sf_dir, cfg)
+    tv = s.term_vector(int(doc_id), field=cfg.text_column)
+    N = float(s.stats["doc_count"])
+    scored = []
+    for term, freq in zip(tv["term"].to_pylist(), tv["freq"].to_pylist()):
+        df, _ = s.term_statistics(term)
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        scored.append((round(freq * idf, round_to), term))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    terms = [t for _, t in scored[:n_terms]]
+    q = BooleanQuery.build(should=terms)
+    td, scores6 = _search_past_rounded_ties(s, q, k, round_to)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
+def suggest_terms(
+    sf_dir: str,
+    prefix: str,
+    k: int = 10,
+    *,
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Prefix autocomplete (Lucene suggest-module analogue): the top-k
+    dictionary terms with ``prefix``, ranked by (doc_freq desc, term asc).
+    Expansion is the MultiTermQuery range-index seek (term columns only);
+    per-candidate doc_freq comes from the merged chunk metadata."""
+    s = get_searcher(sf_dir, cfg)
+    f = cfg.text_column
+    cands = s.expand_terms(f, prefix, prefix + "\U0010ffff")
+    rows = [(t, s.term_statistics(t)[0]) for t in cands]
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "doc_freq": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
