@@ -843,6 +843,9 @@ _BPE_MERGES = 30
 # MoreLikeThis source doc + interesting-term count; suggest prefix
 _MLT_DOC, _MLT_TERMS = 42, 5
 _SUGGEST_PREFIX = "s"
+# exact per-lang quantiles; HLL precision
+_GQ_QS = (0.5, 0.9)
+_HLL_P = 12
 
 
 def entry() -> Any:
@@ -913,6 +916,12 @@ def _semantic_dedup(sf):
     return semdedup.semantic_dedup(
         sf, k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD
     )
+
+
+def _hll_distinct_terms(sf):
+    from lucene_go_ray.pipelines import sketch
+
+    return sketch.hll_distinct_terms(sf, p=_HLL_P)
 
 
 def _lm_perplexity(sf):
@@ -1058,10 +1067,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sort_field": lambda sf: fulltext.topk_sort_field(
             sf, _SF_TERM, [(_SF_FIELD, True)], _K
         ),
-        "topk_after_dv_update": lambda sf: fulltext.topk_after_dv_update(
-            sf, _DVU_TERM, _NR_FIELD, _NR_LO, _NR_HI, _K,
-            upd_field=_DVU_FIELD, upd_value=_DVU_VALUE, new_value=_DVU_NEW,
-        ),
         "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
             sf, query_ids=(0, 1, 2), k=_K
         ),
@@ -1115,6 +1120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": lambda sf: fulltext.suggest_terms(
             sf, _SUGGEST_PREFIX, k=_K
         ),
+        "group_quantiles": lambda sf: textstats.group_quantiles(
+            sf, qs=_GQ_QS
+        ),
+        "hll_distinct_terms": _hll_distinct_terms,
         "count_suite": _suite(
             {
                 "term_doc_count": lambda sf: fulltext.term_doc_count(sf, _TERM),
@@ -1220,11 +1229,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
             }
         ),
-        "topk_after_delete": lambda sf: fulltext.topk_after_delete(
-            sf, "term", [_DEL_TERM], _K, del_field=_DEL_FIELD, del_value=_DEL_VALUE
-        ),
-        "topk_after_expunge": lambda sf: fulltext.topk_after_expunge(
-            sf, "term", [_EXP_TERM], _K, del_field=_EXP_FIELD, del_value=_EXP_VALUE
+        "topk_mutation_suite": _suite(
+            {
+                "after_dv_update": lambda sf: fulltext.topk_after_dv_update(
+                    sf, _DVU_TERM, _NR_FIELD, _NR_LO, _NR_HI, _K,
+                    upd_field=_DVU_FIELD, upd_value=_DVU_VALUE,
+                    new_value=_DVU_NEW,
+                ),
+                "after_delete": lambda sf: fulltext.topk_after_delete(
+                    sf, "term", [_DEL_TERM], _K,
+                    del_field=_DEL_FIELD, del_value=_DEL_VALUE,
+                ),
+                "after_expunge": lambda sf: fulltext.topk_after_expunge(
+                    sf, "term", [_EXP_TERM], _K,
+                    del_field=_EXP_FIELD, del_value=_EXP_VALUE,
+                ),
+            }
         ),
         # --- dedup family ---
         "exact_dedup_suite": _suite(
@@ -1379,13 +1399,6 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
             }
         ),
         "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),
-        "topk_after_dv_update": _topk_term_filtered_sql(
-            _DVU_TERM,
-            _K,
-            f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
-            f"(CASE WHEN {_DVU_FIELD} = '{_DVU_VALUE}' THEN {_DVU_NEW} "
-            f"ELSE {_NR_FIELD} END) BETWEEN {_NR_LO} AND {_NR_HI})",
-        ),
         "multimodal_features": _multimodal_sql(16),
         "topk_core_suite": _suite_sql(
             {
@@ -1552,17 +1565,35 @@ FROM documents d JOIN matches m ON m.doc_id = d.doc_id
 WHERE {_FACET_FIELD} IS NOT NULL
 GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
 """,
-        "topk_after_delete": _topk_term_filtered_sql(
-            _DEL_TERM,
-            _K,
-            f"tf.doc_id NOT IN (SELECT doc_id FROM documents WHERE {_DEL_FIELD} = '{_DEL_VALUE}')",
+        "topk_mutation_suite": _suite_sql(
+            {
+                "after_dv_update": _topk_term_filtered_sql(
+                    _DVU_TERM,
+                    _K,
+                    f"tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                    f"(CASE WHEN {_DVU_FIELD} = '{_DVU_VALUE}' THEN {_DVU_NEW} "
+                    f"ELSE {_NR_FIELD} END) BETWEEN {_NR_LO} AND {_NR_HI})",
+                ),
+                "after_delete": _topk_term_filtered_sql(
+                    _DEL_TERM,
+                    _K,
+                    f"tf.doc_id NOT IN (SELECT doc_id FROM documents "
+                    f"WHERE {_DEL_FIELD} = '{_DEL_VALUE}')",
+                ),
+                # post-expunge: stats themselves exclude the deleted docs,
+                # so the oracle drops them from the corpus BEFORE
+                # tokenizing (vs after_delete, which only filters hits)
+                "after_expunge": _topk_term_sql(_EXP_TERM, _K).replace(
+                    "FROM documents)",
+                    f"FROM documents WHERE {_EXP_FIELD} IS DISTINCT FROM "
+                    f"'{_EXP_VALUE}')",
+                ),
+            }
         ),
-        # post-expunge: stats themselves exclude the deleted docs, so the
-        # oracle drops them from the corpus BEFORE tokenizing (vs the
-        # after_delete oracle, which only filters the hit list)
-        "topk_after_expunge": _topk_term_sql(_EXP_TERM, _K).replace(
-            "FROM documents)",
-            f"FROM documents WHERE {_EXP_FIELD} IS DISTINCT FROM '{_EXP_VALUE}')",
+        "group_quantiles": "\nUNION ALL\n".join(
+            f"SELECT lang, {q} AS q, quantile_disc(n_chars, {q})::BIGINT AS value "
+            f"FROM documents WHERE lang IS NOT NULL GROUP BY lang"
+            for q in _GQ_QS
         ),
         "jaccard_pairs": _JACCARD_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,

@@ -342,3 +342,92 @@ def top_ngrams(
         .sort(["cnt", "gram"], descending=[True, False])
         .limit(k)
     )
+
+
+def group_quantiles(
+    sf_dir: str,
+    *,
+    strat: str = "lang",
+    col: str = "n_chars",
+    qs: tuple = (0.5, 0.9),
+):
+    """EXACT per-group quantiles of a numeric column, computed from
+    pre-combined value histograms — never from the raw rows:
+
+      map_batches  emits DISTINCT (strat, value, count) rows per batch
+                   (one np.unique over packed keys), so the exchange and
+                   the per-group state are bounded by value CARDINALITY,
+                   not row count;
+      groupby(strat).map_groups  re-aggregates the histogram, sorts the
+                   values once, and reads each quantile off the cumulative
+                   counts (discrete quantile: the element at
+                   max(ceil(q*n) - 1, 0) — DuckDB quantile_disc semantics,
+                   so the SQL oracle is exact).
+
+    Returns (strat, q, value); NULL strata are excluded on both sides."""
+    import os
+
+    import ray.data
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[strat]))
+        sv = t[strat].cast(pa.large_string())
+        denc = sv.combine_chunks().dictionary_encode() if isinstance(
+            sv, pa.ChunkedArray
+        ) else sv.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        D = np.int64(len(denc.dictionary))
+        vmin = vals.min() if len(vals) else 0
+        packed = (vals - vmin) * D + codes
+        uk, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                strat: denc.dictionary.take(
+                    pa.array((uk % D).astype(np.int64))
+                ),
+                "value": pa.array((uk // D).astype(np.int64) + vmin),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def _quant(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {strat: pa.array([], pa.large_string()),
+                 "q": pa.array([], pa.float64()),
+                 "value": pa.array([], pa.int64())}
+            )
+        name = group[strat][0].as_py()
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        cnt = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnt = vals[order], cnt[order]
+        # merge duplicate values arriving from different batches
+        new = np.concatenate([[True], vals[1:] != vals[:-1]])
+        starts = np.flatnonzero(new)
+        vals = vals[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            rank = max(int(np.ceil(q * n)), 1)
+            out_q.append(float(q))
+            out_v.append(int(vals[np.searchsorted(cum, rank)]))
+        return pa.table(
+            {
+                strat: pa.array([name] * len(qs), pa.large_string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=[strat, col]
+        )
+        .map_batches(_hist, batch_format="pyarrow")
+        .groupby(strat)
+        .map_groups(_quant, batch_format="pyarrow")
+    )

@@ -285,3 +285,58 @@ def test_lm_perplexity_pruned_vocabulary(sf_dir):
     m = full.merge(pruned, on="doc_id", suffixes=("_f", "_p"))
     assert (m["log10_ppl_p"] >= m["log10_ppl_f"] - 1e-9).all()
     assert (m["log10_ppl_p"] > m["log10_ppl_f"]).any()
+
+
+def test_hll_distinct_terms(sf_dir):
+    """HLL estimate within the paper's error bound of the exact distinct
+    count; bit-identical across runs (elementwise-max merge)."""
+    from lucene_go_ray.pipelines import sketch
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    exact = len(
+        {
+            x.lower()
+            for s in t["text"].to_pylist()
+            for x in re.split(_SPLIT, s)
+        }
+    )
+    got = sketch.hll_distinct_terms(sf_dir, p=12)
+    est = got["estimate"][0].as_py()
+    m = got["m"][0].as_py()
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(m) + 0.05
+    assert sketch.hll_distinct_terms(sf_dir, p=12).equals(got)
+
+
+def test_hll_registers_large_cardinality():
+    """The sketch path (not linear counting) stays within 3 sigma on a
+    synthetic 200k-distinct stream, and merging two halves equals one
+    pass (associative max)."""
+    from lucene_go_ray.pipelines import sketch
+
+    h = dedup._mix(np.arange(200_000, dtype=np.uint64), np.uint64(47))
+    regs = sketch._registers_for(h, 12)
+    est = sketch.hll_estimate(regs)
+    assert abs(est - 200_000) / 200_000 < 3 * 1.04 / np.sqrt(1 << 12)
+    r1 = sketch._registers_for(h[:100_000], 12)
+    r2 = sketch._registers_for(h[100_000:], 12)
+    assert np.array_equal(np.maximum(r1, r2), regs)
+
+
+def test_group_quantiles_vs_bruteforce(sf_dir):
+    from lucene_go_ray.pipelines import textstats
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    ).to_pandas()
+    t = t[t["lang"].notna()]
+    expect = {}
+    for lang, grp in t.groupby("lang"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        for q in (0.5, 0.9):
+            expect[(lang, q)] = int(v[max(int(np.ceil(q * len(v))) - 1, 0)])
+    got = textstats.group_quantiles(sf_dir, qs=(0.5, 0.9)).to_pandas()
+    assert {
+        (r["lang"], r["q"]): int(r["value"]) for _, r in got.iterrows()
+    } == expect
