@@ -599,6 +599,35 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+def _funnel_sql(steps: tuple, within_s: int) -> str:
+    """Funnel oracle: the greedy-earliest chain is a min() self-join chain
+    (earliest step-i event strictly after the step-(i-1) time); because
+    times only increase along the chain, 'earliest after cur, then window
+    check' equals the engine's per-step window gate exactly. One
+    total_hits row per funnel prefix."""
+    w_us = within_s * 1_000_000
+    ctes = [
+        "e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)",
+        f"s1 AS (SELECT user_id, min(us) AS t1, min(us) AS anchor FROM e "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i in range(2, len(steps) + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.us) AS t{i}, "
+            f"min({prev}.anchor) AS anchor "
+            f"FROM e JOIN {prev} USING (user_id) "
+            f"WHERE e.event_type = '{steps[i - 1]}' AND e.us > {prev}.t{i - 1} "
+            f"GROUP BY e.user_id "
+            f"HAVING min(e.us) - min({prev}.anchor) <= {w_us})"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT (SELECT count(*) FROM s{i})::BIGINT AS total_hits"
+        for i in range(1, len(steps) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 def _near_dup_clusters_sql() -> str:
     """Connected components of the jaccard pair graph as a recursive CTE:
     a vertex's cluster is the min doc_id reachable from it (reach = the
@@ -846,6 +875,10 @@ _SUGGEST_PREFIX = "s"
 # exact per-lang quantiles; HLL precision
 _GQ_QS = (0.5, 0.9)
 _HLL_P = 12
+# funnel: ordered step sequence + chain window (greedy-earliest chain,
+# whole chain within the window of the step-1 anchor)
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN = 28800
 
 
 def entry() -> Any:
@@ -946,6 +979,17 @@ def _pack_sequences(sf):
     from lucene_go_ray.pipelines import pack
 
     return pack.pack_sequences(sf, capacity=_PACK_CAPACITY)
+
+
+def _funnel_counts(sf):
+    import pyarrow as pa
+
+    from lucene_go_ray.pipelines import events
+
+    t = events.funnel_counts(
+        sf, steps=_FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN
+    )
+    return pa.table({"total_hits": t["n_users"]})
 
 
 def _window_counts(sf):
@@ -1130,6 +1174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "field_exists": lambda sf: fulltext.field_exists_count(
                     sf, _FE_FIELD
                 ),
+                # funnel analysis: per-step completion counts reshaped to
+                # the suite's (total_hits) schema
+                "funnel": _funnel_counts,
             }
         ),
         # --- multi-term expansion family (constant-score rewrites):
@@ -1555,6 +1602,7 @@ WHERE term = '{_TERM}'
 SELECT count(*)::BIGINT AS total_hits FROM documents
 WHERE {_FE_FIELD} IS NOT NULL
 """,
+                "funnel": _funnel_sql(_FUNNEL_STEPS, _FUNNEL_WITHIN),
             }
         ),
         "facet_counts": f"""

@@ -20,6 +20,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _US_PER_SEC = 1_000_000
 
@@ -210,3 +211,135 @@ def sessionize(
     return local.groupby("user_id").map_groups(
         _stitch, batch_format="pyarrow"
     )
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+    within_seconds: int = 3600,
+):
+    """Funnel analysis — how many users complete the ordered step
+    sequence: per user, the GREEDY-EARLIEST chain (earliest step-1 event,
+    then the earliest step-2 event strictly after it, ...) with the whole
+    chain inside ``within_seconds`` of the step-1 anchor. Returns one row
+    per funnel prefix: (step_idx, step, n_users). Greedy-earliest is the
+    deterministic, SQL-expressible convention (a self-join chain of
+    min()s reproduces it exactly).
+
+    Shape: the read keeps only the step event types and (user_id, type,
+    ts); ONE groupby(user) exchange; the per-bucket kernel resolves every
+    user's chain with vectorized searchsorted per step (sorted once per
+    bucket, no per-user loop). Heavy users cost O(their events) — no
+    pairwise blowup — so no salting is needed (contrast sessionize)."""
+    import ray.data
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+    within_us = int(within_seconds) * 1_000_000
+
+    def _project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(list(steps), type=pa.string()),
+        )
+        t = batch.filter(keep)
+        six = pc.index_in(
+            t["event_type"], value_set=pa.array(list(steps), pa.string())
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "six": six.cast(pa.int32()),
+                "us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def _chains(group: pa.Table) -> pa.Table:
+        n_steps = len(steps)
+        empty = pa.table(
+            {"depth": pa.array([], pa.int32()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        six = group["six"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = group["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        users, ucode = np.unique(u, return_inverse=True)
+        nu = len(users)
+        # rank-pack (user code, time rank) so every step's "earliest event
+        # of this user strictly after cur" is ONE vectorized searchsorted
+        # (no per-user loop): events sit at odd packed slots, probes at
+        # even slots just past their time rank
+        uu = np.unique(us)
+        R = np.int64(len(uu) + 2)
+        ev_rank = np.searchsorted(uu, us).astype(np.int64)
+        cur = np.full(nu, np.int64(-1))  # current chain time
+        alive = np.ones(nu, dtype=bool)
+        depth = np.zeros(nu, dtype=np.int64)
+        anchor = np.zeros(nu, dtype=np.int64)
+        for s in range(n_steps):
+            m = six == s
+            uc_s, us_s, rk_s = ucode[m], us[m], ev_rank[m]
+            packed_ev = (uc_s * R + rk_s) * 2 + 1
+            o = np.argsort(packed_ev, kind="stable")
+            packed_ev, us_s, uc_s = packed_ev[o], us_s[o], uc_s[o]
+            # probe: first distinct time strictly greater than cur
+            pr = np.searchsorted(uu, cur, side="right").astype(np.int64)
+            packed_pr = (np.arange(nu, dtype=np.int64) * R + pr) * 2
+            pos = np.searchsorted(packed_ev, packed_pr)
+            safe = np.minimum(pos, len(packed_ev) - 1)
+            ok = alive & (pos < len(packed_ev)) & (
+                uc_s[safe] == np.arange(nu)
+            ) if len(packed_ev) else np.zeros(nu, dtype=bool)
+            t_next = np.where(ok, us_s[safe] if len(us_s) else 0, 0)
+            if s == 0:
+                anchor = t_next
+            else:
+                ok &= (t_next - anchor) <= within_us
+            alive = ok
+            cur = np.where(ok, t_next, cur)
+            depth[ok] = s + 1
+        cnt = np.bincount(depth, minlength=n_steps + 1)
+        # n_users reaching at least step i
+        reach = np.cumsum(cnt[::-1])[::-1]
+        return pa.table(
+            {
+                "depth": pa.array(
+                    np.arange(1, n_steps + 1, dtype=np.int32)
+                ),
+                "cnt": pa.array(reach[1:].astype(np.int64)),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            _events_path(sf_dir), columns=["user_id", "event_type", "ts"]
+        )
+        .map_batches(_project, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_chains, batch_format="pyarrow")
+    )
+    # tiny final reduce: sum per-bucket counts per depth
+    import pandas as pd
+
+    agg = (
+        ds.to_pandas().groupby("depth", as_index=False)["cnt"].sum()
+        if ds.count()
+        else pd.DataFrame({"depth": [], "cnt": []})
+    )
+    out = pa.table(
+        {
+            "step_idx": pa.array(
+                np.arange(1, len(steps) + 1, dtype=np.int64)
+            ),
+            "step": pa.array(list(steps), pa.string()),
+            "n_users": pa.array(
+                [
+                    int(agg.loc[agg["depth"] == i, "cnt"].sum())
+                    for i in range(1, len(steps) + 1)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    return out

@@ -109,3 +109,51 @@ def test_sessionize_heavy_user_million_events(tmp_path):
     hs = np.sort(heavy)
     brk[1:] = hs[1:] - hs[:-1] > GAP_US
     assert len(mine) == int(brk.sum())
+
+
+def test_funnel_counts_vs_bruteforce(sf_dir):
+    """funnel_counts == a per-user sequential greedy-earliest chain with
+    the whole chain inside the window of the step-1 anchor."""
+    import collections
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_go_ray.pipelines import events
+
+    steps, within = ("view", "click", "purchase"), 28800
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    six_map = {s: i for i, s in enumerate(steps)}
+    by_user: dict = collections.defaultdict(lambda: collections.defaultdict(list))
+    for u, e, ts in zip(
+        t["user_id"].to_pylist(),
+        t["event_type"].to_pylist(),
+        t["ts"].cast("int64").to_pylist(),
+    ):
+        if e in six_map:
+            by_user[u][six_map[e]].append(ts)
+    W = within * 1_000_000
+    cnt = [0] * len(steps)
+    for u, ev in by_user.items():
+        cur, anchor = -1, None
+        for s in range(len(steps)):
+            nxt = [x for x in sorted(ev[s]) if x > cur]
+            if not nxt:
+                break
+            tn = nxt[0]
+            if s == 0:
+                anchor = tn
+            elif tn - anchor > W:
+                break
+            cur = tn
+            cnt[s] += 1
+    got = events.funnel_counts(
+        sf_dir, steps=steps, within_seconds=within
+    )
+    assert got["n_users"].to_pylist() == cnt
+    assert got["step"].to_pylist() == list(steps)
+    assert cnt[0] >= cnt[1] >= cnt[2]  # a funnel narrows
