@@ -340,3 +340,33 @@ def test_group_quantiles_vs_bruteforce(sf_dir):
     assert {
         (r["lang"], r["q"]): int(r["value"]) for _, r in got.iterrows()
     } == expect
+
+
+def test_curation_ops_multi_row_group_invariance(sf_dir, tmp_path):
+    """Rewriting the documents table into many small row groups (more
+    read blocks / different batch boundaries) must not change any
+    operator's result — the batching-invariance contract behind the
+    determinism claims."""
+    import shutil
+
+    from lucene_go_ray.pipelines import lm, sampling, textstats
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    p = tmp_path / "rg"
+    p.mkdir()
+    t = pq.read_table(src)
+    pq.write_table(t, p / "documents.parquet", row_group_size=37)
+
+    def norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    for fn, cols in (
+        (lambda d: dedup.decontaminate(d).to_pandas(), ["doc_id"]),
+        (lambda d: sampling.stratified_sample(d).to_pandas(), ["doc_id"]),
+        (lambda d: textstats.top_ngrams(d, n=3, k=50).to_pandas(), ["cnt", "gram"]),
+        (lambda d: lm.lm_perplexity(d).to_pandas(), ["doc_id"]),
+        (lambda d: dedup.near_dup_clusters(d).to_pandas(), ["doc_id"]),
+    ):
+        a = norm(fn(sf_dir), cols)
+        b = norm(fn(str(p)), cols)
+        assert a.equals(b), f"row-group layout changed a result: {cols}"
