@@ -56,7 +56,7 @@ def word_counts(sf_dir: str, *, key: str = "doc_id", text: str = "text"):
 
     return (
         ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=[key, text]
+            os.path.join(sf_dir, "documents.parquet"), columns=[text]
         )
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("word")
@@ -81,33 +81,31 @@ def _greedy_merge_mask(cand: np.ndarray) -> np.ndarray:
 
 
 def _apply_one_merge(
-    offs: np.ndarray, flat: pa.Array, bl: str, br: str
-) -> tuple[np.ndarray, pa.Array]:
+    offs: np.ndarray, flat_np: np.ndarray, bl: str, br: str
+) -> tuple[np.ndarray, np.ndarray]:
     """Apply one (bl, br) merge greedily to every symbol sequence in a
-    flattened large_list representation; returns (new offsets, new flat)."""
-    L = len(flat)
+    flattened (offsets, numpy object array) representation; returns
+    (new offsets, new flat). Pure numpy — callers convert Arrow<->numpy
+    ONCE per batch, not once per merge."""
+    L = len(flat_np)
     if L < 2:
-        return offs, flat
+        return offs, flat_np
     nseq = len(offs) - 1
     seq_of = np.repeat(np.arange(nseq), np.diff(offs))
-    il = pc.equal(flat, pa.scalar(bl, pa.large_string())).to_numpy(
-        zero_copy_only=False
-    )
-    ir = pc.equal(flat, pa.scalar(br, pa.large_string())).to_numpy(
-        zero_copy_only=False
-    )
+    il = flat_np == bl
+    ir = flat_np == br
     cand = il[:-1] & ir[1:] & (seq_of[:-1] == seq_of[1:])
     chosen = _greedy_merge_mask(cand)
     if not chosen.any():
-        return offs, flat
+        return offs, flat_np
     starts = np.zeros(L, bool)
     starts[np.flatnonzero(chosen)] = True
     drop = np.zeros(L, bool)
     drop[np.flatnonzero(chosen) + 1] = True
-    flat_np = np.asarray(flat.to_pylist(), dtype=object)
-    flat_np[starts] = bl + br
+    out = flat_np.copy()
+    out[starts] = bl + br
     keep = ~drop
-    new_flat = pa.array(flat_np[keep].tolist(), pa.large_string())
+    new_flat = out[keep]
     new_counts = np.bincount(seq_of[keep], minlength=nseq)
     new_offs = np.zeros(nseq + 1, np.int64)
     np.cumsum(new_counts, out=new_offs[1:])
@@ -176,24 +174,24 @@ def train_bpe(
             lefts = flat.slice(0, L - 1).filter(vmask)
             rights = flat.slice(1, L - 1).filter(vmask)
             w = cnt[word_of[:-1][valid]]
-            pair = pc.binary_join_element_wise(
-                lefts, rights, pa.scalar("\x1f", type=pa.large_string())
-            )
-            if isinstance(pair, pa.ChunkedArray):
-                pair = pair.combine_chunks()
-            denc = pair.dictionary_encode()
-            codes = denc.indices.to_numpy(zero_copy_only=False)
-            tot = np.zeros(len(denc.dictionary), np.int64)
-            np.add.at(tot, codes, w)
-            # first occurrence of each code recovers (left, right) without
-            # re-splitting the joined strings
-            first = np.zeros(len(denc.dictionary), np.int64)
-            first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
-            fi = pa.array(first)
+            # encode the PAIR as packed (left code, right code) — a joined
+            # string key would conflate pairs whose symbols contain the
+            # separator ("a\x1f"+"b" == "a"+"\x1fb")
+            ld = lefts.dictionary_encode()
+            rd = rights.dictionary_encode()
+            lc = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            rc = rd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nr = np.int64(len(rd.dictionary))
+            uk, inv = np.unique(lc * nr + rc, return_inverse=True)
+            tot = np.bincount(inv, weights=w).astype(np.int64)
             return pa.table(
                 {
-                    "left": lefts.take(fi),
-                    "right": rights.take(fi),
+                    "left": ld.dictionary.take(
+                        pa.array((uk // nr).astype(np.int64))
+                    ),
+                    "right": rd.dictionary.take(
+                        pa.array((uk % nr).astype(np.int64))
+                    ),
                     "c": pa.array(tot),
                 }
             )
@@ -213,18 +211,22 @@ def train_bpe(
         ca = np.concatenate(cs).astype(np.int64)
         if len(la) == 0:
             break
-        keys = np.char.add(
-            np.char.add(la.astype(str), "\x1f"), ra.astype(str)
+        # group identical (left, right) rows with a two-key lexsort on the
+        # STRING arrays — no joined key, so symbols may contain any
+        # code point; tie-break (count desc, left asc, right asc)
+        las, ras = la.astype(str), ra.astype(str)
+        order0 = np.lexsort((ras, las))
+        las, ras, ca = las[order0], ras[order0], ca[order0]
+        new = np.concatenate(
+            [[True], (las[1:] != las[:-1]) | (ras[1:] != ras[:-1])]
         )
-        uk, inv = np.unique(keys, return_inverse=True)
-        tot = np.bincount(inv, weights=ca).astype(np.int64)
-        # tie-break: count desc, then pair string asc (== left asc, right
-        # asc because \x1f sorts below every printable symbol)
-        order = np.lexsort((uk, -tot))
-        best = order[0]
+        starts = np.flatnonzero(new)
+        la_u, ra_u = las[starts], ras[starts]
+        tot = np.add.reduceat(ca, starts)
+        best = np.lexsort((ra_u, la_u, -tot))[0]
         if tot[best] < min_pair_count:
             break
-        best_l, best_r = uk[best].split("\x1f", 1)
+        best_l, best_r = str(la_u[best]), str(ra_u[best])
         merges.append((best_l, best_r, int(tot[best])))
         pair_ref = ray.put((best_l, best_r))
 
@@ -233,9 +235,11 @@ def train_bpe(
             syms = batch["syms"].combine_chunks()
             cnt = batch["cnt"]
             offs = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = syms.values
-            new_offs, new_flat = _apply_one_merge(offs, flat, bl, br)
-            return _sym_table(new_offs, new_flat, cnt)
+            flat_np = np.asarray(syms.values.to_pylist(), dtype=object)
+            new_offs, new_flat = _apply_one_merge(offs, flat_np, bl, br)
+            return _sym_table(
+                new_offs, pa.array(new_flat.tolist(), pa.large_string()), cnt
+            )
 
         ds = ds.map_batches(_apply, batch_format="pyarrow").materialize()
 
@@ -290,7 +294,7 @@ def encode_counts(
         )
         offs = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
-        fc = pa.array(list("".join(words_py)), pa.large_string())
+        fc = np.array(list("".join(words_py)), dtype=object)
         for bl, br in ms:
             offs, fc = _apply_one_merge(offs, fc, bl, br)
         n_sub = np.diff(offs)

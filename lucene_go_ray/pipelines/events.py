@@ -319,12 +319,14 @@ def funnel_counts(
         .groupby("user_id")
         .map_groups(_chains, batch_format="pyarrow")
     )
-    # tiny final reduce: sum per-bucket counts per depth
+    # tiny final reduce: sum per-bucket counts per depth (ONE execution —
+    # count() + to_pandas() would run the whole pipeline twice)
     import pandas as pd
 
+    df = ds.to_pandas()
     agg = (
-        ds.to_pandas().groupby("depth", as_index=False)["cnt"].sum()
-        if ds.count()
+        df.groupby("depth", as_index=False)["cnt"].sum()
+        if len(df)
         else pd.DataFrame({"depth": [], "cnt": []})
     )
     out = pa.table(

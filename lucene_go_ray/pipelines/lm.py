@@ -198,12 +198,7 @@ def lm_perplexity(
         p = p_add.copy()
         if len(tok_h) >= 2:
             valid = doc_of[:-1] == doc_of[1:]
-            with np.errstate(over="ignore"):
-                keys = _mix(
-                    tok_h[:-1] * np.uint64(0x9E3779B97F4A7C15) ^ tok_h[1:],
-                    np.uint64(41),
-                )
-            cb = _lookup(s_bh, s_bc, keys[valid])
+            cb = _lookup(s_bh, s_bc, _pair_keys(tok_h, counts))
             cctx = cu[:-1][valid]
             ml = np.divide(
                 cb, cctx, out=np.zeros_like(cb), where=cctx > 0

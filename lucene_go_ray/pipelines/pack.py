@@ -68,25 +68,31 @@ def pack_sequences(
     ]
 
     def _chunk_sums(batch: pa.Table) -> pa.Table:
-        out_cid, out_sum = [], []
+        out = {k: [] for k in ("cid", "tok_sum", "first_id", "last_id")}
         for row in batch.to_pylist():
-            t = _read_rows(path, [text], int(row["lo"]), int(row["hi"]))
-            out_cid.append(int(row["cid"]))
-            out_sum.append(int(_token_counts(t[text]).sum()))
-        return pa.table(
-            {"cid": pa.array(out_cid, pa.int64()),
-             "tok_sum": pa.array(out_sum, pa.int64())}
-        )
+            t = _read_rows(path, [key, text], int(row["lo"]), int(row["hi"]))
+            ids = t[key].to_numpy(zero_copy_only=False)
+            out["cid"].append(int(row["cid"]))
+            out["tok_sum"].append(int(_token_counts(t[text]).sum()))
+            out["first_id"].append(int(ids[0]) if len(ids) else 0)
+            out["last_id"].append(int(ids[-1]) if len(ids) else 0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
     sums = np.zeros(len(chunks), dtype=np.int64)
+    firsts = np.zeros(len(chunks), dtype=np.int64)
+    lasts = np.zeros(len(chunks), dtype=np.int64)
     for b in (
         ray.data.from_items(chunks)
         .map_batches(_chunk_sums, batch_format="pyarrow", batch_size=1)
         .iter_batches(batch_format="pyarrow")
     ):
-        sums[b["cid"].to_numpy(zero_copy_only=False)] = b[
-            "tok_sum"
-        ].to_numpy(zero_copy_only=False)
+        cid = b["cid"].to_numpy(zero_copy_only=False)
+        sums[cid] = b["tok_sum"].to_numpy(zero_copy_only=False)
+        firsts[cid] = b["first_id"].to_numpy(zero_copy_only=False)
+        lasts[cid] = b["last_id"].to_numpy(zero_copy_only=False)
+    # cross-CHUNK monotonicity (pass B only checks within each chunk)
+    if len(chunks) > 1 and not np.all(lasts[:-1] < firsts[1:]):
+        raise ValueError("pack_sequences requires a doc_id-sorted table")
     bases = np.zeros(len(chunks) + 1, dtype=np.int64)
     np.cumsum(sums, out=bases[1:])
 

@@ -84,7 +84,7 @@ def hll_distinct_terms(
 
     merged = np.zeros(m, dtype=np.uint8)
     for b in (
-        ray.data.read_parquet(path, columns=[key, text])
+        ray.data.read_parquet(path, columns=[text])
         .map_batches(_partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):

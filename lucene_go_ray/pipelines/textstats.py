@@ -411,8 +411,15 @@ def group_quantiles(
         cum = np.cumsum(cnt)
         n = int(cum[-1])
         out_q, out_v = [], []
+        from fractions import Fraction
+        from math import ceil
+
         for q in qs:
-            rank = max(int(np.ceil(q * n)), 1)
+            # EXACT rank arithmetic: DuckDB parses the q literal as a
+            # DECIMAL, so ceil(q*n) is exact there; float ceil(q*n) here
+            # would overshoot whenever q*n is an integer whose float
+            # product lands one ulp above it (e.g. 0.28 * 25)
+            rank = max(ceil(Fraction(str(q)) * n), 1)
             out_q.append(float(q))
             out_v.append(int(vals[np.searchsorted(cum, rank)]))
         return pa.table(

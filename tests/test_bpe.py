@@ -125,3 +125,35 @@ def test_encode_counts_matches_sequential(sf_dir):
         sum(len(x) for x in re.split(_SPLIT, s))
         for s in t["text"].to_pylist()
     )
+
+
+def test_train_bpe_separator_safe_symbols(tmp_path):
+    """Symbols containing U+001F (a non-whitespace control char that
+    survives tokenization) must not corrupt pair keys or the recovered
+    merge table — pairs are keyed by (left code, right code), never by a
+    joined string."""
+    import pyarrow as pa
+
+    p = tmp_path / "sep"
+    p.mkdir()
+    # '\x1f' inside words; repeated so pairs clear min_pair_count
+    docs = ["a\x1fb a\x1fb a\x1fb", "a\x1fb xx xx", "xx a\x1fb"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        p / "documents.parquet",
+    )
+    got = bpe.train_bpe(str(p), num_merges=4)
+    eng = list(
+        zip(
+            got["left"].to_pylist(),
+            got["right"].to_pylist(),
+            got["pair_count"].to_pylist(),
+        )
+    )
+    assert eng == _oracle_merges(str(p), 4)
+    assert all(l != "" for l, _, _ in eng)  # no corrupted empty-left merge

@@ -370,3 +370,57 @@ def test_curation_ops_multi_row_group_invariance(sf_dir, tmp_path):
         a = norm(fn(sf_dir), cols)
         b = norm(fn(str(p)), cols)
         assert a.equals(b), f"row-group layout changed a result: {cols}"
+
+
+def test_group_quantiles_integer_boundary(tmp_path):
+    """q*n hitting an exact integer must use exact rank arithmetic:
+    0.28*25 is 7.000...01 in float64; ceil must give rank 7, not 8
+    (DuckDB parses the q literal as DECIMAL and gets 7)."""
+    import duckdb
+
+    from lucene_go_ray.pipelines import textstats
+
+    p = tmp_path / "qb"
+    p.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(25), pa.int64()),
+                "lang": pa.array(["en"] * 25),
+                "n_chars": pa.array(range(1, 26), pa.int64()),
+            }
+        ),
+        p / "documents.parquet",
+    )
+    got = textstats.group_quantiles(str(p), qs=(0.28, 0.56)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{p}/documents.parquet')"
+    )
+    for q in (0.28, 0.56):
+        want = con.execute(
+            f"SELECT quantile_disc(n_chars, {q}) FROM documents"
+        ).fetchone()[0]
+        assert int(got.loc[got["q"] == q, "value"].iloc[0]) == want
+
+
+def test_pack_sequences_cross_chunk_unsorted_raises(tmp_path):
+    """Per-chunk-sorted but globally unsorted input must raise (the
+    cross-chunk first/last check)."""
+    from lucene_go_ray.pipelines import pack
+
+    p = tmp_path / "xs"
+    p.mkdir()
+    ids = list(range(100, 200)) + list(range(0, 100))  # two sorted blocks
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["a b c"] * 200),
+            }
+        ),
+        p / "documents.parquet",
+    )
+    with pytest.raises(ValueError, match="doc_id-sorted"):
+        pack.pack_sequences(str(p), capacity=8, chunk_rows=100).to_pandas()
