@@ -123,6 +123,76 @@ def _sym_table(syms_offs: np.ndarray, flat: pa.Array, cnt) -> pa.Table:
     )
 
 
+def _best_pair(
+    la: np.ndarray, ra: np.ndarray, ca: np.ndarray, min_pair_count: int
+) -> tuple[str, str, int] | None:
+    """Group (left, right, count) rows and pick the argmax pair with the
+    deterministic tie-break (count desc, left asc, right asc). Two-key
+    lexsort on the STRING arrays — no joined key, so symbols may contain
+    any code point."""
+    if len(la) == 0:
+        return None
+    las, ras = la.astype(str), ra.astype(str)
+    order0 = np.lexsort((ras, las))
+    las, ras, ca = las[order0], ras[order0], ca[order0]
+    new = np.concatenate(
+        [[True], (las[1:] != las[:-1]) | (ras[1:] != ras[:-1])]
+    )
+    starts = np.flatnonzero(new)
+    la_u, ra_u = las[starts], ras[starts]
+    tot = np.add.reduceat(ca, starts)
+    best = np.lexsort((ra_u, la_u, -tot))[0]
+    if tot[best] < min_pair_count:
+        return None
+    return str(la_u[best]), str(ra_u[best]), int(tot[best])
+
+
+def _merges_table(merges: list[tuple[str, str, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], pa.large_string()),
+            "right": pa.array([m[1] for m in merges], pa.large_string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _train_bpe_local(
+    words_tab: pa.Table, num_merges: int, min_pair_count: int
+) -> pa.Table:
+    """Driver-side merge loop over the already-reduced word table: the
+    corpus was touched exactly once (the distributed word-count exchange);
+    everything after is pure numpy over the Zipf-bounded vocabulary —
+    ZERO Ray round-trips per merge round, so a production 32k-merge vocab
+    costs 32k in-memory passes, not 64k cluster exchanges."""
+    w = words_tab["word"].cast(pa.large_string())
+    cnt = words_tab["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    words_py = w.to_pylist()
+    lens = pc.utf8_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat_np = np.asarray(list("".join(words_py)), dtype=object)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        if len(flat_np) < 2:
+            break
+        word_of = np.repeat(np.arange(len(cnt)), np.diff(offs))
+        valid = word_of[:-1] == word_of[1:]
+        if not valid.any():
+            break
+        la = flat_np[:-1][valid]
+        ra = flat_np[1:][valid]
+        ca = cnt[word_of[:-1][valid]]
+        pick = _best_pair(la, ra, ca, min_pair_count)
+        if pick is None:
+            break
+        merges.append(pick)
+        offs, flat_np = _apply_one_merge(offs, flat_np, pick[0], pick[1])
+    return _merges_table(merges)
+
+
 def train_bpe(
     sf_dir: str,
     *,
@@ -130,14 +200,27 @@ def train_bpe(
     text: str = "text",
     num_merges: int = 50,
     min_pair_count: int = 2,
+    driver_word_limit: int = 5_000_000,
 ):
     """Learn ``num_merges`` BPE merges; returns a pyarrow table
     (rank, left, right, pair_count) — the merge table a tokenizer would
-    persist. Deterministic: tie-break (count desc, left asc, right asc)."""
+    persist. Deterministic: tie-break (count desc, left asc, right asc).
+
+    The corpus-sized work is ONE distributed exchange (word_counts).
+    When the reduced word table fits the driver (``driver_word_limit``
+    distinct words — Zipf guarantees this far beyond 100 TB of natural
+    text), the merge loop runs locally with zero per-round Ray traffic;
+    above the limit it falls back to the distributed per-round path
+    (two cluster passes per merge)."""
     import ray
     import ray.data
 
     words = word_counts(sf_dir, key=key, text=text).materialize()
+    if words.count() <= driver_word_limit:
+        tab = pa.concat_tables(
+            list(words.iter_batches(batch_format="pyarrow"))
+        )
+        return _train_bpe_local(tab, num_merges, min_pair_count)
 
     def _to_symbols(batch: pa.Table) -> pa.Table:
         w = batch["word"].cast(pa.large_string())
@@ -206,28 +289,16 @@ def train_bpe(
             cs.append(b["c"].to_numpy(zero_copy_only=False))
         if not ls:
             break
-        la = np.concatenate(ls)
-        ra = np.concatenate(rs)
-        ca = np.concatenate(cs).astype(np.int64)
-        if len(la) == 0:
-            break
-        # group identical (left, right) rows with a two-key lexsort on the
-        # STRING arrays — no joined key, so symbols may contain any
-        # code point; tie-break (count desc, left asc, right asc)
-        las, ras = la.astype(str), ra.astype(str)
-        order0 = np.lexsort((ras, las))
-        las, ras, ca = las[order0], ras[order0], ca[order0]
-        new = np.concatenate(
-            [[True], (las[1:] != las[:-1]) | (ras[1:] != ras[:-1])]
+        pick = _best_pair(
+            np.concatenate(ls),
+            np.concatenate(rs),
+            np.concatenate(cs).astype(np.int64),
+            min_pair_count,
         )
-        starts = np.flatnonzero(new)
-        la_u, ra_u = las[starts], ras[starts]
-        tot = np.add.reduceat(ca, starts)
-        best = np.lexsort((ra_u, la_u, -tot))[0]
-        if tot[best] < min_pair_count:
+        if pick is None:
             break
-        best_l, best_r = str(la_u[best]), str(ra_u[best])
-        merges.append((best_l, best_r, int(tot[best])))
+        best_l, best_r = pick[0], pick[1]
+        merges.append(pick)
         pair_ref = ray.put((best_l, best_r))
 
         def _apply(batch: pa.Table) -> pa.Table:
@@ -243,14 +314,7 @@ def train_bpe(
 
         ds = ds.map_batches(_apply, batch_format="pyarrow").materialize()
 
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
-            "left": pa.array([m[0] for m in merges], pa.large_string()),
-            "right": pa.array([m[1] for m in merges], pa.large_string()),
-            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
-        }
-    )
+    return _merges_table(merges)
 
 
 def encode_counts(

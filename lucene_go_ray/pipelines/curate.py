@@ -262,11 +262,17 @@ def curate(
         _write_filter, batch_format="pyarrow"
     ).write_parquet(out_dir, partition_cols=["part"])
 
+    # the returned survivor stream reuses the SAME broadcast loser set as
+    # the write path (exact-dup losers are already absent via is_loser;
+    # the membership probe removes the nd-cluster members) — one ray.put,
+    # one map pass, no second broadcast
     def _survivors_only(batch: pa.Table) -> pa.Table:
         keep = pc.invert(batch["is_loser"].combine_chunks())
-        return batch.filter(keep).select(["doc_id"])
+        t = batch.filter(keep).select(["doc_id"])
+        drop = ray.get(losers_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(drop, ids, side="left")
+        hi = np.searchsorted(drop, ids, side="right")
+        return t.filter(pa.array(lo == hi))
 
-    surv = marked.map_batches(_survivors_only, batch_format="pyarrow")
-    if near_dup_threshold is None:
-        return surv
-    return _drop_members(surv, ray.put(nd_losers))
+    return marked.map_batches(_survivors_only, batch_format="pyarrow")

@@ -1204,6 +1204,18 @@ def connected_components(
                  "cluster_id": pa.array([], pa.int64())}
             )
         u, v, heads, m, sizes = _neighborhoods(group)
+        # star-forest validation: convergence was declared on a (count,
+        # hash-sum) signature match, which a collision could fake. In a
+        # true fixpoint every non-root vertex (head > its neighbourhood
+        # min) has EXACTLY one neighbour — its root. A path/cycle
+        # remnant from a collided non-fixpoint state fails this here
+        # rather than silently mislabelling.
+        bad = (heads != m) & (sizes != 1)
+        if bad.any():
+            raise RuntimeError(
+                "connected_components: converged edge set is not a star "
+                "forest (signature collision on a non-fixpoint state)"
+            )
         return pa.table({"doc_id": pa.array(heads), "cluster_id": pa.array(m)})
 
     return (

@@ -319,16 +319,10 @@ def funnel_counts(
         .groupby("user_id")
         .map_groups(_chains, batch_format="pyarrow")
     )
-    # tiny final reduce: sum per-bucket counts per depth (ONE execution —
-    # count() + to_pandas() would run the whole pipeline twice)
-    import pandas as pd
-
-    df = ds.to_pandas()
-    agg = (
-        df.groupby("depth", as_index=False)["cnt"].sum()
-        if len(df)
-        else pd.DataFrame({"depth": [], "cnt": []})
-    )
+    # tiny final reduce: Dataset-native sum per depth (n_steps rows total),
+    # ONE execution of the pipeline.
+    agg_rows = ds.groupby("depth").sum("cnt").take_all()
+    by_depth = {int(r["depth"]): int(r["sum(cnt)"]) for r in agg_rows}
     out = pa.table(
         {
             "step_idx": pa.array(
@@ -336,10 +330,7 @@ def funnel_counts(
             ),
             "step": pa.array(list(steps), pa.string()),
             "n_users": pa.array(
-                [
-                    int(agg.loc[agg["depth"] == i, "cnt"].sum())
-                    for i in range(1, len(steps) + 1)
-                ],
+                [by_depth.get(i, 0) for i in range(1, len(steps) + 1)],
                 pa.int64(),
             ),
         }

@@ -689,6 +689,8 @@ def topk_mlt(
     n_terms: int = 5,
     k: int = 10,
     *,
+    min_term_freq: int = 0,
+    min_doc_freq: int = 0,
     round_to: int = 6,
     cfg: IndexConfig = _GATE_CFG,
 ) -> pa.Table:
@@ -698,7 +700,14 @@ def topk_mlt(
     re-analysis), then run the SHOULD query they form. Term selection
     uses the rounded tf*idf with a (score desc, term asc) tie-break so
     DuckDB reproduces the exact same interesting-term set; result rows
-    are the usual (rank, doc_id, score)."""
+    are the usual (rank, doc_id, score).
+
+    INTENTIONAL divergence from Lucene MoreLikeThis defaults: interesting
+    terms are scored with the engine's BM25 idf (ln(1+(N-n+0.5)/(n+0.5)))
+    rather than classic idf (log(N/(df+1))+1), and the frequency gates
+    default OFF so the gate oracle stays a pure closed-form SQL replay.
+    Lucene's defaults (minTermFreq=2, minDocFreq=5, maxQueryTerms=25)
+    are available via ``min_term_freq`` / ``min_doc_freq`` / ``n_terms``."""
     import math
 
     from ..search.query import BooleanQuery
@@ -708,7 +717,11 @@ def topk_mlt(
     N = float(s.stats["doc_count"])
     scored = []
     for term, freq in zip(tv["term"].to_pylist(), tv["freq"].to_pylist()):
+        if freq < min_term_freq:
+            continue
         df, _ = s.term_statistics(term)
+        if df < min_doc_freq:
+            continue
         idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
         scored.append((round(freq * idf, round_to), term))
     scored.sort(key=lambda x: (-x[0], x[1]))
@@ -734,17 +747,20 @@ def suggest_terms(
 ) -> pa.Table:
     """Prefix autocomplete (Lucene suggest-module analogue): the top-k
     dictionary terms with ``prefix``, ranked by (doc_freq desc, term asc).
-    Expansion is the MultiTermQuery range-index seek (term columns only);
-    per-candidate doc_freq comes from the merged chunk metadata."""
+    Candidate terms AND their doc_freqs come from ONE batched range-index
+    scan (``expand_terms_stats``) over the merged chunk metadata — a
+    common one-character prefix costs the same row-group pass as its
+    expansion, not O(dictionary) per-term probes."""
     s = get_searcher(sf_dir, cfg)
-    f = cfg.text_column
-    cands = s.expand_terms(f, prefix, prefix + "\U0010ffff")
-    rows = [(t, s.term_statistics(t)[0]) for t in cands]
-    rows.sort(key=lambda x: (-x[1], x[0]))
-    rows = rows[:k]
+    stats = s.expand_terms_stats(
+        cfg.text_column, prefix, prefix + "\U0010ffff"
+    )
+    terms = np.asarray(stats["term"].to_pylist(), dtype=object)
+    dfs = stats["doc_freq"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -dfs))[:k]
     return pa.table(
         {
-            "term": pa.array([r[0] for r in rows], pa.string()),
-            "doc_freq": pa.array([r[1] for r in rows], pa.int64()),
+            "term": pa.array(terms[order].tolist(), pa.string()),
+            "doc_freq": pa.array(dfs[order], pa.int64()),
         }
     )

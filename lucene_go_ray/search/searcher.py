@@ -288,6 +288,42 @@ class _RangeIndex:
             )
         return sorted(terms)
 
+    def expand_terms_stats(self, fld: str, lo: str, hi: str) -> pa.Table:
+        """(term, doc_freq) for all of ``fld``'s dictionary terms in
+        [lo, hi] — the ``expand_terms`` seek with the doc_freq column read
+        in the SAME row-group pass and summed per term (a term's salted
+        groups may span row groups). One scan, zero per-term probes."""
+        klo, khi = posting_key(fld, lo), posting_key(fld, hi)
+        mask = (self.key_min <= khi) & (klo <= self.key_max)
+        parts = []
+        for i in np.flatnonzero(mask):
+            t = self._file(self.files[i]).read_row_group(
+                int(self.row_groups[i]),
+                columns=["field", "term", "doc_freq"],
+            )
+            t = t.filter(
+                pc.and_(
+                    pc.equal(t["field"], fld),
+                    pc.and_(
+                        pc.greater_equal(t["term"], lo),
+                        pc.less_equal(t["term"], hi),
+                    ),
+                )
+            )
+            if len(t):
+                parts.append(t.select(["term", "doc_freq"]))
+        if not parts:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_freq": pa.array([], pa.int64())}
+            )
+        agg = (
+            pa.concat_tables(parts)
+            .group_by("term")
+            .aggregate([("doc_freq", "sum")])
+        )
+        return agg.rename_columns(["term", "doc_freq"])
+
     def read_term_rows(
         self,
         fld: str,
@@ -927,6 +963,42 @@ class IndexSearcher:
             )
             terms.update(t["term"].to_pylist())
         return sorted(terms)
+
+    def expand_terms_stats(self, fld: str, lo: str, hi: str) -> pa.Table:
+        """(term, doc_freq) for dictionary terms in [lo, hi], read in ONE
+        pass over the same row groups ``expand_terms`` touches (merged
+        range-index probe, or per-segment scans in NRT mode) — no
+        per-candidate ``term_statistics`` round-trips."""
+        if not self.nrt:
+            return self.postings.expand_terms_stats(fld, lo, hi)
+        parts = []
+        for p in self.manifest.partitions:
+            path = os.path.join(
+                self.index_dir, "segments", f"p={int(p['pid']):05d}",
+                "terms.parquet",
+            )
+            t = pq.read_table(
+                path,
+                columns=["field", "term", "doc_freq"],
+                filters=[
+                    ("field", "=", fld),
+                    ("term", ">=", lo),
+                    ("term", "<=", hi),
+                ],
+            )
+            if len(t):
+                parts.append(t.select(["term", "doc_freq"]))
+        if not parts:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_freq": pa.array([], pa.int64())}
+            )
+        return (
+            pa.concat_tables(parts)
+            .group_by("term")
+            .aggregate([("doc_freq", "sum")])
+            .rename_columns(["term", "doc_freq"])
+        )
 
     def document(self, doc_id: int, columns: list[str] | None = None) -> dict:
         """Full stored-document retrieval — the ``reader.Document(docID)``

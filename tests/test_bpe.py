@@ -67,6 +67,14 @@ def test_train_bpe_matches_sequential_oracle(sf_dir):
     assert any(l in syms or r in syms for l, r, _ in eng[1:])
 
 
+def test_train_bpe_distributed_path_identical(sf_dir):
+    """The >driver_word_limit fallback (two Ray passes per merge) and the
+    default driver-side loop produce the same merge table bit-for-bit."""
+    local = bpe.train_bpe(sf_dir, num_merges=8)
+    dist = bpe.train_bpe(sf_dir, num_merges=8, driver_word_limit=0)
+    assert local.equals(dist)
+
+
 def test_greedy_merge_mask_overlap_runs():
     # "aaaa" -> candidates at 0,1,2 -> greedy picks 0 and 2
     cand = np.array([True, True, True])
