@@ -395,6 +395,30 @@ WHERE rank BETWEEN {lo} AND {hi} ORDER BY rank
 # ---------------------------------------------------------------------------
 
 
+_SIMSUITE_COLS = ("doc_id", "simhash", "a", "b", "distance")
+
+
+def _pad_int64(t, cols: tuple, fill: int = -1):
+    """Align a (Dataset|Table) to the given int64 column set, filling the
+    missing columns with a sentinel — lets schema-diverse suite parts share
+    ONE exact schema (sentinels, not nulls: the value-hash comparator's
+    tuple sort is only total without NaN)."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(t, ray.data.Dataset):
+        t = pa.Table.from_pandas(t.to_pandas(), preserve_index=False)
+    n = t.num_rows
+    out = {}
+    for c in cols:
+        out[c] = (
+            t[c].cast(pa.int64())
+            if c in t.column_names
+            else pa.array([fill] * n, pa.int64())
+        )
+    return pa.table(out)
+
+
 def _suite(parts: dict[str, Any], permissive: bool = False) -> Any:
     """Compose {qid: callable(sf) -> Table/Dataset/DataFrame} into one
     callable returning a single pyarrow table with a leading qid column.
@@ -477,6 +501,145 @@ def _mm_mix_steps(h_col: str, seed: int, prefix: str):
     s.append((z3, _mm_mul64(f"xor({z2}, {z2} >> 27)", 0x94D049BB133111EB)))
     s.append((f"{prefix}out", f"xor({z3}, {z3} >> 31)"))
     return s, f"{prefix}out"
+
+
+# --- minhash / simhash oracles: the fingerprints are DETERMINISTIC pure
+# functions of the text (FNV-1a token hashes -> FNV shingle chains ->
+# splitmix64 permutations / bit votes, pipelines/dedup.py:29-199), so the
+# whole LSH pipeline replays in DuckDB with the same HUGEINT-mod-2^64
+# wrap emulation as the multimodal oracle. The banding is replayed too:
+# a minhash pair is emitted only if some band's rows all agree, exactly
+# like the engine's band_bucket groupby.
+
+_FNV_OFF_SQL = "14695981039346656037::UBIGINT"
+
+
+def _mulp(e: str) -> str:
+    """wrap64(e * FNV_PRIME) — the prime fits 40 bits, product fits HUGEINT."""
+    return f"((({e})::HUGEINT * 1099511628211::HUGEINT) % {_M64})::UBIGINT"
+
+
+def _mix_expr(h: str, seed: int) -> str:
+    """splitmix64 _mix(h, seed) (dedup.py:105) as one nested expression."""
+    c1 = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    z1 = f"((({h})::HUGEINT + {c1}::HUGEINT) % {_M64})::UBIGINT"
+    z2 = _mm_mul64(f"xor({z1}, ({z1}) >> 30)", 0xBF58476D1CE4E5B9)
+    z3 = _mm_mul64(f"xor({z2}, ({z2}) >> 27)", 0x94D049BB133111EB)
+    return f"xor({z3}, ({z3}) >> 31)"
+
+
+def _shingle_ctes(k: int) -> str:
+    """CTEs: dtoks (lowercased whitespace tokens with positions) -> dth
+    (FNV-1a token hashes, list per doc) -> shingles (doc_id, sh) with the
+    engine's short-doc clamp (docs with 0 < n < k emit ONE shingle over
+    end-clamped positions; empty docs emit none)."""
+    # shingle chain out = (out * PRIME) ^ th, starting at 0 — for
+    # j_exprs = the k (1-based) list indices into ths
+    def chain(idx_exprs: list[str]) -> str:
+        e = f"ths[{idx_exprs[0]}]"
+        for ix in idx_exprs[1:]:
+            e = f"xor({_mulp(e)}, ths[{ix}])"
+        return e
+
+    long_idx = [f"s::INT + {j + 1}" for j in range(k)]
+    short_idx = [f"least({j}, n - 1) + 1" for j in range(k)]
+    return f"""dtoks AS (
+  SELECT doc_id, tok_idx, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '{_WS}')) AS tok,
+               generate_subscripts(string_split_regex(text, '{_WS}'), 1) AS tok_idx
+        FROM documents)
+),
+dth AS (
+  SELECT doc_id, list(
+    CASE WHEN octet_length(encode(tok)) = 0 THEN {_FNV_OFF_SQL}
+    ELSE list_reduce(
+      list_prepend({_FNV_OFF_SQL},
+        list_transform(range(octet_length(encode(tok))),
+          i -> ('0x' || substr(hex(encode(tok)), 2*i::INT+1, 2))::UBIGINT)),
+      (acc, b) -> {_mulp('xor(acc::UBIGINT, b::UBIGINT)')}
+    ) END ORDER BY tok_idx) AS ths
+  FROM dtoks GROUP BY doc_id
+),
+shingles AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ths) = 0 THEN []::UBIGINT[]
+         WHEN len(ths) < {k} THEN (SELECT [{chain(short_idx)}] FROM (SELECT len(ths) AS n))
+         ELSE list_transform(range(len(ths) - {k} + 1), s -> {chain(long_idx)})
+    END) AS sh
+  FROM dth
+)"""
+
+
+def _minhash_pairs_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    maxu = "18446744073709551615::UBIGINT"
+    sig_cols = ", ".join(
+        f"min({_mix_expr('sh', i + 1)}) AS s{i}" for i in range(num_hashes)
+    )
+    full_cols = ", ".join(
+        f"coalesce(s.s{i}, {maxu}) AS s{i}" for i in range(num_hashes)
+    )
+    eq_sum = " + ".join(
+        f"(x.s{i} = y.s{i})::INT" for i in range(num_hashes)
+    )
+    band_or = " OR ".join(
+        "(" + " AND ".join(
+            f"x.s{b * rows + r} = y.s{b * rows + r}" for r in range(rows)
+        ) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_ctes(k)},
+sig AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+sigfull AS (
+  SELECT d.doc_id, {full_cols}
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a, b, jaccard_est FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         ({eq_sum}) / {num_hashes}.0 AS jaccard_est,
+         ({band_or}) AS cand
+  FROM sigfull x JOIN sigfull y ON x.doc_id < y.doc_id)
+WHERE cand AND jaccard_est >= {threshold}
+ORDER BY a, b
+"""
+
+
+def _simhash_table_sql(k: int = 2) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * sum(((sh >> {b}) & 1)::BIGINT) > count(*) "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH {_shingle_ctes(k)},
+sv AS (SELECT doc_id, ({bit_terms}) AS v FROM shingles GROUP BY doc_id)
+SELECT d.doc_id,
+       (CASE WHEN coalesce(sv.v, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+             THEN coalesce(sv.v, 0::HUGEINT) - {_M64}
+             ELSE coalesce(sv.v, 0::HUGEINT) END)::BIGINT AS simhash
+FROM documents d LEFT JOIN sv USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _simhash_pairs_sql(max_distance: int = 3, k: int = 2) -> str:
+    """Hamming pairs over the replayed fingerprints. The engine's Manku
+    banding (max_distance+1 bands) is recall-EXACT by pigeonhole — every
+    pair within distance d agrees on some band — so the oracle is simply
+    the distance filter."""
+    table = _simhash_table_sql(k)
+    return f"""
+WITH sim AS ({table})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS distance
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_distance}
+ORDER BY a, b
+"""
 
 
 def _multimodal_sql(dim: int = 16) -> str:
@@ -820,11 +983,30 @@ _RF_Q = (150, 300)  # intersects / contains / crosses query interval
 _RF_WITHIN = (150, 2000)  # wider interval so WITHIN selects a real subset
 # expungeDeletes gate constants (delete lang=es, compact, re-query)
 _EXP_FIELD, _EXP_VALUE, _EXP_TERM = "lang", "es", "spark"
+# incremental-merge gate: re-append the fr docs (doc_id order) through the
+# delta-fold path; appended docIDs = count(*) + row_number() - 1
+_INC_FIELD, _INC_VALUE, _INC_TERM = "lang", "fr", "spark"
+_INC_CORPUS = (
+    "FROM (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT (SELECT count(*) FROM documents) "
+    "+ row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text "
+    "FROM documents WHERE {f} = '{v}') aug)"
+).format(f=_INC_FIELD, v=_INC_VALUE)
 # non-prefix regexp (no literal prefix: exercises automaton-bounded
 # dictionary expansion instead of the prefix seek)
 _REGEXP_NOPREFIX = "[a-z]*ar[kt]"
 # TopFieldCollector gate constants (top-k of the term's hits by dv desc)
 _SF_TERM, _SF_FIELD = "spark", "n_chars"
+_SF_STR_FIELD = "source"  # SORTED string dv sort (docvaluesreader.go:129)
+
+
+def _sort_value_str(t, fld: str):
+    """Rename a topk_sort_field result's value column to sort_value and
+    cast to string, giving the numeric and string qids ONE exact schema."""
+    import pyarrow as pa
+
+    idx = t.column_names.index(fld)
+    return t.set_column(idx, "sort_value", t[fld].cast(pa.string()))
 # dv-update gate constants (set n_chars := 999 on lang=fr docs, then a
 # numeric-range-filtered top-k sees the UPDATED values)
 _DVU_TERM, _DVU_FIELD, _DVU_VALUE, _DVU_NEW = "spark", "lang", "fr", 999
@@ -1108,8 +1290,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         "payload_stats": lambda sf: fulltext.payload_stats(sf, _TERM),
-        "topk_sort_field": lambda sf: fulltext.topk_sort_field(
-            sf, _SF_TERM, [(_SF_FIELD, True)], _K
+        "topk_sort_field": _suite(
+            {
+                # one schema across qids: the sort value travels as string
+                # (numeric qid casts) under a shared column name
+                "numeric": lambda sf: _sort_value_str(
+                    fulltext.topk_sort_field(
+                        sf, _SF_TERM, [(_SF_FIELD, True)], _K
+                    ),
+                    _SF_FIELD,
+                ),
+                "string": lambda sf: _sort_value_str(
+                    fulltext.topk_sort_field(
+                        sf, _SF_TERM, [(_SF_STR_FIELD, True)], _K
+                    ),
+                    _SF_STR_FIELD,
+                ),
+            }
         ),
         "ann_cosine_topk_batch": lambda sf: ann.brute_force_topk_batch(
             sf, query_ids=(0, 1, 2), k=_K
@@ -1122,8 +1319,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kmeans_embeddings": _kmeans_embeddings,
         "semantic_dedup": _semantic_dedup,
-        "facet_counts": lambda sf: fulltext.facet_counts(
-            sf, _TERM, _FACET_FIELD, _FACET_N
+        "facet_counts": _suite(
+            {
+                "postings": lambda sf: fulltext.facet_counts(
+                    sf, _TERM, _FACET_FIELD, _FACET_N
+                ),
+                "dv": lambda sf: fulltext.facet_counts(
+                    sf, _TERM, _FACET_FIELD, _FACET_N, use_dv=True
+                ),
+            }
         ),
         "multimodal_features": _multimodal_features,
         "text_quality": lambda sf: textstats.text_quality(sf),
@@ -1291,6 +1495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     sf, "term", [_EXP_TERM], _K,
                     del_field=_EXP_FIELD, del_value=_EXP_VALUE,
                 ),
+                "after_incremental": lambda sf: fulltext.topk_after_incremental(
+                    sf, "term", [_INC_TERM], _K,
+                    app_field=_INC_FIELD, app_value=_INC_VALUE,
+                ),
             }
         ),
         # --- dedup family ---
@@ -1303,10 +1511,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash_suite": _suite(
             {
-                "table": lambda sf: dedup.simhash_table(sf),
-                "pairs": lambda sf: dedup.simhash_hamming_pairs(sf),
-            },
-            permissive=True,
+                # one exact schema across qids (-1 sentinel padding, no
+                # nulls) so the suite is SQL-hash-checkable
+                "table": lambda sf: _pad_int64(
+                    dedup.simhash_table(sf), _SIMSUITE_COLS
+                ),
+                "pairs": lambda sf: _pad_int64(
+                    dedup.simhash_hamming_pairs(sf), _SIMSUITE_COLS
+                ),
+            }
         ),
         "jaccard_pairs": lambda sf: dedup.jaccard_ngram_pairs(sf, threshold=0.5),
         "dup_spans_suite": _suite(
@@ -1445,7 +1658,18 @@ WHERE l_quantity >= {_KD_LO[0]} AND l_quantity <= {_KD_HI[0]}
                 ),
             }
         ),
-        "topk_sort_field": _topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K),
+        "topk_sort_field": _suite_sql(
+            {
+                "numeric": (
+                    f"SELECT rank, doc_id, {_SF_FIELD}::VARCHAR AS sort_value "
+                    f"FROM ({_topk_sort_field_sql(_SF_TERM, _SF_FIELD, _K)})"
+                ),
+                "string": (
+                    f"SELECT rank, doc_id, {_SF_STR_FIELD}::VARCHAR AS sort_value "
+                    f"FROM ({_topk_sort_field_sql(_SF_TERM, _SF_STR_FIELD, _K)})"
+                ),
+            }
+        ),
         "multimodal_features": _multimodal_sql(16),
         "topk_core_suite": _suite_sql(
             {
@@ -1605,7 +1829,12 @@ WHERE {_FE_FIELD} IS NOT NULL
                 "funnel": _funnel_sql(_FUNNEL_STEPS, _FUNNEL_WITHIN),
             }
         ),
-        "facet_counts": f"""
+        # postings-side and dv-side facet paths count the same thing — one
+        # oracle body per qid
+        "facet_counts": _suite_sql(
+            dict.fromkeys(
+                ("postings", "dv"),
+                f"""
 WITH {_TOKS},
 matches AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_TERM}')
 SELECT {_FACET_FIELD} AS value, count(*)::BIGINT AS cnt
@@ -1613,6 +1842,8 @@ FROM documents d JOIN matches m ON m.doc_id = d.doc_id
 WHERE {_FACET_FIELD} IS NOT NULL
 GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
 """,
+            )
+        ),
         "topk_mutation_suite": _suite_sql(
             {
                 "after_dv_update": _topk_term_filtered_sql(
@@ -1636,6 +1867,12 @@ GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
                     f"FROM documents WHERE {_EXP_FIELD} IS DISTINCT FROM "
                     f"'{_EXP_VALUE}')",
                 ),
+                # grown corpus: base docs + the re-appended subset with
+                # docIDs continuing after max_doc (add_documents'
+                # monotone assignment, replayed in SQL)
+                "after_incremental": _topk_term_sql(_INC_TERM, _K).replace(
+                    "FROM documents)", _INC_CORPUS
+                ),
             }
         ),
         "group_quantiles": "\nUNION ALL\n".join(
@@ -1644,6 +1881,23 @@ GROUP BY 1 ORDER BY cnt DESC, value LIMIT {_FACET_N}
             for q in _GQ_QS
         ),
         "jaccard_pairs": _JACCARD_SQL,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_suite": _suite_sql(
+            {
+                "table": (
+                    "SELECT doc_id, simhash, -1::BIGINT AS a, "
+                    "-1::BIGINT AS b, -1::BIGINT AS distance FROM ("
+                    + _simhash_table_sql()
+                    + ")"
+                ),
+                "pairs": (
+                    "SELECT -1::BIGINT AS doc_id, -1::BIGINT AS simhash, "
+                    "a, b, distance FROM ("
+                    + _simhash_pairs_sql()
+                    + ")"
+                ),
+            }
+        ),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "window_counts": """
 SELECT user_id,
@@ -1847,9 +2101,12 @@ SELECT query_id, rank, vec_id, sim FROM (
   FROM scored)
 WHERE rank <= {_K} ORDER BY query_id, rank
 """,
-        # minhash_pairs / simhash / language_id / fingerprints / ann_lsh_topk /
-        # ann_ivf_topk / ann_ivfpq_topk: non-SQL-expressible (hash-family /
-        # heuristic / trained-quantizer pipelines) -> rows-only; recall
-        # oracles live in pytest (test_lsh_index_recall_at_sf01,
-        # test_ivf_index_recall_at_sf01, test_ivfpq_recall_at_sf01).
+        # language_id / fingerprints / ann_lsh_topk / ann_ivf_topk /
+        # ann_ivfpq_topk: non-SQL-expressible (heuristic / trained-quantizer
+        # pipelines) -> rows-only; recall oracles live in pytest
+        # (test_lsh_index_recall_at_sf01, test_ivf_index_recall_at_sf01,
+        # test_ivfpq_recall_at_sf01). minhash_pairs / simhash_suite moved
+        # to full SQL replay (round 5): the fingerprints are deterministic
+        # pure functions of the text, so the splitmix64/FNV machinery
+        # reproduces them bit-exactly, banding included.
     }

@@ -160,7 +160,10 @@ class SegmentIndexer:
         cols = [cfg.key_column, cfg.text_column]
         range_srcs = tuple(c for rf in cfg.range_fields for c in rf[1:])
         for extra in (
-            tuple(cfg.keyword_fields) + tuple(cfg.docvalue_fields) + range_srcs
+            tuple(cfg.keyword_fields)
+            + tuple(cfg.docvalue_fields)
+            + tuple(getattr(cfg, "string_docvalue_fields", ()))
+            + range_srcs
         ):
             if extra not in cols:
                 cols.append(extra)
@@ -280,6 +283,15 @@ class SegmentIndexer:
             mm = pc.min_max(col).as_py()
             if mm["min"] is not None:
                 dv_ranges[dvf] = [int(mm["min"]), int(mm["max"])]
+        # String/binary doc-values (SORTED / SORTED_SET / BINARY,
+        # docvaluesreader.go:129,326): stored verbatim as sdv_{f} docmap
+        # columns — parquet dictionary-encodes low-cardinality strings, so
+        # the on-disk shape is the per-segment ordinal table of the
+        # reference without a separate dict file.
+        sdv_cols: dict[str, pa.Array] = {}
+        for sdf in getattr(cfg, "string_docvalue_fields", ()):
+            sdv_cols[f"sdv_{sdf}"] = table[sdf].combine_chunks()
+
         # RangeField intervals (core/query/rangefieldquery.go analogue):
         # lo/hi derived element-wise so min<=max holds by construction
         # (the reference's verifyAndEncode invariant, longrange.go:15-39);
@@ -322,6 +334,7 @@ class SegmentIndexer:
                 "key": table[cfg.key_column],
                 "norm": pa.array(norms),
                 **dv_cols,
+                **sdv_cols,
                 **hf_cols,
             }
         )
@@ -736,6 +749,7 @@ def add_documents(
     new_paths: list[str] | str,
     *,
     concurrency: int | None = None,
+    merge: str = "auto",
 ) -> Manifest:
     """Append documents to an existing index — the IndexWriter.AddDocuments
     + Commit surface (/root/reference/core/index/indexwriter.go:424-447) for
@@ -744,9 +758,16 @@ def add_documents(
     New input files are planned into fresh partitions numbered AFTER every
     existing pid, so existing partitions keep their docBases (tombstones
     stay valid) and new docs get globally larger docIDs — exactly the
-    reference's monotone docID assignment across commits. The global merge
-    re-runs with a new epoch (segment set changed)."""
-    from .merge import merge_index
+    reference's monotone docID assignment across commits.
+
+    ``merge`` selects the MergePolicy behaviour (the reference's
+    mergepolicy.go:134-334 contract): ``"auto"`` applies the size-tiered
+    decision (plan_merge — incremental fold of only the new segments'
+    buckets while growth since the last full merge is small, full
+    re-shuffle past cfg.tiered_growth_ratio), ``"incremental"`` /
+    ``"full"`` force a path, ``"none"`` commits the segments unmerged
+    (searchable via NRT)."""
+    from .merge import incremental_merge_index, merge_index, plan_merge
 
     manifest = load_manifest(index_dir)
     if manifest is None:
@@ -767,8 +788,18 @@ def add_documents(
         built[info.pid] = info
     manifest = finalize_partitions(list(built.values()))
     manifest.config = asdict(cfg)
+    manifest.merged = False
     save_manifest(index_dir, manifest)
-    manifest = merge_index(index_dir, manifest, cfg)
+    if merge == "none":
+        return manifest
+    if merge == "auto":
+        merge = plan_merge(index_dir, manifest, cfg)
+    if merge == "incremental":
+        manifest = incremental_merge_index(index_dir, manifest, cfg)
+    elif merge == "full":
+        manifest = merge_index(index_dir, manifest, cfg)
+    else:
+        raise ValueError(f"unknown merge mode {merge!r}")
     save_manifest(index_dir, manifest)
     return manifest
 

@@ -22,6 +22,16 @@ class IndexConfig:
     # value store behind NumericRangeQuery (the BKD PointRangeQuery analogue,
     # /root/reference/core/search/pointrangequery.go).
     docvalue_fields: tuple = ()
+    # String/binary doc-values columns — the SORTED / SORTED_SET / BINARY
+    # dv types of the reference reader (codecs/simpletext/
+    # docvaluesreader.go:129,326): a string column is SORTED (sortable,
+    # facetable), a list<string> column is SORTED_SET (facetable,
+    # multi-valued), a binary column is BINARY (stored per-doc bytes).
+    # Stored verbatim in the segment docmap as sdv_{name}; parquet's
+    # dictionary encoding plays the per-segment ordinal table role, and
+    # sort comparisons rank-encode per candidate block instead of
+    # materializing global ordinals.
+    string_docvalue_fields: tuple = ()
     # RangeField analogue (/root/reference/core/query/rangefieldquery.go +
     # {int,long,float,double}rangeslowrangequery.go): each doc stores an
     # INTERVAL [lo, hi] queried by relation (INTERSECTS / WITHIN / CONTAINS
@@ -92,6 +102,13 @@ class IndexConfig:
     # bucket of (term, salt) groups in a single vectorized pass. Sized so a
     # bucket's postings fit a worker's heap (~cluster cores x 2 at scale).
     merge_buckets: int = 32
+    # --- tiered merge policy (reference contract mergepolicy.go:134-334) ---
+    # add_documents folds new segments incrementally into the existing
+    # bucket files until cumulative growth since the last FULL merge
+    # exceeds this fraction of the full-merge doc count; past it, a full
+    # re-shuffle re-tiers the index (rebalances buckets + re-estimates
+    # hot terms).
+    tiered_growth_ratio: float = 1.0
     # --- search ---
     total_hits_threshold: int = 1000  # indexsearcher.go:14
 
@@ -104,7 +121,8 @@ class IndexConfig:
         sequence fields back to (nested) tuples so frozen-dataclass
         hashing/formatting is stable across the JSON round trip."""
         d = dict(cfgd)
-        for k in ("stop_words", "keyword_fields", "docvalue_fields"):
+        for k in ("stop_words", "keyword_fields", "docvalue_fields",
+                  "string_docvalue_fields"):
             d[k] = tuple(d.get(k) or ())
         d["range_fields"] = tuple(
             tuple(e) for e in (d.get("range_fields") or ())

@@ -165,90 +165,20 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
     num_buckets = cfg.merge_buckets
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        fkeys = _fkey_column(batch)
-        if hot:
-            is_hot = pc.is_in(
-                fkeys, value_set=pa.array(hot, type=pa.large_string())
-            ).to_numpy(zero_copy_only=False)
-        else:
-            is_hot = np.zeros(len(batch), dtype=bool)
-        salt = np.where(is_hot, pids // group_size, -1).astype(np.int32)
-        bucket = term_buckets(fkeys.to_pylist(), salt, num_buckets)
-        return batch.append_column(
-            "salt", pa.array(salt, type=pa.int32())
-        ).append_column("bucket", pa.array(bucket, type=pa.int32()))
+        return _salt_batch(batch, ray.get(hot_ref), group_size, num_buckets)
 
     def merge_bucket(group: pa.Table, bucket_id: int) -> pa.Table:
-        R = group.num_rows
-        if R == 0:
+        if group.num_rows == 0:
             return _empty_merged_table()
-        bases = ray.get(bases_ref)
-        pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
-        # group key = combined (field, term) posting key — one inverted list
-        # per (field, term, salt); output stays key-sorted so row-group key
-        # ranges are tight for the lookup index
-        fkeys = np.asarray(_fkey_column(group).to_pylist(), dtype=object)
-        fields = np.asarray(group["field"].to_pylist(), dtype=object)
-        terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        _, term_code = np.unique(fkeys, return_inverse=True)
-        order = np.lexsort((pids, salts, term_code))
-        group = group.take(pa.array(order))
-        pids, salts = pids[order], salts[order]
-        fields, terms = fields[order], terms[order]
-        term_code = term_code[order]
-        doc_freqs = group["doc_freq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        docs, freqs, norms8, offs = codec.decode_postings_many(
-            doc_freqs,
-            group["docs_blob"].to_pylist(),
-            group["doc_widths"].to_pylist(),
-            group["freqs_blob"].to_pylist(),
-            group["freq_widths"].to_pylist(),
-            group["norms_blob"].to_pylist(),
+        return _encode_bucket(
+            group,
+            bucket_id,
+            ray.get(bases_ref),
+            chunk_docs,
             block,
+            codec,
+            index_positions,
         )
-        docs += np.repeat(bases[pids], doc_freqs)
-        pos = None
-        if index_positions:
-            pos = codec.decode_positions_many(
-                group["pos_blob"].to_pylist(),
-                group["pos_width"].to_numpy(zero_copy_only=False),
-                freqs,
-                offs,
-            )
-        # merged (term, salt) groups over the sorted rows; docIDs ascend
-        # across a group's rows because salt groups are contiguous pid ranges
-        new_grp = np.ones(R, dtype=bool)
-        new_grp[1:] = (term_code[1:] != term_code[:-1]) | (salts[1:] != salts[:-1])
-        grp_row_starts = np.flatnonzero(new_grp)
-        G = len(grp_row_starts)
-        gcounts = np.add.reduceat(doc_freqs, grp_row_starts)
-        nchunks = (gcounts + chunk_docs - 1) // chunk_docs
-        ct = np.repeat(np.arange(G), nchunks)
-        ci = _seg_local_idx(nchunks)
-        ccount = np.minimum(chunk_docs, gcounts[ct] - ci * chunk_docs)
-        chunk_offsets = np.concatenate([[0], np.cumsum(ccount)]).astype(np.int64)
-        enc = codec.encode_postings_many(
-            docs, freqs, norms8, chunk_offsets, pos, block=block
-        )
-        chunk_terms = terms[grp_row_starts][ct]
-        chunk_fields = fields[grp_row_starts][ct]
-        chunk_salts = salts[grp_row_starts][ct]
-        cols = {
-            "field": pa.array(chunk_fields.tolist(), type=pa.string()),
-            "term": pa.array(chunk_terms.tolist(), type=pa.large_string()),
-            "salt": pa.array(chunk_salts, type=pa.int32()),
-            "bucket": pa.array(
-                np.full(len(ct), bucket_id, dtype=np.int32), type=pa.int32()
-            ),
-            "chunk_id": pa.array(ci.astype(np.int32), type=pa.int32()),
-        }
-        for name, t in _MERGED_SCHEMA:
-            if name not in cols:
-                cols[name] = pa.array(enc[name], type=t)
-        return pa.table({name: cols[name] for name, _ in _MERGED_SCHEMA})
 
     # Two-phase file shuffle (explicit, storage-backed — the pattern that
     # holds at 100 TB: no in-memory all-to-all, and both phases are plain
@@ -426,6 +356,13 @@ def merge_index(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> Manifes
                 "field_stats": manifest.field_stats,
                 "hot_terms": sorted(hot_terms),  # combined (field,term) keys
                 "format_version": INDEX_FORMAT_VERSION,
+                # incremental-merge lineage: which partitions this global
+                # index contains, and the doc count at the last FULL merge
+                # (the tiered policy's rebalance baseline)
+                "merged_pids": sorted(
+                    int(p["pid"]) for p in manifest.partitions
+                ),
+                "full_merge_doc_count": manifest.doc_count,
             },
             f,
         )
@@ -632,6 +569,106 @@ def _empty_merged_table() -> pa.Table:
     return pa.table({name: pa.array([], type=t) for name, t in _MERGED_SCHEMA})
 
 
+def _salt_batch(
+    batch: pa.Table, hot: list, group_size: int, num_buckets: int
+) -> pa.Table:
+    """Salt + bucket columns for segment term rows — shared by the full
+    merge shuffle and the incremental delta shuffle (which MUST reuse the
+    base epoch's hot set so delta rows land in the buckets queries probe)."""
+    pids = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fkeys = _fkey_column(batch)
+    if hot:
+        is_hot = pc.is_in(
+            fkeys, value_set=pa.array(hot, type=pa.large_string())
+        ).to_numpy(zero_copy_only=False)
+    else:
+        is_hot = np.zeros(len(batch), dtype=bool)
+    salt = np.where(is_hot, pids // group_size, -1).astype(np.int32)
+    bucket = term_buckets(fkeys.to_pylist(), salt, num_buckets)
+    return batch.append_column(
+        "salt", pa.array(salt, type=pa.int32())
+    ).append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+
+def _encode_bucket(
+    group: pa.Table,
+    bucket_id: int,
+    bases: np.ndarray,
+    chunk_docs: int,
+    block: int,
+    codec,
+    index_positions: bool,
+) -> pa.Table:
+    """Merge one bucket's segment term rows into term-sorted FOR-compressed
+    chunk rows (the reduce kernel of both the full merge and the
+    incremental delta merge)."""
+    R = group.num_rows
+    pids = group["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
+    # group key = combined (field, term) posting key — one inverted list
+    # per (field, term, salt); output stays key-sorted so row-group key
+    # ranges are tight for the lookup index
+    fkeys = np.asarray(_fkey_column(group).to_pylist(), dtype=object)
+    fields = np.asarray(group["field"].to_pylist(), dtype=object)
+    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    _, term_code = np.unique(fkeys, return_inverse=True)
+    order = np.lexsort((pids, salts, term_code))
+    group = group.take(pa.array(order))
+    pids, salts = pids[order], salts[order]
+    fields, terms = fields[order], terms[order]
+    term_code = term_code[order]
+    doc_freqs = group["doc_freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docs, freqs, norms8, offs = codec.decode_postings_many(
+        doc_freqs,
+        group["docs_blob"].to_pylist(),
+        group["doc_widths"].to_pylist(),
+        group["freqs_blob"].to_pylist(),
+        group["freq_widths"].to_pylist(),
+        group["norms_blob"].to_pylist(),
+        block,
+    )
+    docs += np.repeat(bases[pids], doc_freqs)
+    pos = None
+    if index_positions:
+        pos = codec.decode_positions_many(
+            group["pos_blob"].to_pylist(),
+            group["pos_width"].to_numpy(zero_copy_only=False),
+            freqs,
+            offs,
+        )
+    # merged (term, salt) groups over the sorted rows; docIDs ascend
+    # across a group's rows because salt groups are contiguous pid ranges
+    new_grp = np.ones(R, dtype=bool)
+    new_grp[1:] = (term_code[1:] != term_code[:-1]) | (salts[1:] != salts[:-1])
+    grp_row_starts = np.flatnonzero(new_grp)
+    G = len(grp_row_starts)
+    gcounts = np.add.reduceat(doc_freqs, grp_row_starts)
+    nchunks = (gcounts + chunk_docs - 1) // chunk_docs
+    ct = np.repeat(np.arange(G), nchunks)
+    ci = _seg_local_idx(nchunks)
+    ccount = np.minimum(chunk_docs, gcounts[ct] - ci * chunk_docs)
+    chunk_offsets = np.concatenate([[0], np.cumsum(ccount)]).astype(np.int64)
+    enc = codec.encode_postings_many(
+        docs, freqs, norms8, chunk_offsets, pos, block=block
+    )
+    chunk_terms = terms[grp_row_starts][ct]
+    chunk_fields = fields[grp_row_starts][ct]
+    chunk_salts = salts[grp_row_starts][ct]
+    cols = {
+        "field": pa.array(chunk_fields.tolist(), type=pa.string()),
+        "term": pa.array(chunk_terms.tolist(), type=pa.large_string()),
+        "salt": pa.array(chunk_salts, type=pa.int32()),
+        "bucket": pa.array(
+            np.full(len(ct), bucket_id, dtype=np.int32), type=pa.int32()
+        ),
+        "chunk_id": pa.array(ci.astype(np.int32), type=pa.int32()),
+    }
+    for name, t in _MERGED_SCHEMA:
+        if name not in cols:
+            cols[name] = pa.array(enc[name], type=t)
+    return pa.table({name: cols[name] for name, _ in _MERGED_SCHEMA})
+
+
 _RANGE_INDEX_SCHEMA = [
     ("kind", pa.string()),  # "post" (merged postings) | "rev" (revdict)
     ("file", pa.string()),
@@ -643,3 +680,388 @@ _RANGE_INDEX_SCHEMA = [
     ("num_rows", pa.int64()),
 ]
 _RANGE_INDEX_COLS = [name for name, _ in _RANGE_INDEX_SCHEMA]
+
+
+# --------------------------------------------------------------------------
+# incremental (tiered) merge — fold new segments into the existing buckets
+# --------------------------------------------------------------------------
+
+
+def plan_merge(index_dir: str, manifest: Manifest, cfg: IndexConfig) -> str:
+    """Size-tiered merge decision: ``"incremental"`` folds only the
+    not-yet-merged partitions into the existing bucket files;
+    ``"full"`` re-shuffles everything.
+
+    This is the MergePolicy surface of the reference
+    (/root/reference/core/index/mergepolicy.go:134-334 — FindMerges over
+    size-sorted segment tiers; the reference's own SegmentMerger panics,
+    so the CONTRACT is the user-facing thing): small deltas are folded
+    cheaply; once cumulative growth since the last full merge exceeds
+    ``cfg.tiered_growth_ratio`` x the full-merge doc count, a full merge
+    re-tiers the index (rebalancing buckets and re-estimating hot terms,
+    which incremental folds intentionally never touch)."""
+    gdir = _global_dir(index_dir)
+    stats_path = os.path.join(gdir, "stats.json")
+    if not os.path.exists(stats_path):
+        return "full"
+    with open(stats_path) as f:
+        stats = json.load(f)
+    if stats.get("format_version") != INDEX_FORMAT_VERSION:
+        return "full"
+    if not stats.get("merged_pids"):
+        return "full"  # pre-lineage index: no delta bookkeeping
+    base = int(stats.get("full_merge_doc_count") or 0)
+    if base <= 0:
+        return "full"
+    growth = manifest.doc_count - base
+    if growth > getattr(cfg, "tiered_growth_ratio", 1.0) * base:
+        return "full"
+    return "incremental"
+
+
+def incremental_merge_index(
+    index_dir: str, manifest: Manifest, cfg: IndexConfig
+) -> Manifest:
+    """Fold ONLY not-yet-merged partitions into the existing global index.
+
+    Because bucket = hash(term, salt) is deterministic and the base
+    epoch's hot-term set is reused, a delta row lands in exactly the
+    bucket queries already probe; and because docIDs are append-monotone
+    (add_documents numbers new partitions after every existing pid), a
+    term's new postings sort strictly AFTER its existing chunks. So the
+    fold never decodes or re-encodes base postings: per touched bucket it
+    encodes the delta rows into fresh chunk rows (chunk_ids continuing
+    each (term, salt) group's sequence), appends the new blob bytes after
+    the base blob (shifting only the NEW rows' offsets), and merge-sorts
+    the meta rows by (key, salt, chunk_id). Buckets with no delta rows
+    are HARDLINKED into the replacement dir untouched — cost is
+    O(delta + touched-bucket metadata), not O(corpus).
+
+    Same crash discipline as merge_index: staged tmp dir with an epoch
+    marker, per-bucket resume, and a single-rename swap at the end.
+    Intentional deferrals to the next FULL merge (plan_merge's growth
+    trigger): hot-term re-estimation, chunk rebalancing (a base group's
+    last partial chunk stays partial), and expunge of tombstones."""
+    import ray
+    import ray.data
+
+    gdir = _global_dir(index_dir)
+    with open(os.path.join(gdir, "stats.json")) as f:
+        stats = json.load(f)
+    merged_pids = set(int(x) for x in stats["merged_pids"])
+    all_pids = sorted(int(p["pid"]) for p in manifest.partitions)
+    delta_pids = [p for p in all_pids if p not in merged_pids]
+    if not delta_pids:
+        manifest.merged = True
+        save_manifest(index_dir, manifest)
+        return manifest
+    seg_files = [
+        os.path.join(index_dir, "segments", f"p={pid:05d}", "terms.parquet")
+        for pid in delta_pids
+    ]
+    hot_terms = list(stats.get("hot_terms", []))
+
+    tmp_gdir = gdir + ".inc"
+    epoch = json.dumps(
+        {
+            "base_pids": sorted(merged_pids),
+            "delta_pids": delta_pids,
+            "cfg": sorted((k, str(v)) for k, v in cfg.__dict__.items()),
+            "format": INDEX_FORMAT_VERSION,
+        },
+        sort_keys=True,
+    )
+    marker = os.path.join(tmp_gdir, "inc_epoch.json")
+    if os.path.isdir(tmp_gdir):
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = f.read()
+        if prev != epoch:
+            shutil.rmtree(tmp_gdir)
+    postings_dir = os.path.join(tmp_gdir, "postings")
+    revdict_dir = os.path.join(tmp_gdir, "revdict")
+    os.makedirs(postings_dir, exist_ok=True)
+    os.makedirs(revdict_dir, exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(epoch)
+
+    # ---- phase A: shuffle ONLY the delta segments' rows by bucket ----
+    shuffle_dir = os.path.join(tmp_gdir, "shuffle")
+    shuffle_done = os.path.join(tmp_gdir, "shuffle_COMPLETE")
+    group_size = cfg.salt_group_partitions
+    num_buckets = cfg.merge_buckets
+    hot_ref = ray.put(hot_terms)
+    if not os.path.exists(shuffle_done):
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        ray.data.read_parquet(seg_files, partitioning=None).map_batches(
+            lambda b: _salt_batch(
+                b, ray.get(hot_ref), group_size, num_buckets
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(shuffle_dir, partition_cols=["bucket"])
+        with open(shuffle_done, "w") as f:
+            f.write("ok")
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(shuffle_dir)
+        if d.startswith("bucket=")
+    )
+
+    # ---- phase B: fold each touched bucket (one Ray task per bucket) ----
+    pid_arr = np.array(all_pids, dtype=np.int64)
+    base_arr = np.zeros(int(pid_arr.max()) + 1, dtype=np.int64)
+    for p in manifest.partitions:
+        base_arr[int(p["pid"])] = int(p["doc_base"])
+    bases_ref = ray.put(base_arr)
+    chunk_docs = cfg.chunk_docs
+    block = cfg.block_size
+    codec = get_codec(cfg.codec_name)
+    index_positions = cfg.index_positions
+    base_postings = os.path.join(gdir, "postings")
+    fail_bucket = int(os.environ.get("LGR_INC_FAIL_BUCKET", "-1"))
+
+    def fold_bucket(batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: dict[str, list] = {k: [] for k in _RANGE_INDEX_COLS}
+        for b in batch["bucket"].to_pylist():
+            b = int(b)
+            if 0 <= fail_bucket <= b:
+                raise RuntimeError(f"injected incremental failure at bucket {b}")
+            fname = f"bucket-{b:05d}.parquet"
+            fpath = os.path.join(postings_dir, fname)
+            if os.path.exists(fpath):
+                # bucket folded by a previous crashed attempt of the same
+                # epoch: keep it, rebuild its index rows from the file
+                _existing_bucket_rows(out, fpath, revdict_dir, fname, b)
+                continue
+            bdir = os.path.join(shuffle_dir, f"bucket={b}")
+            files = sorted(
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                tabs = list(ex.map(pq.read_table, files))
+            delta = pa.concat_tables(tabs)
+            new_tab = _encode_bucket(
+                delta, b, ray.get(bases_ref), chunk_docs, block, codec,
+                index_positions,
+            )
+            new_meta, new_chunks = split_blob_columns(new_tab)
+            new_blob_len = int(sum(len(c) for c in new_chunks))
+
+            base_fpath = os.path.join(base_postings, fname)
+            base_blob_len = 0
+            if os.path.exists(base_fpath):
+                base_meta = pq.read_table(base_fpath)
+                base_blob_len = os.path.getsize(
+                    base_fpath[: -len(".parquet")] + ".blob"
+                )
+                # continue each (key, salt) group's chunk_id sequence
+                bk = np.asarray(
+                    _fkey_column(base_meta).to_pylist(), dtype=object
+                )
+                bs = base_meta["salt"].to_numpy(zero_copy_only=False)
+                bc = base_meta["chunk_id"].to_numpy(zero_copy_only=False)
+                nxt: dict = {}
+                for k_, s_, c_ in zip(bk, bs, bc):
+                    kk = (k_, int(s_))
+                    if c_ >= nxt.get(kk, -1):
+                        nxt[kk] = int(c_)
+                nk = np.asarray(
+                    _fkey_column(new_meta).to_pylist(), dtype=object
+                )
+                ns = new_meta["salt"].to_numpy(zero_copy_only=False)
+                nc = new_meta["chunk_id"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                off = np.fromiter(
+                    (nxt.get((k_, int(s_)), -1) + 1 for k_, s_ in zip(nk, ns)),
+                    dtype=np.int64,
+                    count=len(nk),
+                )
+                nc = nc + off
+                new_meta = new_meta.set_column(
+                    new_meta.schema.get_field_index("chunk_id"),
+                    "chunk_id",
+                    pa.array(nc.astype(np.int32), type=pa.int32()),
+                )
+            else:
+                base_meta = None
+
+            # shift ONLY the new rows' blob offsets past the base blob
+            if base_blob_len:
+                for col in ("docs_off", "freqs_off", "norms_off", "pos_off",
+                            "blob_end"):
+                    idx = new_meta.schema.get_field_index(col)
+                    shifted = pc.add(
+                        new_meta[col], pa.scalar(base_blob_len, pa.int64())
+                    )
+                    new_meta = new_meta.set_column(idx, col, shifted)
+
+            if base_meta is not None:
+                combined = pa.concat_tables(
+                    [base_meta, new_meta], promote_options="none"
+                )
+                ck = np.asarray(
+                    _fkey_column(combined).to_pylist(), dtype=object
+                )
+                cs = combined["salt"].to_numpy(zero_copy_only=False)
+                cc = combined["chunk_id"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((cc, cs, ck))
+                combined = combined.take(pa.array(order))
+            else:
+                combined = new_meta
+
+            # blob: base bytes verbatim, then the new chunks (write order
+            # blob THEN meta — meta existence implies a complete blob)
+            bpath = fpath[: -len(".parquet")] + ".blob"
+            with open(bpath + ".inprogress", "wb") as bf:
+                if base_blob_len:
+                    with open(
+                        base_fpath[: -len(".parquet")] + ".blob", "rb"
+                    ) as src:
+                        shutil.copyfileobj(src, bf, 16 << 20)
+                for c in new_chunks:
+                    bf.write(c)
+            os.replace(bpath + ".inprogress", bpath)
+            total_bytes = combined.nbytes + base_blob_len + new_blob_len
+            avg = max(1, total_bytes // max(1, combined.num_rows))
+            rg_rows = int(
+                np.clip(
+                    POSTINGS_ROW_GROUP_BYTES // avg, 64,
+                    POSTINGS_ROW_GROUP_ROWS,
+                )
+            )
+            pq.write_table(combined, fpath + ".inprogress",
+                           row_group_size=rg_rows)
+            os.replace(fpath + ".inprogress", fpath)
+            _append_rg_stats(
+                out, "post", fname, b,
+                _fkey_column(combined).combine_chunks(), rg_rows,
+            )
+            rt = _revdict_table(combined["field"], combined["term"])
+            rpath = os.path.join(revdict_dir, fname)
+            pq.write_table(rt, rpath + ".inprogress",
+                           row_group_size=REV_RG_ROWS)
+            os.replace(rpath + ".inprogress", rpath)
+            _append_rg_stats(
+                out, "rev", fname, b, _fkey_column(rt), REV_RG_ROWS
+            )
+        return pa.table(
+            {name: pa.array(out[name], type=t)
+             for name, t in _RANGE_INDEX_SCHEMA}
+        )
+
+    index_rows = (
+        ray.data.from_items([{"bucket": b} for b in touched])
+        .map_batches(fold_bucket, batch_size=1, batch_format="pyarrow",
+                     num_cpus=1)
+        .take_all()
+    )
+    shutil.rmtree(shuffle_dir)
+    os.remove(shuffle_done)
+    os.remove(marker)
+
+    # ---- phase C: assemble the replacement dir and swap ----
+    touched_set = set(touched)
+    for sub in ("postings", "revdict"):
+        src_dir = os.path.join(gdir, sub)
+        dst_dir = os.path.join(tmp_gdir, sub)
+        for f in os.listdir(src_dir):
+            if not (f.startswith("bucket-") and
+                    (f.endswith(".parquet") or f.endswith(".blob"))):
+                continue
+            bid = int(f.split("-")[1].split(".")[0])
+            if bid in touched_set:
+                continue
+            dst = os.path.join(dst_dir, f)
+            if not os.path.exists(dst):
+                os.link(os.path.join(src_dir, f), dst)
+
+    for fname_out, kind in (
+        ("postings_index.parquet", "post"),
+        ("revdict_index.parquet", "rev"),
+    ):
+        old = pq.read_table(os.path.join(gdir, fname_out))
+        keep = pc.invert(
+            pc.is_in(
+                old["bucket_min"],
+                value_set=pa.array(sorted(touched_set), pa.int32()),
+            )
+        )
+        old = old.filter(keep)
+        rows = [r for r in index_rows if r["kind"] == kind]
+        new = pa.table(
+            {
+                name: pa.array([r[name] for r in rows], type=t)
+                for name, t in _RANGE_INDEX_SCHEMA
+                if name != "kind"
+            }
+        )
+        pq.write_table(
+            pa.concat_tables([old, new], promote_options="none"),
+            os.path.join(tmp_gdir, fname_out),
+        )
+
+    stats.update(
+        {
+            "max_doc": manifest.max_doc,
+            "doc_count": manifest.doc_count,
+            "sum_total_term_freq": manifest.sum_total_term_freq,
+            "sum_doc_freq": manifest.sum_doc_freq,
+            "field_stats": manifest.field_stats,
+            "merged_pids": all_pids,
+            # full_merge_doc_count intentionally NOT updated: it anchors
+            # plan_merge's growth trigger to the last FULL merge
+        }
+    )
+    with open(os.path.join(tmp_gdir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+    old_gdir = gdir + ".old"
+    if os.path.isdir(old_gdir):
+        shutil.rmtree(old_gdir)
+    os.replace(gdir, old_gdir)
+    os.replace(tmp_gdir, gdir)
+    shutil.rmtree(old_gdir, ignore_errors=True)
+    manifest.merged = True
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
+def _existing_bucket_rows(
+    out: dict, fpath: str, revdict_dir: str, fname: str, b: int
+) -> None:
+    """Rebuild a finished bucket's range-index rows from its files
+    (crash-resume path of the incremental fold)."""
+    pf = pq.ParquetFile(fpath)
+    kt = pf.read(columns=["field", "term"])
+    keys = _fkey_column(kt).combine_chunks()
+    off = 0
+    for rg in range(pf.metadata.num_row_groups):
+        n = pf.metadata.row_group(rg).num_rows
+        sl = keys.slice(off, n)
+        off += n
+        if len(sl) == 0:
+            continue
+        mm = pc.min_max(sl).as_py()
+        out["kind"].append("post")
+        out["file"].append(fname)
+        out["row_group"].append(rg)
+        out["key_min"].append(mm["min"])
+        out["key_max"].append(mm["max"])
+        out["bucket_min"].append(b)
+        out["bucket_max"].append(b)
+        out["num_rows"].append(len(sl))
+    rpath = os.path.join(revdict_dir, fname)
+    if os.path.exists(rpath):
+        rt = pq.read_table(rpath)
+    else:  # crashed between postings and revdict writes
+        rt = _revdict_table(kt["field"], kt["term"])
+        pq.write_table(rt, rpath + ".inprogress", row_group_size=REV_RG_ROWS)
+        os.replace(rpath + ".inprogress", rpath)
+    _append_rg_stats(out, "rev", fname, b, _fkey_column(rt), REV_RG_ROWS)

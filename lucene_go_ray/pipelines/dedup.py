@@ -713,6 +713,7 @@ def embedding_near_dup(
     col: str = "embedding",
     threshold: float = 0.4,
     block_rows: int = 4096,
+    max_exact_rows: int = 2_000_000,
 ):
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
     EXACT, as a blocked self-join.
@@ -722,9 +723,14 @@ def embedding_near_dup(
     normalizes, and emits the thresholded pairs of one block x block matmul.
     Nothing is materialized on the driver and no full-matrix broadcast
     exists — per-task memory is O(block_rows x dim), and total flops are the
-    unavoidable exact-N^2, spread across the cluster. For the approximate
-    sub-quadratic path see the banded MinHash/SimHash pipelines and the
-    persisted LSH index in pipelines/ann.py."""
+    unavoidable exact-N^2, spread across the cluster.
+
+    SCALE GUARD: the task grid is quadratic in rows, so this kernel
+    refuses inputs above ``max_exact_rows`` (default 2M ≈ 240k block-pair
+    tasks) — use :func:`embedding_near_dup_candidates` (LSH candidate
+    buckets + the same exact verify, linear exchange volume) beyond that,
+    or the banded MinHash/SimHash pipelines / the persisted LSH index in
+    pipelines/ann.py for approximate recall."""
     import os
 
     import pyarrow.parquet as pq
@@ -732,6 +738,13 @@ def embedding_near_dup(
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup: {n_rows} rows exceeds max_exact_rows="
+            f"{max_exact_rows}; the exact all-pairs grid is quadratic. "
+            "Use embedding_near_dup_candidates (LSH candidates + exact "
+            "verify) at this scale."
+        )
     bounds = list(range(0, n_rows, block_rows)) + [n_rows]
     blocks = list(zip(bounds[:-1], bounds[1:]))
     tasks = [
@@ -773,6 +786,118 @@ def embedding_near_dup(
     return ray.data.from_items(tasks).map_batches(
         _pairs, batch_format="pyarrow", batch_size=1
     )
+
+
+def embedding_near_dup_candidates(
+    sf_dir: str,
+    key: str = "vec_id",
+    col: str = "embedding",
+    threshold: float = 0.4,
+    *,
+    n_bands: int = 48,
+    band_bits: int = 3,
+    seed: int = 0xE3B0C442,
+    max_bucket: int = 4096,
+):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    candidate generation + EXACT in-bucket verification — the scale path
+    for :func:`embedding_near_dup`'s quadratic kernel.
+
+    Each vector gets ``n_bands`` band signatures of ``band_bits``
+    sign-bits against a deterministic Gaussian hyperplane matrix
+    (seeded; identical in every task). Two vectors with cosine s agree
+    on one hyperplane bit with probability 1 - arccos(s)/pi, so a pair
+    at the default threshold 0.4 (p = 0.63) collides in at least one of
+    48 3-bit bands with probability 1 - (1 - 0.63^3)^48 > 0.999998 —
+    recall is a tunable, not a hope; raise ``n_bands`` to push the miss
+    probability down geometrically. Inside each band bucket the ORIGINAL
+    float64 vectors are normalized and verified with the same
+    rounded-cosine kernel as the exact path, so emitted pairs carry
+    bit-identical sims; duplicates across bands collapse through
+    pair_groupby. Exchange volume is n_bands rows per vector (LINEAR in
+    N); compute is O(sum of bucket^2) = O(candidate pairs), not
+    O(blocks^2). Buckets above ``max_bucket`` keep the max_bucket
+    smallest keys (same spill policy as minhash_lsh_pairs)."""
+    import os
+
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    nbits = n_bands * band_bits
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        E = np.array(batch[col].to_pylist(), dtype=np.float64)
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((E.shape[1], nbits))
+        bits = (En @ planes) >= 0.0
+        bb = bits.reshape(n, n_bands, band_bits)
+        weights = 1 << np.arange(band_bits - 1, -1, -1)
+        sig = (bb * weights).sum(axis=2).astype(np.int64)
+        band_ids = np.arange(n_bands, dtype=np.int64)[None, :]
+        bucket = ((band_ids << band_bits) | sig).ravel()
+        return pa.table(
+            {
+                "cand_bucket": pa.array(bucket),
+                key: pa.array(np.repeat(ids, n_bands)),
+                "vec": pa.array(list(np.repeat(E, n_bands, axis=0))),
+            }
+        )
+
+    _empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _empty
+        ids = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(group["vec"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        if n > max_bucket:
+            order = np.argsort(ids, kind="stable")[:max_bucket]
+            ids, V, n = ids[order], V[order], max_bucket
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S6 = np.round(V @ V.T, 6)
+        ai, bi = np.triu_indices(n, 1)
+        mask = (S6[ai, bi] >= threshold) & (ids[ai] != ids[bi])
+        if not mask.any():
+            return _empty
+        ka, kb = ids[ai[mask]], ids[bi[mask]]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(ka, kb)),
+                "b": pa.array(np.maximum(ka, kb)),
+                "sim": pa.array(S6[ai, bi][mask], pa.float64()),
+            }
+        )
+
+    pairs = (
+        ray.data.read_parquet(path, columns=[key, col])
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("cand_bucket")
+        .map_groups(_verify, batch_format="pyarrow")
+    )
+
+    def _first_reduce(a, b, starts, sizes, values):
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "sim": pa.array(
+                    np.maximum.reduceat(values["sim"], starts)
+                    if len(starts)
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    return pair_groupby(pairs, _first_reduce, value_cols=("sim",))
 
 
 def dup_spans(

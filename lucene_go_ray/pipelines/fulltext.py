@@ -32,6 +32,10 @@ _GATE_CFG = IndexConfig(
     hot_term_doc_freq=100_000,
     chunk_docs=131_072,
     keyword_fields=("lang", "source"),
+    # SORTED string dv (sortable + dv-facetable) alongside the keyword
+    # postings — the two representations coexist like Lucene's
+    # StringField + SortedDocValuesField on one logical field
+    string_docvalue_fields=("lang", "source"),
     # doc_id doubles as the second dimension of the 2-D box gate
     # (NumericBoxQuery, the lat/lon analogue)
     docvalue_fields=("n_chars", "doc_id"),
@@ -482,6 +486,61 @@ def topk_after_delete(
     )
 
 
+def topk_after_incremental(
+    sf_dir: str,
+    kind: str,
+    clauses: list[str],
+    k: int = 10,
+    *,
+    app_field: str = "lang",
+    app_value: str = "fr",
+    cfg: IndexConfig = _GATE_CFG,
+) -> pa.Table:
+    """Append a deterministic delta corpus (the ``app_field==app_value``
+    docs re-added, in doc_id order) via add_documents with the
+    INCREMENTAL merge path — only the buckets containing the delta's
+    terms are folded; everything else is hardlinked from the base epoch
+    (index/merge.py:incremental_merge_index; MergePolicy contract
+    /root/reference/core/index/mergepolicy.go:134-334) — then run top-k
+    over the grown index. Appended docs get docIDs max_doc + seq, which
+    the SQL oracle replays as count(*) + row_number() - 1. Runs on a
+    cached private copy of the gate index."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import add_documents
+
+    base = get_searcher(sf_dir, cfg)
+    ddir = base.index_dir + f"_inc_{app_field}_{app_value}"
+    s = _searcher_cache.get(ddir)
+    if s is None:
+        if not os.path.isdir(ddir):
+            tmp = ddir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(base.index_dir, tmp)
+            src = os.path.join(sf_dir, "documents.parquet")
+            t = pq.read_table(src)
+            mask = pc.equal(t[app_field], app_value)
+            delta = t.filter(mask).sort_by("doc_id")
+            delta_path = ddir + "_delta.parquet"
+            pq.write_table(delta, delta_path)
+            add_documents(tmp, [delta_path], merge="incremental")
+            os.replace(tmp, ddir)
+        s = IndexSearcher(ddir)
+        _searcher_cache[ddir] = s
+    q = query_from_descriptor(kind, clauses)
+    td, scores6 = _search_past_rounded_ties(s, q, k, 6)
+    order = np.lexsort((td.doc_ids, -scores6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids[order]),
+            "score": pa.array(scores6[order], type=pa.float64()),
+        }
+    )
+
+
 def topk_after_expunge(
     sf_dir: str,
     kind: str,
@@ -670,16 +729,27 @@ def facet_counts(
     field: str = "lang",
     top_n: int = 10,
     cfg: IndexConfig = _GATE_CFG,
+    *,
+    use_dv: bool = False,
 ) -> pa.Table:
     """Top-N facet counts of a stored keyword field over the docs matching
     ``term`` — the facets-module analogue (absent from the reference core)
     as a sharded CollectorManager run. Returns (value, cnt) ordered by
-    (cnt desc, value asc)."""
-    from ..search import FacetCountsCollectorManager, TermQuery
+    (cnt desc, value asc). ``use_dv=True`` counts off the SORTED /
+    SORTED_SET string doc-values column (docvaluesreader.go:129,326)
+    instead of walking the keyword postings — same result, different
+    access path (dv gather per hit block vs one membership count per
+    dictionary value)."""
+    from ..search import (
+        DvFacetCountsCollectorManager,
+        FacetCountsCollectorManager,
+        TermQuery,
+    )
 
     s = get_searcher(sf_dir, cfg)
+    mgr_cls = DvFacetCountsCollectorManager if use_dv else FacetCountsCollectorManager
     return s.search_with_collector_sharded(
-        TermQuery(term), FacetCountsCollectorManager(field, top_n)
+        TermQuery(term), mgr_cls(field, top_n)
     )
 
 

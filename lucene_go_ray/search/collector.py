@@ -145,11 +145,23 @@ class SortField:
 def _sort_order(docs, per_field, sort_fields):
     """Indices sorting (docs, [(vals, valid)]) by the SortField chain then
     docID asc; missing-last. np.lexsort: LAST key is primary, so emit
-    (docs, vkey_n, inv_n, ..., vkey_1, inv_1)."""
+    (docs, vkey_n, inv_n, ..., vkey_1, inv_1). String/binary dv columns
+    (object dtype) are rank-encoded per sort — the in-memory analogue of
+    comparing SORTED dv ordinals (docvaluesreader.go:129): np.unique gives
+    each present value its lexicographic rank, which sorts identically to
+    the values and negates cleanly for ``reverse``."""
     keys = [docs]
     for sf, (vals, valid) in zip(reversed(sort_fields), reversed(per_field)):
         inv = ~valid
-        v = np.where(valid, vals, 0)
+        if vals.dtype == object:
+            v = np.zeros(len(vals), np.int64)
+            if valid.any():
+                _, codes = np.unique(
+                    np.asarray(vals[valid], dtype=object), return_inverse=True
+                )
+                v[valid] = codes
+        else:
+            v = np.where(valid, vals, 0)
         keys.append(-v if sf.reverse else v)
         keys.append(inv)
     return np.lexsort(tuple(keys))
@@ -182,7 +194,10 @@ class TopFieldCollector(Collector):
         d = np.concatenate([self.docs, docs])
         per_field = []
         for i, sf in enumerate(self.sort_fields):
-            v, ok = self._searcher.dv_values(docs, sf.field)
+            if sf.field in getattr(self._searcher, "string_dv_fields", ()):
+                v, ok = self._searcher.sdv_values(docs, sf.field)
+            else:
+                v, ok = self._searcher.dv_values(docs, sf.field)
             per_field.append(
                 (
                     np.concatenate([self.vals[i], v]),
@@ -224,9 +239,19 @@ class TopFieldCollectorManager(CollectorManager):
             "doc_id": pa.array(docs[order]),
         }
         for sf, (vals, valid) in zip(self.sort_fields, per_field):
-            cols[sf.field] = pa.array(
-                vals[order], type=pa.int64(), mask=~valid[order]
-            )
+            if vals.dtype == object:
+                vlist = [
+                    v if ok else None
+                    for v, ok in zip(vals[order], valid[order])
+                ]
+                col = pa.array(vlist)
+                if pa.types.is_null(col.type):
+                    col = col.cast(pa.string())
+                cols[sf.field] = col
+            else:
+                cols[sf.field] = pa.array(
+                    vals[order], type=pa.int64(), mask=~valid[order]
+                )
         t = pa.table(cols)
         t = t.replace_schema_metadata(
             {b"total_hits": str(sum(c.total for c in collectors)).encode()}
@@ -329,3 +354,43 @@ class FacetCountsCollectorManager(CollectorManager):
                 "cnt": pa.array([n for _, n in top], pa.int64()),
             }
         )
+
+
+class DvFacetCountsCollector(Collector):
+    """Facet counting off STRING DOC-VALUES (SORTED / SORTED_SET,
+    docvaluesreader.go:129,326) instead of postings: gather the hit
+    block's sdv column, count each value — a list-valued (SORTED_SET)
+    doc contributes one count per distinct element, like Lucene's
+    SortedSetDocValuesFacetCounts. Chosen over the postings walk when
+    the field has dv but no postings, or when hit sets are small
+    relative to the field's dictionary."""
+
+    needs_scores = False
+
+    def __init__(self, field: str) -> None:
+        self.field = field
+        self.counts: dict = {}
+        self._searcher = None
+
+    def set_context(self, searcher) -> None:
+        self._searcher = searcher
+
+    def collect(self, docs, scores) -> None:
+        vals, valid = self._searcher.sdv_values(docs, self.field)
+        for v in vals[valid]:
+            if isinstance(v, list):
+                for e in set(v):
+                    self.counts[e] = self.counts.get(e, 0) + 1
+            else:
+                self.counts[v] = self.counts.get(v, 0) + 1
+
+    def finish(self) -> None:
+        self._searcher = None
+
+
+class DvFacetCountsCollectorManager(FacetCountsCollectorManager):
+    """Sharded dv-side facet counts; same (value, cnt) reduce contract as
+    the postings-side manager."""
+
+    def new_collector(self) -> DvFacetCountsCollector:
+        return DvFacetCountsCollector(self.field)

@@ -488,6 +488,10 @@ class IndexSearcher:
             self.deleted = np.unique(
                 np.concatenate([self.deleted, sd_ids[sd_vals == 1]])
             )
+        # string/binary doc-values registry (SORTED/SORTED_SET/BINARY)
+        self.string_dv_fields = frozenset(
+            getattr(self.cfg, "string_docvalue_fields", ()) or ()
+        )
         # direct bucket probe state (mirror of the merge shuffle keying)
         self._hot_set = frozenset(self.stats.get("hot_terms", ()))
         self._num_buckets = self.cfg.merge_buckets
@@ -1210,6 +1214,45 @@ class IndexSearcher:
             cached = (vals, valid)
             self._dv_cache[key] = cached
         return cached
+
+    def _sdv_column(self, pid: int, fld: str) -> tuple[np.ndarray, np.ndarray]:
+        """(values:object ndarray, valid:bool) for one segment's
+        string/binary/set doc-values column (SORTED / SORTED_SET / BINARY,
+        /root/reference/codecs/simpletext/docvaluesreader.go:129,326),
+        cached per (pid, field). Values are python str / bytes / list."""
+        key = ("s", pid, fld)
+        cached = self._dv_cache.get(key)
+        if cached is None:
+            t = pq.read_table(
+                os.path.join(
+                    self.index_dir, "segments", f"p={pid:05d}", "docmap.parquet"
+                ),
+                columns=[f"sdv_{fld}"],
+            )
+            arr = t[f"sdv_{fld}"].combine_chunks()
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            vals = np.asarray(arr.to_pylist(), dtype=object)
+            cached = (vals, valid)
+            self._dv_cache[key] = cached
+        return cached
+
+    def sdv_values(self, docs: np.ndarray, fld: str) -> tuple[np.ndarray, np.ndarray]:
+        """(values:object, valid:bool) of a string/binary doc-values field
+        aligned with ``docs`` (sorted global docIDs) — the SortedDocValues
+        / BinaryDocValues gather; per-segment column read, cached."""
+        vals = np.empty(len(docs), object)
+        valid = np.zeros(len(docs), bool)
+        for i, p in enumerate(self.manifest.partitions):
+            base, n = self._doc_bases[i], int(p["num_docs"])
+            a = int(np.searchsorted(docs, base))
+            b = int(np.searchsorted(docs, base + n))
+            if a == b:
+                continue
+            v, ok = self._sdv_column(self._pids[i], fld)
+            ords = docs[a:b] - base
+            vals[a:b] = v[ords]
+            valid[a:b] = ok[ords]
+        return vals, valid
 
     def _dv_zone(self, p, fld: str):
         """Segment zone range for pruning, widened by the dv-update

@@ -60,6 +60,35 @@ def test_embedding_near_dup_matches_bruteforce(sf_dir):
     assert got == expected
 
 
+def test_embedding_near_dup_candidates_equals_exact():
+    """The sub-quadratic LSH-candidates + exact-verify path returns the
+    SAME pair set and bit-identical rounded sims as the exact all-pairs
+    kernel, at both test scales (the default 48x3-bit bands put the miss
+    probability of a 0.4-cosine pair below 2e-6)."""
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            (int(r["a"]), int(r["b"])): r["sim"]
+            for r in dedup.embedding_near_dup(d, threshold=0.4).take_all()
+        }
+        cand = {
+            (int(r["a"]), int(r["b"])): r["sim"]
+            for r in dedup.embedding_near_dup_candidates(
+                d, threshold=0.4
+            ).take_all()
+        }
+        assert cand == exact
+        assert len(exact) > 0
+
+
+def test_embedding_near_dup_scale_guard():
+    import pytest
+
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        dedup.embedding_near_dup(
+            "/root/testdata/sf0.001", max_exact_rows=10
+        ).take_all()
+
+
 def test_multimodal_features_shape_and_determinism(sf_dir):
     def run():
         return (
