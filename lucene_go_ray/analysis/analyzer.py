@@ -370,6 +370,14 @@ class StandardAnalyzer:
             out["ends"] = (
                 per_val["ends"].astype(np.int64) + obase[tok_val]
             ).astype(np.int32)
+            # per-VALUE stream bases (position counter / offset counter at
+            # each value's start, reset per doc) — persisted by the build
+            # as the inversion table that maps a stored stream offset back
+            # to (value index, actual byte offset): the Matches/offsets-
+            # mode highlighter surface for multi-valued fields.
+            out["value_doc"] = val_doc
+            out["value_pos_base"] = base
+            out["value_off_base"] = obase
         return out
 
 

@@ -378,6 +378,29 @@ class SegmentIndexer:
                 os.path.join(tmp_dir, "offsets.parquet"),
                 row_group_size=65536,
             )
+        if cfg.index_offsets and "value_doc" in tok:
+            # multi-valued text column: per-(doc, value) stream bases —
+            # the inversion table mapping a stored quirk offset back to
+            # (value index, actual byte offset). One list row per doc;
+            # single-valued fields need no table (base is always 0).
+            vdoc = tok["value_doc"].astype(np.int64)
+            vb_counts = np.bincount(vdoc, minlength=n_docs).astype(np.int64)
+            vb_offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(vb_counts, out=vb_offs[1:])
+            pq.write_table(
+                pa.table(
+                    {
+                        "ord": pa.array(np.arange(n_docs, dtype=np.int64)),
+                        "pos_base": pa.LargeListArray.from_arrays(
+                            vb_offs, pa.array(tok["value_pos_base"], pa.int64())
+                        ),
+                        "off_base": pa.LargeListArray.from_arrays(
+                            vb_offs, pa.array(tok["value_off_base"], pa.int64())
+                        ),
+                    }
+                ),
+                os.path.join(tmp_dir, "value_bases.parquet"),
+            )
 
         if cfg.payload_kind is not None and len(t_sorted):
             # per-occurrence payload side table (hasPayload prox surface,

@@ -47,32 +47,16 @@ def _actual_hit_offsets_reanalyze(
 
 
 def _actual_hit_offsets_from_index(searcher, doc_id: int, terms: set):
-    """Recover actual byte offsets from the quirk-encoded offsets stream:
-    reported start of occurrence j = actual + its full-stream position, and
-    the positions postings give exactly those positions per occurrence.
-    Single-valued text fields only (for multi-valued fields positions
-    carry the increment gap and offsets the offset gap, so the
-    subtraction no longer lands on text bytes — use the re-analyze mode
-    there)."""
-    out = []
-    for t in sorted(terms):
-        starts, ends = searcher.term_offsets(t, doc_id)
-        if not starts:
-            continue
-        post = searcher.term_postings(t, with_positions=True)
-        if post is None:
-            continue
-        docs = post["docs"]
-        i = int(np.searchsorted(docs, doc_id))
-        if i >= len(docs) or docs[i] != doc_id:
-            continue
-        freqs = post["freqs"]
-        pstart = int(freqs[:i].sum())
-        f = int(freqs[i])
-        pos = post["positions"][pstart : pstart + f]
-        for s, e, p in zip(starts, ends, pos.tolist()):
-            out.append((int(s) - p, int(e) - p))
-    return out
+    """Per-VALUE actual byte offsets of every term hit, resolved entirely
+    from the index via the Matches machinery (searcher.match_regions:
+    positions postings + offsets stream + persisted per-value stream
+    bases). Works on single- AND multi-valued fields — the quirk and gap
+    accumulations invert exactly through the value-base table. Returns
+    {value_idx: [(start, end), ...]}."""
+    by_value: dict[int, list] = {}
+    for v, a, b, _p in searcher.match_regions(doc_id, terms):
+        by_value.setdefault(v, []).append((a, b))
+    return by_value
 
 
 def highlight(
@@ -97,19 +81,17 @@ def highlight(
     tset = set(terms)
     multi = isinstance(text, (list, tuple, np.ndarray))
     values = list(text) if multi else [text]
-    if use_offsets and multi:
-        # ENFORCED limitation (was docstring-only): on multi-valued
-        # fields positions carry the increment gap and offsets the offset
-        # gap, so the quirk subtraction no longer lands on text bytes —
-        # fall back to the re-analyze mode instead of returning corrupted
-        # snippets.
-        use_offsets = False
+    off_hits = (
+        _actual_hit_offsets_from_index(searcher, doc_id, tset)
+        if use_offsets
+        else None
+    )
     ranked: list[tuple[int, int, str]] = []
-    for v in values:
+    for vi, v in enumerate(values):
         if v is None:
             continue
-        if use_offsets:
-            hits = _actual_hit_offsets_from_index(searcher, doc_id, tset)
+        if off_hits is not None:
+            hits = off_hits.get(vi, [])
         else:
             hits = _actual_hit_offsets_reanalyze(
                 v, tset, searcher.cfg.lowercase

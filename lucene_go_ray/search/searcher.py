@@ -1054,6 +1054,132 @@ class IndexSearcher:
             return [], []
         return t["starts"][0].as_py(), t["ends"][0].as_py()
 
+    def _value_bases(self, doc_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """(pos_bases, off_bases) of each VALUE of a multi-valued text doc
+        — the stream counters at each value's start (persisted at build
+        for index_offsets indexes). Single-valued docs (no table) are one
+        value at base 0."""
+        d = int(doc_id)
+        i = bisect.bisect_right(self._doc_bases, d) - 1
+        pid = self._pids[i]
+        ord_ = d - self._doc_bases[i]
+        path = os.path.join(
+            self.index_dir, "segments", f"p={pid:05d}", "value_bases.parquet"
+        )
+        if not os.path.exists(path):
+            z = np.zeros(1, dtype=np.int64)
+            return z, z
+        t = pq.read_table(path, filters=[("ord", "=", ord_)])
+        if t.num_rows == 0:
+            z = np.zeros(1, dtype=np.int64)
+            return z, z
+        return (
+            np.asarray(t["pos_base"][0].as_py(), dtype=np.int64),
+            np.asarray(t["off_base"][0].as_py(), dtype=np.int64),
+        )
+
+    def match_regions(
+        self, doc_id: int, terms
+    ) -> list[tuple[int, int, int, int]]:
+        """(value_idx, actual_start, actual_end, position) of every
+        occurrence of ``terms`` in one doc, resolved ENTIRELY from the
+        index (positions postings + offsets stream + value bases) — the
+        MatchesIterator offset surface (/root/reference/core/search/
+        matches.go, termmatchesiterator.go) for single- AND multi-valued
+        fields. Inversion of the tokenizer quirk (reported start = actual
+        + full-stream token index, tokenizer.go:168-170) per value:
+        value j = rightmost pos_base <= position; within-value index
+        p = position - pos_base[j]; actual = reported - off_base[j] - p."""
+        out: list[tuple[int, int, int, int]] = []
+        pos_bases = off_bases = None
+        for t in sorted(set(terms)):
+            starts, ends = self.term_offsets(t, doc_id)
+            if not starts:
+                continue
+            post = self.term_postings(t, with_positions=True)
+            if post is None:
+                continue
+            docs = post["docs"]
+            i = int(np.searchsorted(docs, doc_id))
+            if i >= len(docs) or docs[i] != doc_id:
+                continue
+            if pos_bases is None:
+                pos_bases, off_bases = self._value_bases(doc_id)
+            freqs = post["freqs"]
+            pstart = int(freqs[:i].sum())
+            f = int(freqs[i])
+            pos = post["positions"][pstart : pstart + f].astype(np.int64)
+            vj = np.searchsorted(pos_bases, pos, side="right") - 1
+            p_in = pos - pos_bases[vj]
+            s = np.asarray(starts, dtype=np.int64) - off_bases[vj] - p_in
+            e = np.asarray(ends, dtype=np.int64) - off_bases[vj] - p_in
+            out.extend(
+                (int(v), int(a), int(b), int(p))
+                for v, a, b, p in zip(vj, s, e, pos)
+            )
+        out.sort(key=lambda r: (r[0], r[1], r[3]))
+        return out
+
+    def matches(self, query: Query, doc_id: int) -> list[dict] | None:
+        """Per-hit match introspection — the Matches / MatchesIterator API
+        (/root/reference/core/search/matches.go, termmatchesiterator.go,
+        disjunctionmatchesiterator.go): the DEFAULT-field terms the
+        rewritten query matches on (same term source as the highlighter),
+        each occurrence in ``doc_id`` as {term, position, start_offset,
+        end_offset, value_index}, disjunction-merged in position order.
+        Offsets are actual per-value byte offsets (None when the index
+        was built without ``index_offsets``). Returns None when the query
+        matches nothing in this doc (MatchesUtils.MATCH_NONE)."""
+        terms = set(self.highlight_terms(query))
+        have_offsets = os.path.exists(
+            os.path.join(
+                self.index_dir,
+                "segments",
+                f"p={self._pids[0]:05d}",
+                "offsets.parquet",
+            )
+        )
+        rows: list[dict] = []
+        if have_offsets:
+            regions: dict[int, list] = {}
+            for t in sorted(terms):
+                for v, a, b, p in self.match_regions(doc_id, [t]):
+                    regions.setdefault(p, []).append((t, v, a, b))
+            for p in sorted(regions):
+                for t, v, a, b in regions[p]:
+                    rows.append(
+                        {
+                            "term": t,
+                            "position": int(p),
+                            "start_offset": int(a),
+                            "end_offset": int(b),
+                            "value_index": int(v),
+                        }
+                    )
+        else:
+            for t in sorted(terms):
+                post = self.term_postings(t, with_positions=True)
+                if post is None:
+                    continue
+                docs = post["docs"]
+                i = int(np.searchsorted(docs, doc_id))
+                if i >= len(docs) or docs[i] != doc_id:
+                    continue
+                freqs = post["freqs"]
+                pstart = int(freqs[:i].sum())
+                for p in post["positions"][pstart : pstart + int(freqs[i])]:
+                    rows.append(
+                        {
+                            "term": t,
+                            "position": int(p),
+                            "start_offset": None,
+                            "end_offset": None,
+                            "value_index": None,
+                        }
+                    )
+            rows.sort(key=lambda r: (r["position"], r["term"]))
+        return rows or None
+
     def term_payloads(self, term: str, doc_id: int) -> list[int]:
         """Per-occurrence payload values of ``term`` in one doc, in
         positions-stream occurrence order — the PayloadAttribute read
