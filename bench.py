@@ -100,11 +100,27 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     def run_queries():
         # prune=True: block-max WAND path (rank-identical to exhaustive by
-        # upper-bound construction; equality asserted in tests)
-        return searcher.search_batch_dataset(queries, k=10, prune=True).count()
+        # upper-bound construction; equality asserted in tests).
+        # route_stats=True: one telemetry row per route (qid < 0) so the
+        # bench can report per-route decode/scan p50/p99 — route-packing
+        # regressions (a straggler route dominating makespan) show up here
+        # instead of only as a worse total.
+        rows = searcher.search_batch_dataset(
+            queries, k=10, prune=True, route_stats=True
+        ).take_all()
+        secs = sorted(r["score"] for r in rows if r["qid"] < 0)
+        n_hits = sum(1 for r in rows if r["qid"] >= 0)
+        return n_hits, secs
 
-    timed("query_batch", run_queries)
+    n_hits, route_secs = timed("query_batch", run_queries)
     meta["queries_per_sec"] = round(len(queries) / results["query_batch"], 1)
+    if route_secs:
+        import numpy as _np
+
+        meta["route_p50_sec"] = round(float(_np.percentile(route_secs, 50)), 4)
+        meta["route_p99_sec"] = round(float(_np.percentile(route_secs, 99)), 4)
+        meta["route_max_sec"] = round(float(route_secs[-1]), 4)
+        meta["n_routes"] = len(route_secs)
 
     if os.environ.get("LGR_SCALING"):
         # scaling mode measures only the two headline jobs

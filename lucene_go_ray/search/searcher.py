@@ -2737,12 +2737,19 @@ class IndexSearcher:
         k: int = 10,
         concurrency: int | None = None,
         prune: bool = False,
+        route_stats: bool = False,
     ):
         """Evaluate a batch of query descriptors as a Ray Data pipeline.
 
         ``queries``: [{"qid": int, "kind": "term|bool_and|bool_or|bool_not|phrase",
         "clauses": [str, ...], "k": int?}]. Returns a Dataset of
         (qid, rank, doc_id, score) rows.
+
+        ``route_stats=True`` appends one telemetry row per route group
+        (qid = -1 - route, rank = queries in the group, doc_id = route,
+        score = group wall seconds) so callers (bench.py) can report
+        route p50/p99 and catch route-packing stragglers without a side
+        channel; filter ``qid < 0`` before using results.
         """
         import ray
         import ray.data
@@ -2849,6 +2856,14 @@ class IndexSearcher:
                     f"[route {routes}] n={batch.num_rows} "
                     f"secs={_time.perf_counter() - _t0:.2f} pid={os.getpid()}",
                     flush=True,
+                )
+            if route_stats:
+                route = int(batch["_route"][0].as_py())
+                qids.append(np.array([-1 - route], dtype=np.int64))
+                ranks.append(np.array([batch.num_rows], dtype=np.int64))
+                docs.append(np.array([route], dtype=np.int64))
+                scores.append(
+                    np.array([_time.perf_counter() - _t0], dtype=np.float64)
                 )
             return pa.table(
                 {
