@@ -123,7 +123,7 @@ def cmd_add(args) -> int:
     if not paths:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
-    manifest = add_documents(args.index, paths)
+    manifest = add_documents(args.index, paths, merge=args.merge)
     print(
         json.dumps(
             {
@@ -281,6 +281,13 @@ def main(argv=None) -> int:
     a.add_argument("--input", nargs="+", required=True, help="parquet globs")
     a.add_argument("--index", required=True)
     a.add_argument("--cluster", action="store_true")
+    a.add_argument(
+        "--merge",
+        default="auto",
+        choices=("auto", "incremental", "full", "none"),
+        help="MergePolicy: auto = size-tiered (incremental fold until "
+        "growth exceeds cfg.tiered_growth_ratio, then full re-merge)",
+    )
     a.set_defaults(fn=cmd_add)
 
     s = sub.add_parser("search", help="one query against a built index")

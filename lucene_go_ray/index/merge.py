@@ -916,18 +916,45 @@ def incremental_merge_index(
             else:
                 combined = new_meta
 
-            # blob: base bytes verbatim, then the new chunks (write order
-            # blob THEN meta — meta existence implies a complete blob)
+            # blob: regions re-laid in MERGED ROW ORDER (the bucket
+            # invariant CheckIndex enforces: row i's region ends where
+            # row i+1's starts). The fold copies every base blob byte
+            # either way, so gathering regions into the sorted order
+            # costs the same I/O as a stream copy; memory envelope is
+            # one bucket's blob — the same bound as the full-merge
+            # reduce, which holds the bucket's decoded postings.
+            # Write order blob THEN meta — meta existence implies a
+            # complete blob.
+            if base_blob_len:
+                with open(
+                    base_fpath[: -len(".parquet")] + ".blob", "rb"
+                ) as src:
+                    allbuf = memoryview(src.read() + b"".join(new_chunks))
+            else:
+                allbuf = memoryview(b"".join(new_chunks))
+            off_old = combined["docs_off"].to_numpy(zero_copy_only=False)
+            end_old = combined["blob_end"].to_numpy(zero_copy_only=False)
+            lens = end_old - off_old
+            new_start = np.zeros(len(lens), dtype=np.int64)
+            if len(lens) > 1:
+                np.cumsum(lens[:-1], out=new_start[1:])
             bpath = fpath[: -len(".parquet")] + ".blob"
             with open(bpath + ".inprogress", "wb") as bf:
-                if base_blob_len:
-                    with open(
-                        base_fpath[: -len(".parquet")] + ".blob", "rb"
-                    ) as src:
-                        shutil.copyfileobj(src, bf, 16 << 20)
-                for c in new_chunks:
-                    bf.write(c)
+                for o, ln in zip(off_old.tolist(), lens.tolist()):
+                    bf.write(allbuf[o : o + ln])
             os.replace(bpath + ".inprogress", bpath)
+            delta = new_start - off_old
+            for col in ("docs_off", "freqs_off", "norms_off", "pos_off"):
+                idx = combined.schema.get_field_index(col)
+                vals = combined[col].to_numpy(zero_copy_only=False) + delta
+                combined = combined.set_column(
+                    idx, col, pa.array(vals, pa.int64())
+                )
+            combined = combined.set_column(
+                combined.schema.get_field_index("blob_end"),
+                "blob_end",
+                pa.array(new_start + lens, pa.int64()),
+            )
             total_bytes = combined.nbytes + base_blob_len + new_blob_len
             avg = max(1, total_bytes // max(1, combined.num_rows))
             rg_rows = int(

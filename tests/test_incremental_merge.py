@@ -116,6 +116,14 @@ def test_incremental_fold_parity_and_locality(corpus, tmp_path):
     for t in ("zqfold", "delta", "the", "number2"):
         assert si.term_statistics(t) == sf.term_statistics(t), t
 
+    # --- CheckIndex holds on the folded index (incl. the blob
+    # row-order-contiguity invariant: fold re-lays regions in merged
+    # row order) ---
+    from lucene_go_ray.index.check import check_index
+
+    rep = check_index(d)
+    assert rep["ok"], rep["problems"]
+
     # --- folding the same index again is a no-op (no new pids) ---
     m2 = incremental_merge_index(
         d, load_manifest(d), IndexConfig.from_dict(m.config)
