@@ -2773,7 +2773,23 @@ class IndexSearcher:
         # batch, 4 routes/slot left one 37 s straggler route dominating an
         # 8-worker run; 16/slot packs within ~10% of fair share.
         n_routes = n * 16
+        # With the shared pre-decode stage on (default), EVERY distinct
+        # clause term's postings sit in the object store and all workers
+        # read them zero-copy — term affinity no longer saves decodes, it
+        # only concentrates a hot term's whole query load on one route.
+        # Measured (2000 Zipf queries, 32 cpus): qid-spread routing holds
+        # throughput within noise of affinity while halving the route
+        # tail (p99 ~1.0 s -> ~0.2-0.35 s, max 1.6 -> 0.6). Affinity
+        # remains the right call when shared decode is disabled (each
+        # route then decodes its own terms once). LGR_ROUTE_SPREAD=0/1
+        # overrides either way.
+        use_shared = os.environ.get("LGR_SHARED_DECODE", "1") != "0"
+        spread_env = os.environ.get("LGR_ROUTE_SPREAD")
+        spread = use_shared if spread_env is None else spread_env == "1"
         for q in queries:
+            if spread:
+                routed.append({**q, "_route": int(q["qid"]) % n_routes})
+                continue
             clauses = [str(c) for c in q.get("clauses", ())]
             # Affinity key = the HOTTEST clause (known from the merge-time
             # hot-term estimate — zero extra I/O), not merely the first:
