@@ -102,9 +102,9 @@ def test_incremental_fold_parity_and_locality(corpus, tmp_path):
     for q in (
         TermQuery("zqfold"),
         TermQuery("number1"),
-        TermQuery("the"),
+        TermQuery("spark"),
         BooleanQuery.build(must=["delta", "document"]),
-        BooleanQuery.build(should=["zqfold", "the"]),
+        BooleanQuery.build(should=["zqfold", "spark"]),
         PhraseQuery(["delta", "document"]),
     ):
         ti, tf = si.search(q, 50), sf.search(q, 50)
@@ -113,7 +113,7 @@ def test_incremental_fold_parity_and_locality(corpus, tmp_path):
             tf.scores.tolist(), rel=1e-12
         )
         assert ti.total_hits == tf.total_hits
-    for t in ("zqfold", "delta", "the", "number2"):
+    for t in ("zqfold", "delta", "spark", "number2"):
         assert si.term_statistics(t) == sf.term_statistics(t), t
 
     # --- CheckIndex holds on the folded index (incl. the blob
@@ -181,3 +181,49 @@ def test_plan_merge_tiers(corpus, tmp_path):
     with open(gpath, "w") as f:
         json.dump(stats, f)
     assert plan_merge(d, m, cfg) == "full"
+
+
+def test_incremental_fold_with_salted_hot_terms(corpus, tmp_path):
+    """Delta rows for a term that is HOT in the base epoch must fold into
+    the salted (term, salt) groups queries probe — the fold reuses the
+    base hot set, and new pids map to new (or shared) salt groups."""
+    src, delta, base_dir, root = corpus
+    d = str(tmp_path / "hot")
+    # base with a tiny hot threshold so common terms get salted
+    cfg = IndexConfig(
+        target_partition_rows=120, hot_term_doc_freq=50,
+        salt_group_partitions=2,
+    )
+    build_index([src], d, cfg)
+    with open(os.path.join(d, "global", "stats.json")) as f:
+        assert json.load(f)["hot_terms"], "test needs a non-empty hot set"
+    add_documents(d, [delta], merge="incremental")
+    full_dir = str(tmp_path / "hotfull")
+    build_index([src, delta], full_dir, cfg)
+    si, sf = IndexSearcher(d), IndexSearcher(full_dir)
+    for t in ("spark", "zqfold", "delta", "number0"):
+        assert si.term_statistics(t) == sf.term_statistics(t), t
+        ti, tf = si.search(TermQuery(t), 60), sf.search(TermQuery(t), 60)
+        assert ti.doc_ids.tolist() == tf.doc_ids.tolist(), t
+        assert ti.scores.tolist() == pytest.approx(
+            tf.scores.tolist(), rel=1e-12
+        )
+
+
+def test_incremental_fold_preserves_tombstones(corpus, tmp_path):
+    """Tombstones written before an incremental fold keep filtering hits
+    after it (liveDocs are an overlay; the fold never touches them)."""
+    from lucene_go_ray.index.deletes import delete_by_query
+
+    src, delta, base_dir, root = corpus
+    d = str(tmp_path / "del")
+    shutil.copytree(base_dir, d)
+    s0 = IndexSearcher(d)
+    victim = int(s0.search(TermQuery("spark"), 1).doc_ids[0])
+    n_del = delete_by_query(d, TermQuery("spark"))
+    assert n_del > 0
+    add_documents(d, [delta], merge="incremental")
+    s = IndexSearcher(d)
+    assert s.count(TermQuery("spark")) == 0
+    assert victim not in s.search(TermQuery("zqfold"), 60).doc_ids.tolist()
+    assert s.count(TermQuery("zqfold")) == 40
