@@ -227,3 +227,90 @@ def test_incremental_fold_preserves_tombstones(corpus, tmp_path):
     assert s.count(TermQuery("spark")) == 0
     assert victim not in s.search(TermQuery("zqfold"), 60).doc_ids.tolist()
     assert s.count(TermQuery("zqfold")) == 40
+
+
+def test_double_incremental_fold(corpus, tmp_path):
+    """Two successive folds: the second continues chunk_id sequences on
+    groups the FIRST fold already extended, and stays parity-exact with
+    one full build over all three corpora."""
+    src, delta, base_dir, root = corpus
+    delta2 = os.path.join(str(tmp_path), "delta2.parquet")
+    _write_docs(
+        delta2,
+        [(20_000 + i, f"zqfold again wave2 token{i % 2}") for i in range(30)],
+    )
+    d = str(tmp_path / "twice")
+    shutil.copytree(base_dir, d)
+    add_documents(d, [delta], merge="incremental")
+    add_documents(d, [delta2], merge="incremental")
+    full_dir = str(tmp_path / "full3")
+    build_index([src, delta, delta2], full_dir, CFG)
+    si, sf = IndexSearcher(d), IndexSearcher(full_dir)
+    for t in ("zqfold", "wave2", "token1", "delta", "spark"):
+        assert si.term_statistics(t) == sf.term_statistics(t), t
+        ti, tf = si.search(TermQuery(t), 100), sf.search(TermQuery(t), 100)
+        assert ti.doc_ids.tolist() == tf.doc_ids.tolist(), t
+        assert ti.scores.tolist() == pytest.approx(
+            tf.scores.tolist(), rel=1e-12
+        )
+    from lucene_go_ray.index.check import check_index
+
+    rep = check_index(d)
+    assert rep["ok"], rep["problems"]
+
+
+def test_dv_updates_survive_incremental_fold(tmp_path):
+    """Numeric dv-update overlays (generation files, applied at dv load)
+    keep applying after an incremental fold — the fold touches postings
+    buckets only, never docmaps or overlay files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_go_ray.index.dv_updates import update_numeric_docvalues
+    from lucene_go_ray.search.collector import (
+        SortField,
+        TopFieldCollectorManager,
+    )
+
+    n = 80
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [f"word{i % 5} shared" for i in range(n)], pa.string()
+                ),
+                "score_dv": pa.array([i * 10 for i in range(n)], pa.int64()),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        target_partition_rows=30,
+        hot_term_doc_freq=10**9,
+        docvalue_fields=("score_dv",),
+    )
+    build_index([src], d, cfg)
+    update_numeric_docvalues(d, "score_dv", np.array([3]), np.array([99999]))
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([900, 901], pa.int64()),
+                "text": pa.array(["shared fresh", "shared fresh"], pa.string()),
+                "score_dv": pa.array([1, 2], pa.int64()),
+            }
+        ),
+        delta,
+    )
+    add_documents(d, [delta], merge="incremental")
+    s = IndexSearcher(d)
+    t = s.search_with_collector_sharded(
+        TermQuery("shared"),
+        TopFieldCollectorManager([SortField("score_dv", reverse=True)], 1),
+    )
+    # the overlaid value (99999 on doc 3) still wins the sort post-fold
+    assert t["doc_id"].to_pylist() == [3]
+    assert t["score_dv"].to_pylist() == [99999]
