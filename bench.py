@@ -211,6 +211,34 @@ def _bench(sf_dir: str, num_cpus: int) -> dict:
 
     meta["wand"] = timed("wand_demo", run_wand)
 
+    # ---- incremental (tiered) merge: append 5% of the corpus and fold
+    # only the delta's buckets vs a full re-merge of everything — the
+    # O(delta) vs O(corpus) claim, measured. Both run on private copies of
+    # the headline index (same appended file, same config).
+    delta_docs = max(1000, n_docs // 20)
+    delta_dir = f"/tmp/lgr_bench_corpus/delta-{delta_docs}-43"
+    if not os.path.isdir(delta_dir) or not os.listdir(delta_dir):
+        corpus.synthesize_corpus(delta_docs, delta_dir, seed=43)
+    delta_paths = sorted(
+        os.path.join(delta_dir, f) for f in os.listdir(delta_dir)
+    )
+    from lucene_go_ray.index.build import add_documents
+
+    def _add(mode: str):
+        d = f"{index_dir}_add_{mode}"
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(index_dir, d)
+        add_documents(d, delta_paths, merge=mode)
+        shutil.rmtree(d, ignore_errors=True)
+
+    timed("add_5pct_incremental", lambda: _add("incremental"))
+    timed("add_5pct_full_remerge", lambda: _add("full"))
+    meta["incremental_vs_full_speedup"] = round(
+        results["add_5pct_full_remerge"]
+        / max(1e-9, results["add_5pct_incremental"]),
+        2,
+    )
+
     # ---- extraction invariant (reads html+text; the heaviest column scan)
     timed("extract_check", lambda: corpus.check_extraction_invariant(paths))
 
