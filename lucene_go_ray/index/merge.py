@@ -860,29 +860,53 @@ def incremental_merge_index(
                 base_blob_len = os.path.getsize(
                     base_fpath[: -len(".parquet")] + ".blob"
                 )
-                # continue each (key, salt) group's chunk_id sequence
+                # continue each (key, salt) group's chunk_id sequence —
+                # vectorized: one lexsort over the base rows, run ends
+                # carry each group's max chunk_id (rows sort chunk-asc
+                # within a group), then one run-boundary searchsorted maps
+                # every NEW row to its group's next id. O(rows log rows)
+                # numpy, no per-row interpreter work on the base bucket.
                 bk = np.asarray(
                     _fkey_column(base_meta).to_pylist(), dtype=object
                 )
-                bs = base_meta["salt"].to_numpy(zero_copy_only=False)
-                bc = base_meta["chunk_id"].to_numpy(zero_copy_only=False)
-                nxt: dict = {}
-                for k_, s_, c_ in zip(bk, bs, bc):
-                    kk = (k_, int(s_))
-                    if c_ >= nxt.get(kk, -1):
-                        nxt[kk] = int(c_)
+                bs = base_meta["salt"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                bc = base_meta["chunk_id"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                order_b = np.lexsort((bc, bs, bk))
+                bk, bs, bc = bk[order_b], bs[order_b], bc[order_b]
+                if len(bk):
+                    last = np.flatnonzero(
+                        np.concatenate(
+                            [(bk[1:] != bk[:-1]) | (bs[1:] != bs[:-1]),
+                             [True]]
+                        )
+                    )
+                    gk, gs, gmax = bk[last], bs[last], bc[last]
+                else:  # base bucket file exists but is empty
+                    gk = np.empty(0, dtype=object)
+                    gs = gmax = np.empty(0, dtype=np.int64)
                 nk = np.asarray(
                     _fkey_column(new_meta).to_pylist(), dtype=object
                 )
-                ns = new_meta["salt"].to_numpy(zero_copy_only=False)
+                ns = new_meta["salt"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
                 nc = new_meta["chunk_id"].to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)
-                off = np.fromiter(
-                    (nxt.get((k_, int(s_)), -1) + 1 for k_, s_ in zip(nk, ns)),
-                    dtype=np.int64,
-                    count=len(nk),
-                )
+                # locate each new row's (key, salt) among the base groups:
+                # search on key runs, then scan the (tiny) salt run
+                gi = np.searchsorted(gk, nk, side="left")
+                off = np.zeros(len(nk), dtype=np.int64)
+                for j in range(len(nk)):
+                    g = gi[j]
+                    while g < len(gk) and gk[g] == nk[j] and gs[g] < ns[j]:
+                        g += 1
+                    if g < len(gk) and gk[g] == nk[j] and gs[g] == ns[j]:
+                        off[j] = gmax[g] + 1
                 nc = nc + off
                 new_meta = new_meta.set_column(
                     new_meta.schema.get_field_index("chunk_id"),
@@ -989,8 +1013,15 @@ def incremental_merge_index(
                      num_cpus=1)
         .take_all()
     )
-    shutil.rmtree(shuffle_dir)
+    # Remove the COMPLETE marker BEFORE the shuffle dir: a crash inside
+    # rmtree would otherwise leave shuffle_COMPLETE pointing at a missing
+    # or PARTIAL dir, and a resume would compute a smaller `touched` set
+    # (keeping stale index rows for already-rewritten buckets). With the
+    # marker gone first, re-entry redoes phase A whole (worst case: a
+    # redundant delta shuffle; folded buckets still resume via the
+    # output-exists branch).
     os.remove(shuffle_done)
+    shutil.rmtree(shuffle_dir)
     os.remove(marker)
 
     # ---- phase C: assemble the replacement dir and swap ----

@@ -798,9 +798,10 @@ def embedding_near_dup_candidates(
     band_bits: int = 3,
     seed: int = 0xE3B0C442,
     max_bucket: int = 4096,
+    join_buckets: int = 64,
 ):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    candidate generation + EXACT in-bucket verification — the scale path
+    candidate generation + EXACT join-side verification — the scale path
     for :func:`embedding_near_dup`'s quadratic kernel.
 
     Each vector gets ``n_bands`` band signatures of ``band_bits``
@@ -810,14 +811,19 @@ def embedding_near_dup_candidates(
     at the default threshold 0.4 (p = 0.63) collides in at least one of
     48 3-bit bands with probability 1 - (1 - 0.63^3)^48 > 0.999998 —
     recall is a tunable, not a hope; raise ``n_bands`` to push the miss
-    probability down geometrically. Inside each band bucket the ORIGINAL
-    float64 vectors are normalized and verified with the same
-    rounded-cosine kernel as the exact path, so emitted pairs carry
-    bit-identical sims; duplicates across bands collapse through
-    pair_groupby. Exchange volume is n_bands rows per vector (LINEAR in
-    N); compute is O(sum of bucket^2) = O(candidate pairs), not
-    O(blocks^2). Buckets above ``max_bucket`` keep the max_bucket
-    smallest keys (same spill policy as minhash_lsh_pairs)."""
+    probability down geometrically.
+
+    Exchange shape (what survives 100 TB): the banding exchange carries
+    (bucket, id) rows ONLY — 16 bytes x n_bands per vector, never the
+    vector itself; in-bucket candidate generation and the cross-band
+    dedup are id-level. The deduped candidate pairs are then verified by
+    a TWO-ROUND hash join against the embeddings table (pairs keyed by
+    a, then by b; the vector table ships exactly once per round), so the
+    full float64 vectors cross the wire 2x total instead of n_bands x.
+    Sims are computed from the original float64 vectors with the same
+    normalize + rounded-cosine kernel as the exact path — bit-identical
+    output. Buckets above ``max_bucket`` keep the max_bucket smallest
+    keys (same spill policy as minhash_lsh_pairs)."""
     import os
 
     import ray.data
@@ -825,6 +831,7 @@ def embedding_near_dup_candidates(
     path = os.path.join(sf_dir, "embeddings.parquet")
     nbits = n_bands * band_bits
 
+    # ---- stage 1: banding (ids only on the exchange) ----
     def _bucket(batch: pa.Table) -> pa.Table:
         E = np.array(batch[col].to_pylist(), dtype=np.float64)
         ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -842,62 +849,150 @@ def embedding_near_dup_candidates(
             {
                 "cand_bucket": pa.array(bucket),
                 key: pa.array(np.repeat(ids, n_bands)),
-                "vec": pa.array(list(np.repeat(E, n_bands, axis=0))),
             }
         )
 
-    _empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "sim": pa.array([], pa.float64())}
+    _empty_pairs = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
     )
 
-    def _verify(group: pa.Table) -> pa.Table:
+    def _cand(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n < 2:
-            return _empty
-        ids = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = np.stack(group["vec"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
+            return _empty_pairs
+        ids = np.unique(
+            group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        if n > max_bucket:
-            order = np.argsort(ids, kind="stable")[:max_bucket]
-            ids, V, n = ids[order], V[order], max_bucket
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        S6 = np.round(V @ V.T, 6)
-        ai, bi = np.triu_indices(n, 1)
-        mask = (S6[ai, bi] >= threshold) & (ids[ai] != ids[bi])
-        if not mask.any():
-            return _empty
-        ka, kb = ids[ai[mask]], ids[bi[mask]]
-        return pa.table(
-            {
-                "a": pa.array(np.minimum(ka, kb)),
-                "b": pa.array(np.maximum(ka, kb)),
-                "sim": pa.array(S6[ai, bi][mask], pa.float64()),
-            }
-        )
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]  # smallest keys, deterministic spill
+        if len(ids) < 2:
+            return _empty_pairs
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
-    pairs = (
+    def _first(a, b, starts, sizes, values):
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    cand = pair_groupby(
         ray.data.read_parquet(path, columns=[key, col])
         .map_batches(_bucket, batch_format="pyarrow")
         .groupby("cand_bucket")
-        .map_groups(_verify, batch_format="pyarrow")
-    )
+        .map_groups(_cand, batch_format="pyarrow"),
+        _first,
+    ).materialize()
 
-    def _first_reduce(a, b, starts, sizes, values):
+    # ---- stage 2: two-round hash join attaches each side's vector ----
+    def _jb(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = _mix(ids.astype(np.uint64), np.uint64(41))
+        return (h % np.uint64(join_buckets)).astype(np.int32)
+
+    def _vec_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.array(batch[col].to_pylist(), dtype=np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "sim": pa.array(
-                    np.maximum.reduceat(values["sim"], starts)
-                    if len(starts)
-                    else np.empty(0, np.float64)
-                ),
+                "jb": pa.array(_jb(ids)),
+                "kind": pa.array(np.zeros(len(ids), np.int32)),
+                "a": pa.array(ids),
+                "b": pa.array(np.full(len(ids), -1, np.int64)),
+                "vec": pa.array(list(En)),
             }
         )
 
-    return pair_groupby(pairs, _first_reduce, value_cols=("sim",))
+    def _pair_rows(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keyed = a if side == "a" else b
+            vec = (
+                batch["vec"]
+                if "vec" in batch.column_names
+                else pa.array([[]] * len(a), pa.list_(pa.float64()))
+            )
+            return pa.table(
+                {
+                    "jb": pa.array(_jb(keyed)),
+                    "kind": pa.array(np.ones(len(a), np.int32)),
+                    "a": pa.array(a),
+                    "b": pa.array(b),
+                    "vec": vec,
+                }
+            )
+
+        return f
+
+    def _attach(side: str, emit_sim: bool):
+        def f(group: pa.Table) -> pa.Table:
+            kinds = group["kind"].to_numpy(zero_copy_only=False)
+            vmask = kinds == 0
+            vids = group["a"].to_numpy(zero_copy_only=False)[vmask].astype(
+                np.int64
+            )
+            vvecs = group["vec"].to_numpy(zero_copy_only=False)[vmask]
+            order = np.argsort(vids)
+            vids, vvecs = vids[order], vvecs[order]
+            pmask = ~vmask
+            pa_ids = group["a"].to_numpy(zero_copy_only=False)[pmask].astype(
+                np.int64
+            )
+            pb_ids = group["b"].to_numpy(zero_copy_only=False)[pmask].astype(
+                np.int64
+            )
+            if not len(pa_ids):
+                if emit_sim:
+                    return pa.table(
+                        {"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())}
+                    )
+                return pa.table(
+                    {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64()),
+                     "vec": pa.array([], pa.list_(pa.float64()))}
+                )
+            keyed = pa_ids if side == "a" else pb_ids
+            idx = np.searchsorted(vids, keyed)
+            side_vecs = np.stack(vvecs[idx]) if len(idx) else np.empty((0, 0))
+            if not emit_sim:
+                return pa.table(
+                    {
+                        "a": pa.array(pa_ids),
+                        "b": pa.array(pb_ids),
+                        "vec": pa.array(list(side_vecs)),
+                    }
+                )
+            other = np.stack(
+                group["vec"].to_numpy(zero_copy_only=False)[pmask]
+            )
+            sim6 = np.round(np.einsum("ij,ij->i", side_vecs, other), 6)
+            keep = sim6 >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(pa_ids[keep]),
+                    "b": pa.array(pb_ids[keep]),
+                    "sim": pa.array(sim6[keep], pa.float64()),
+                }
+            )
+
+        return f
+
+    vecs = ray.data.read_parquet(path, columns=[key, col]).map_batches(
+        _vec_rows, batch_format="pyarrow"
+    )
+    with_a = (
+        vecs.union(cand.map_batches(_pair_rows("a"), batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(_attach("a", emit_sim=False), batch_format="pyarrow")
+    )
+    return (
+        vecs.union(
+            with_a.map_batches(_pair_rows("b"), batch_format="pyarrow")
+        )
+        .groupby("jb")
+        .map_groups(_attach("b", emit_sim=True), batch_format="pyarrow")
+    )
 
 
 def dup_spans(

@@ -185,9 +185,15 @@ class TopFieldCollector(Collector):
         self.valid = [np.empty(0, bool) for _ in self.sort_fields]
         self.total = 0
         self._searcher = None
+        # resolved at set_context so reduce() can build the right column
+        # TYPE even when zero docs matched (an empty int64 init array must
+        # not flip a string-dv column's schema by hit count)
+        self.is_string = [False] * len(self.sort_fields)
 
     def set_context(self, searcher) -> None:
         self._searcher = searcher
+        sdv = getattr(searcher, "string_dv_fields", ())
+        self.is_string = [sf.field in sdv for sf in self.sort_fields]
 
     def collect(self, docs, scores) -> None:
         self.total += len(docs)
@@ -238,14 +244,20 @@ class TopFieldCollectorManager(CollectorManager):
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
             "doc_id": pa.array(docs[order]),
         }
-        for sf, (vals, valid) in zip(self.sort_fields, per_field):
-            if vals.dtype == object:
+        is_string = [
+            any(c.is_string[i] for c in collectors)
+            for i in range(len(self.sort_fields))
+        ]
+        for i, (sf, (vals, valid)) in enumerate(
+            zip(self.sort_fields, per_field)
+        ):
+            if is_string[i]:
                 vlist = [
                     v if ok else None
                     for v, ok in zip(vals[order], valid[order])
                 ]
                 col = pa.array(vlist)
-                if pa.types.is_null(col.type):
+                if pa.types.is_null(col.type) or len(vlist) == 0:
                     col = col.cast(pa.string())
                 cols[sf.field] = col
             else:

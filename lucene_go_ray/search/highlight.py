@@ -54,7 +54,7 @@ def _actual_hit_offsets_from_index(searcher, doc_id: int, terms: set):
     accumulations invert exactly through the value-base table. Returns
     {value_idx: [(start, end), ...]}."""
     by_value: dict[int, list] = {}
-    for v, a, b, _p in searcher.match_regions(doc_id, terms):
+    for v, a, b, _p, _t in searcher.match_regions(doc_id, terms):
         by_value.setdefault(v, []).append((a, b))
     return by_value
 
@@ -81,11 +81,14 @@ def highlight(
     tset = set(terms)
     multi = isinstance(text, (list, tuple, np.ndarray))
     values = list(text) if multi else [text]
-    off_hits = (
-        _actual_hit_offsets_from_index(searcher, doc_id, tset)
-        if use_offsets
-        else None
-    )
+    off_hits = None
+    if use_offsets:
+        try:
+            off_hits = _actual_hit_offsets_from_index(searcher, doc_id, tset)
+        except FileNotFoundError:
+            # index built without index_offsets: fall back to re-analysis
+            # (the pre-Matches behaviour) instead of failing the call
+            off_hits = None
     ranked: list[tuple[int, int, str]] = []
     for vi, v in enumerate(values):
         if v is None:

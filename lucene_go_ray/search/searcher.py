@@ -1089,8 +1089,11 @@ class IndexSearcher:
         fields. Inversion of the tokenizer quirk (reported start = actual
         + full-stream token index, tokenizer.go:168-170) per value:
         value j = rightmost pos_base <= position; within-value index
-        p = position - pos_base[j]; actual = reported - off_base[j] - p."""
-        out: list[tuple[int, int, int, int]] = []
+        p = position - pos_base[j]; actual = reported - off_base[j] - p.
+
+        Tuples are (value, start, end, position, term) — one pass reads
+        the doc's value-bases table ONCE for the whole term set."""
+        out: list[tuple[int, int, int, int, str]] = []
         pos_bases = off_bases = None
         for t in sorted(set(terms)):
             starts, ends = self.term_offsets(t, doc_id)
@@ -1114,7 +1117,7 @@ class IndexSearcher:
             s = np.asarray(starts, dtype=np.int64) - off_bases[vj] - p_in
             e = np.asarray(ends, dtype=np.int64) - off_bases[vj] - p_in
             out.extend(
-                (int(v), int(a), int(b), int(p))
+                (int(v), int(a), int(b), int(p), t)
                 for v, a, b, p in zip(vj, s, e, pos)
             )
         out.sort(key=lambda r: (r[0], r[1], r[3]))
@@ -1141,21 +1144,22 @@ class IndexSearcher:
         )
         rows: list[dict] = []
         if have_offsets:
-            regions: dict[int, list] = {}
-            for t in sorted(terms):
-                for v, a, b, p in self.match_regions(doc_id, [t]):
-                    regions.setdefault(p, []).append((t, v, a, b))
-            for p in sorted(regions):
-                for t, v, a, b in regions[p]:
-                    rows.append(
-                        {
-                            "term": t,
-                            "position": int(p),
-                            "start_offset": int(a),
-                            "end_offset": int(b),
-                            "value_index": int(v),
-                        }
-                    )
+            # ONE match_regions pass for the whole term set (value bases
+            # and per-term postings each read once)
+            regs = sorted(
+                self.match_regions(doc_id, terms),
+                key=lambda r: (r[3], r[4]),
+            )
+            for v, a, b, p, t in regs:
+                rows.append(
+                    {
+                        "term": t,
+                        "position": int(p),
+                        "start_offset": int(a),
+                        "end_offset": int(b),
+                        "value_index": int(v),
+                    }
+                )
         else:
             for t in sorted(terms):
                 post = self.term_postings(t, with_positions=True)

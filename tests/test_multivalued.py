@@ -299,7 +299,7 @@ def test_match_regions_multivalued(mv_off_index):
                     if tok == term:
                         expect.append((vi, start, start + len(tok)))
                     start += len(tok) + 1
-            assert [(v, a, b) for v, a, b, _ in regions] == expect, (
+            assert [(v, a, b) for v, a, b, _, _ in regions] == expect, (
                 doc_id,
                 term,
             )
